@@ -1,0 +1,32 @@
+# -*- coding: utf-8 -*-
+"""Test configuration: run JAX on a virtual 8-device CPU mesh so the
+multi-chip sharding paths compile and execute without TPU hardware."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture
+def tile_caseA(rng):
+    """Small Case A-like tile: 4-band uint16, 12-in-16 packed."""
+    x = rng.integers(0, 4096, size=(4, 64, 64), dtype=np.uint16)
+    return (x << 4).astype(np.uint16)
+
+
+@pytest.fixture
+def tile_caseB(rng):
+    """Small Case B-like cube: 12-band int16, 14-in-16 packed (2 zero LSBs)."""
+    x = rng.integers(-2048, 2047, size=(12, 32, 32)).astype(np.int16)
+    return ((x.view(np.uint16) >> 2) << 2).view(np.int16)

@@ -1,0 +1,125 @@
+# -*- coding: utf-8 -*-
+"""GeoTIFF round-trip tests for the self-contained reader/writer."""
+
+import numpy as np
+import pytest
+
+from tpukit.io import tiff
+
+
+def _roundtrip(tmp_path, arr, **kw):
+    p = tmp_path / "t.tif"
+    tiff.write_geotiff(p, arr, **kw)
+    with tiff.open(p) as ds:
+        out = ds.read()
+        return ds.meta, out, ds
+
+
+@pytest.mark.parametrize("dtype,lo,hi", [
+    (np.uint8, 0, 255), (np.uint16, 0, 65535), (np.int16, -32768, 32767),
+])
+def test_roundtrip_dtypes(tmp_path, rng, dtype, lo, hi):
+    arr = rng.integers(lo, hi, size=(3, 40, 52)).astype(dtype)
+    meta, out, _ = _roundtrip(tmp_path, arr)
+    assert out.dtype == dtype
+    assert out.shape == arr.shape
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_roundtrip_tiled_vs_strips(tmp_path, rng):
+    arr = rng.integers(0, 65535, size=(2, 77, 91), dtype=np.uint16)
+    for tiled in (True, False):
+        p = tmp_path / f"t_{tiled}.tif"
+        tiff.write_geotiff(p, arr, tiled=tiled, blockxsize=32, blockysize=32)
+        with tiff.open(p) as ds:
+            np.testing.assert_array_equal(ds.read(), arr)
+
+
+def test_deflate_predictor(tmp_path, rng):
+    arr = rng.integers(0, 4096, size=(1, 64, 64), dtype=np.uint16)
+    p = tmp_path / "t.tif"
+    tiff.write_geotiff(p, arr, compress="DEFLATE", predictor=2, blockxsize=32, blockysize=32)
+    with tiff.open(p) as ds:
+        np.testing.assert_array_equal(ds.read(), arr)
+    # deflate should actually shrink a smooth gradient
+    grad = np.tile(np.arange(64, dtype=np.uint16), (64, 1))[None]
+    p2 = tmp_path / "g.tif"
+    tiff.write_geotiff(p2, grad, compress="DEFLATE", predictor=2)
+    assert p2.stat().st_size < grad.nbytes
+
+
+def test_window_read(tmp_path, rng):
+    arr = rng.integers(0, 65535, size=(4, 100, 120), dtype=np.uint16)
+    p = tmp_path / "t.tif"
+    tiff.write_geotiff(p, arr, blockxsize=32, blockysize=32)
+    with tiff.open(p) as ds:
+        win = tiff.Window(17, 23, 50, 40)
+        np.testing.assert_array_equal(ds.read(window=win), arr[:, 23:63, 17:67])
+        np.testing.assert_array_equal(ds.read(2, window=win), arr[1, 23:63, 17:67])
+        np.testing.assert_array_equal(ds.read([3, 1]), arr[[2, 0]])
+
+
+def test_nodata_and_mask(tmp_path, rng):
+    arr = rng.integers(1, 1000, size=(2, 30, 30), dtype=np.uint16)
+    arr[:, :5, :] = 0
+    p = tmp_path / "t.tif"
+    tiff.write_geotiff(p, arr, nodata=0)
+    with tiff.open(p) as ds:
+        assert ds.nodata == 0
+        m = ds.dataset_mask()
+        assert m.shape == (30, 30)
+        assert (m[:5] == 0).all() and (m[5:] == 255).all()
+
+    mask = np.ones((30, 30), dtype=np.uint8)
+    mask[:, :7] = 0
+    p2 = tmp_path / "m.tif"
+    tiff.write_geotiff(p2, arr, mask=mask)
+    with tiff.open(p2) as ds:
+        m = ds.dataset_mask()
+        assert (m[:, :7] == 0).all() and (m[:, 7:] == 255).all()
+        np.testing.assert_array_equal(ds.read(), arr)  # mask does not alter data
+
+
+def test_descriptions_roundtrip(tmp_path, rng):
+    arr = rng.integers(0, 100, size=(3, 16, 16), dtype=np.uint16)
+    descs = ["lambda_nm=665.00", "lambda_nm=560.00", None]
+    p = tmp_path / "t.tif"
+    tiff.write_geotiff(p, arr, descriptions=descs)
+    with tiff.open(p) as ds:
+        assert ds.descriptions[0] == "lambda_nm=665.00"
+        assert ds.descriptions[1] == "lambda_nm=560.00"
+        assert ds.descriptions[2] is None
+
+
+def test_transform_roundtrip(tmp_path, rng):
+    arr = rng.integers(0, 100, size=(1, 8, 8), dtype=np.uint16)
+    tr = (10.0, 0.0, 500000.0, 0.0, -10.0, 4600000.0)
+    p = tmp_path / "t.tif"
+    tiff.write_geotiff(p, arr, transform=tr)
+    with tiff.open(p) as ds:
+        assert np.allclose(ds.transform, tr)
+        # geo passthrough on copy
+        p2 = tmp_path / "t2.tif"
+        tiff.write_geotiff(p2, ds.read(), geo=ds.geo)
+    with tiff.open(p2) as ds2:
+        assert np.allclose(ds2.transform, tr)
+
+
+def test_bigtiff(tmp_path, rng):
+    arr = rng.integers(0, 65535, size=(1, 32, 32), dtype=np.uint16)
+    p = tmp_path / "big.tif"
+    tiff.write_geotiff(p, arr, bigtiff=True)
+    with tiff.open(p) as ds:
+        np.testing.assert_array_equal(ds.read(), arr)
+
+
+def test_window_transform():
+    tr = (10.0, 0.0, 100.0, 0.0, -10.0, 200.0)
+    wt = tiff.window_transform(tiff.Window(3, 5, 4, 4), tr)
+    assert wt == (10.0, 0.0, 130.0, 0.0, -10.0, 150.0)
+
+
+def test_float32(tmp_path, rng):
+    arr = rng.random(size=(2, 20, 20)).astype(np.float32)
+    meta, out, _ = _roundtrip(tmp_path, arr)
+    np.testing.assert_array_equal(out, arr)
