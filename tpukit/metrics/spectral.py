@@ -1,0 +1,102 @@
+# -*- coding: utf-8 -*-
+"""Spectral-fidelity metrics for hyperspectral (Case B) cubes: SAM, SID, LMSE.
+
+Device re-design of reference tools/run_codec.py:308-347, which materializes
+two full float64 cubes and runs a Python-loop Sobel per band (the biggest
+CPU sink in the reference harness per SURVEY §3.1). Here the spectral axis
+is a reduction axis on device and the Sobel is a vectorized stencil over all
+bands at once:
+
+  * SAM — mean spectral angle (degrees) over valid pixels (:328-332)
+  * SID — symmetric KL divergence of per-pixel positive-normalized spectra
+    (:334-339)
+  * LMSE — MSE of 3×3 Sobel gradient magnitudes, averaged over bands; the
+    reference computes it over *all* pixels, ignoring the mask (:341-346) —
+    replicated faithfully.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sobel_mag(img: jax.Array) -> jax.Array:
+    """3×3 Sobel gradient magnitude with edge padding, batched over leading
+    axes. Same kernel taps as reference run_codec.py:123-137."""
+    x = img.astype(jnp.float32)
+    p = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)], mode="edge")
+
+    def sh(di, dj):
+        H, W = x.shape[-2], x.shape[-1]
+        return jax.lax.dynamic_slice_in_dim(
+            jax.lax.dynamic_slice_in_dim(p, di, H, axis=x.ndim - 2),
+            dj, W, axis=x.ndim - 1)
+
+    # kx = [[1,0,-1],[2,0,-2],[1,0,-1]], ky = kx.T-flip (run_codec.py:126-127)
+    gx = (sh(0, 0) - sh(0, 2)) + 2.0 * (sh(1, 0) - sh(1, 2)) + (sh(2, 0) - sh(2, 2))
+    gy = (sh(0, 0) + 2.0 * sh(0, 1) + sh(0, 2)) - (sh(2, 0) + 2.0 * sh(2, 1) + sh(2, 2))
+    return jnp.sqrt(gx * gx + gy * gy)
+
+
+@jax.jit
+def spectral_stats(ref: jax.Array, tst: jax.Array, valid: jax.Array) -> Dict[str, jax.Array]:
+    """Device sums for SAM/SID/LMSE. ref/tst: (B,H,W); valid: (H,W) bool."""
+    A = ref.astype(jnp.float32)
+    R = tst.astype(jnp.float32)
+    w = valid.astype(jnp.float32)
+    n = jnp.sum(w)
+
+    # --- SAM (reference run_codec.py:328-332) ---
+    # Mathematically identical to arccos(dot/(|a||r|)) but computed as
+    # 2·atan2(‖û−v̂‖, ‖û+v̂‖) on unit spectra: stable in f32 for the small
+    # angles that dominate near-lossless runs (arccos near 1 loses ~3 digits).
+    na = jnp.sqrt(jnp.sum(A * A, axis=0)) + 1e-12
+    nr = jnp.sqrt(jnp.sum(R * R, axis=0)) + 1e-12
+    un = A / na[None]
+    vn = R / nr[None]
+    dnorm = jnp.sqrt(jnp.sum((un - vn) ** 2, axis=0))
+    snorm = jnp.sqrt(jnp.sum((un + vn) ** 2, axis=0))
+    ang = 2.0 * jnp.arctan2(dnorm, snorm)
+    sam_sum = jnp.sum(ang * w)
+
+    # --- SID (reference run_codec.py:334-339) ---
+    Amin = jnp.min(A, axis=0)
+    Rmin = jnp.min(R, axis=0)
+    Ap = A - Amin[None] + 1e-12
+    Rp = R - Rmin[None] + 1e-12
+    Ap = Ap / jnp.sum(Ap, axis=0, keepdims=True)
+    Rp = Rp / jnp.sum(Rp, axis=0, keepdims=True)
+    log_ratio = jnp.log((Ap + 1e-15) / (Rp + 1e-15))
+    sid_pix = jnp.sum(Ap * log_ratio, axis=0) - jnp.sum(Rp * log_ratio, axis=0)
+    sid_sum = jnp.sum(sid_pix * w)
+
+    # --- LMSE (reference run_codec.py:341-346 — unmasked by design) ---
+    ea = sobel_mag(A)
+    er = sobel_mag(R)
+    d = ea - er
+    lmse = jnp.mean(d * d)
+
+    return {"n": n, "sam_sum": sam_sum, "sid_sum": sid_sum, "lmse": lmse}
+
+
+def compute_sam_sid_lmse(ref_cube: np.ndarray, tst_cube: np.ndarray,
+                         valid: Optional[np.ndarray] = None) -> Dict[str, float]:
+    """Host wrapper matching reference compute_sam_sid_lmse_caseB
+    (run_codec.py:308-347): returns NaNs when no valid pixels."""
+    ref_cube = np.asarray(ref_cube)
+    tst_cube = np.asarray(tst_cube)
+    B, H, W = ref_cube.shape
+    vm = np.ones((H, W), dtype=bool) if valid is None else np.asarray(valid).astype(bool)
+    s = spectral_stats(jnp.asarray(ref_cube), jnp.asarray(tst_cube), jnp.asarray(vm))
+    n = float(s["n"])
+    if n == 0:
+        return {"sam_deg": float("nan"), "sid": float("nan"), "lmse": float("nan")}
+    return {
+        "sam_deg": float(np.degrees(float(s["sam_sum"]) / n)),
+        "sid": float(s["sid_sum"]) / n,
+        "lmse": float(s["lmse"]),
+    }
