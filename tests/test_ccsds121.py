@@ -1,0 +1,89 @@
+# -*- coding: utf-8 -*-
+"""CCSDS-121 golden-bitstream parity: tpukit coder vs system libaec.
+
+The reference's CCSDS-121 path is the `aec` CLI over libaec
+(reference tools/codecs/ccsds121/ccsds121_wrap.py:129-136); byte-equality
+with libaec therefore *is* bitstream parity with the reference.
+"""
+
+import numpy as np
+import pytest
+
+from tpukit.native import ccsds121_host as ck
+from tpukit.native import libaec_oracle as ae
+
+pytestmark = pytest.mark.skipif(not ae.available(), reason="libaec oracle absent")
+
+CONFIGS = [
+    (16, 8, 2, 8),    # aec CLI defaults for -n 16 (the reference invocation)
+    (16, 16, 4, 8),
+    (16, 8, 16, 8),
+    (8, 8, 2, 8),
+    (12, 8, 2, 8),
+    (16, 32, 8, 8),
+    (16, 8, 2, 0),    # no preprocessing
+    (16, 64, 64, 8),
+    (16, 8, 128, 8),  # multi-segment RSIs (ROS paths)
+]
+
+
+def _gen(rng, n, bits):
+    hi = int(rng.integers(1, bits + 1))
+    kind = int(rng.integers(0, 5))
+    mx = 2 ** bits
+    if kind == 0:
+        return rng.integers(0, 2 ** hi, n).astype(np.uint16)
+    if kind == 1:
+        return (np.cumsum(rng.integers(-5, 6, n)).astype(np.int64) % mx).astype(np.uint16)
+    if kind == 2:
+        x = np.zeros(n, np.uint16)
+        idx = rng.integers(0, n, max(1, n // 8))
+        x[idx] = rng.integers(0, 2 ** hi, idx.size).astype(np.uint16)
+        return x
+    if kind == 3:
+        x = np.full(n, int(rng.integers(0, mx)), np.uint16)
+        ii = rng.integers(0, n, max(1, n // 16))
+        x[ii] = ((x[ii].astype(np.int64) + rng.integers(0, 4, ii.size)) % mx).astype(np.uint16)
+        return x
+    return rng.integers(0, mx, n).astype(np.uint16)
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=[str(c) for c in CONFIGS])
+def test_byte_exact_vs_libaec(cfg, rng):
+    bits, J, rsi, flags = cfg
+    for trial in range(40):
+        n = int(rng.choice([1, 2, 4, 8, 16])) * J
+        x = _gen(rng, n, bits)
+        mine = ck.encode(x, bits, J, rsi, flags)
+        ref = ae.encode(x, bits, J, rsi, flags)
+        assert mine == ref, f"bitstream mismatch cfg={cfg} trial={trial}"
+        y = ck.decode(ref, n, bits, J, rsi, flags)
+        np.testing.assert_array_equal(y, x)
+
+
+def test_roundtrip_caseB_like(tile_caseB):
+    # int16 14-in-16 cube through the uint16 bit-view (the wrapper passes
+    # raw int16 bytes to aec without -s: reference ccsds121_wrap.py:188)
+    cube = tile_caseB.view(np.uint16)
+    flat = np.moveaxis(cube, 0, -1).ravel()  # BIP order (reference default)
+    bs = ck.encode(flat, 16)
+    assert ae.encode(flat, 16) == bs
+    y = ck.decode(bs, flat.size, 16)
+    np.testing.assert_array_equal(y, flat)
+
+
+def test_compresses_smooth_data(rng):
+    # smooth spatial ramps (realistic imagery) must actually shrink
+    base = np.linspace(1000, 3000, 64 * 64).astype(np.uint16)
+    x = (base + rng.integers(0, 8, base.size)).astype(np.uint16)
+    bs = ck.encode(x, 16)
+    assert len(bs) < x.nbytes // 2
+
+
+def test_zeros_and_edge_patterns():
+    for pattern in [np.zeros(640, np.uint16),
+                    np.full(640, 65535, np.uint16),
+                    np.tile(np.array([0, 65535], np.uint16), 320)]:
+        bs = ck.encode(pattern, 16)
+        assert bs == ae.encode(pattern, 16)
+        np.testing.assert_array_equal(ck.decode(bs, pattern.size), pattern)

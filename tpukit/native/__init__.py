@@ -1,0 +1,103 @@
+# -*- coding: utf-8 -*-
+"""Native runtime: C++ entropy coders + bit packers loaded via ctypes.
+
+The reference delegates every compression kernel to *external* native
+binaries over process+file boundaries (reference tools/codecs/*_wrap.py).
+tpukit keeps the compute-heavy modeling stages on TPU and runs only the
+inherently serial, bit-exact stages (variable-length bitstream packing,
+sequential context-adaptive coding) in-process in C++, compiled on first
+use and called through ctypes with zero-copy numpy buffers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+import threading
+from pathlib import Path
+
+_SRC_DIR = Path(__file__).parent / "src"
+_BUILD_DIR = Path(__file__).parent / "build"
+_LOCK = threading.Lock()
+_LIB = None
+
+_CXX_SOURCES = sorted(_SRC_DIR.glob("*.cpp"))
+_CXXFLAGS = ["-O3", "-std=c++17", "-fPIC", "-shared", "-march=native",
+             "-fno-math-errno", "-Wall"]
+
+
+def _source_digest() -> str:
+    h = hashlib.sha256()
+    for p in sorted(_SRC_DIR.glob("*.[ch]pp")) + sorted(_SRC_DIR.glob("*.h")):
+        h.update(p.name.encode())
+        h.update(p.read_bytes())
+    h.update(" ".join(_CXXFLAGS).encode())
+    return h.hexdigest()[:16]
+
+
+def build_library(force: bool = False) -> Path:
+    """Compile tpukit/native/src/*.cpp into a cached shared library."""
+    _BUILD_DIR.mkdir(exist_ok=True)
+    digest = _source_digest()
+    lib_path = _BUILD_DIR / f"libtpukit_{digest}.so"
+    if lib_path.exists() and not force:
+        return lib_path
+    sources = [str(p) for p in sorted(_SRC_DIR.glob("*.cpp"))]
+    if not sources:
+        raise RuntimeError("No native sources found")
+    cmd = ["g++", *_CXXFLAGS, "-o", str(lib_path) + ".tmp", *sources]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(f"native build failed:\n{proc.stderr}")
+    os.replace(str(lib_path) + ".tmp", lib_path)
+    # prune stale builds
+    for old in _BUILD_DIR.glob("libtpukit_*.so"):
+        if old != lib_path:
+            try:
+                old.unlink()
+            except OSError:
+                pass
+    return lib_path
+
+
+def load() -> ctypes.CDLL:
+    """Load (building if needed) the native library. Thread-safe, cached."""
+    global _LIB
+    with _LOCK:
+        if _LIB is None:
+            _LIB = ctypes.CDLL(str(build_library()))
+            _declare(_LIB)
+        return _LIB
+
+
+def _declare(lib: ctypes.CDLL) -> None:
+    import ctypes as ct
+    u8p = ct.POINTER(ct.c_uint8)
+    u16p = ct.POINTER(ct.c_uint16)
+    u32p = ct.POINTER(ct.c_uint32)
+    i64 = ct.c_longlong
+    i32 = ct.c_int
+
+    for name, restype, argtypes in [
+        ("ck121_encode", i64, [u16p, i64, i32, i32, i32, i32, u8p, i64]),
+        ("ck121_decode", i64, [u8p, i64, i32, i32, i32, i32, u16p, i64]),
+        ("bitpack_concat", i64, [u32p, u8p, i64, i64, u8p, i64]),
+        ("jls_encode", i64, [u16p, i32, i32, i32, i32, u8p, i64]),
+        ("jls_decode", i64, [u8p, i64, u16p, i32, i32, ct.POINTER(i32), ct.POINTER(i32)]),
+        ("rice_pack_blocks", i64,
+         [u32p, ct.POINTER(ct.c_int32), i64, i32, i32, u8p, i64]),
+        ("ck123_pack", i64, [u32p, i64, i32, i32, i32, u8p, i64]),
+        ("ck123_unpack", i64, [u8p, i64, i32, i32, i32, u32p, i64]),
+        ("bpe_pack_words", i64, [u32p, u32p, i64, u8p, i64]),
+        ("bpe_unpack_words", i64, [u8p, i64, u32p, u32p, i64]),
+        ("deflate_bound", i64, [i64]),
+    ]:
+        try:
+            fn = getattr(lib, name)
+        except AttributeError:
+            continue
+        fn.restype = restype
+        fn.argtypes = argtypes

@@ -1,0 +1,388 @@
+// CCSDS 121.0-B — block-adaptive (Rice/GPO2) lossless entropy coder.
+//
+// Clean-room implementation of the standard's preprocessor + block-adaptive
+// entropy coder, bit-compatible with libaec's stream format (validated in
+// tests/test_ccsds121.py against the system libaec, which is what the
+// reference pipeline invokes through the `aec` CLI —
+// reference tools/codecs/ccsds121/ccsds121_wrap.py:129-136).
+//
+// Supported here: unsigned samples, 4 < bits <= 16 (and bits<=8 with 3-bit
+// IDs), PREPROCESS on/off, any block size J in {8,16,32,64}, any RSI.
+// This C++ path is the host-side packer/decoder; the per-block option
+// modeling also runs on TPU (tpukit/codecs/ccsds121.py) and must agree
+// bit-for-bit with the encoder below.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include "bitio.hpp"
+
+using namespace tpukit;
+
+namespace {
+
+constexpr int FLAG_SIGNED = 1;      // AEC_DATA_SIGNED (not used by reference)
+constexpr int FLAG_PREPROCESS = 8;  // AEC_DATA_PREPROCESS
+constexpr int SEGMENT_BLOCKS = 64;  // zero-run segment length
+
+inline int id_len_for_bits(int bits) {
+    if (bits > 16) return 5;
+    if (bits > 8) return 4;
+    if (bits > 4) return 3;
+    return 2;
+}
+
+struct Params {
+    int bits;
+    int J;       // block size
+    int rsi;     // blocks per reference sample interval
+    bool preprocess;
+    int id_len;
+    int kmax;    // max split-sample k
+    uint32_t xmax;
+};
+
+Params make_params(int bits, int block_size, int rsi, int flags) {
+    Params p;
+    p.bits = bits;
+    p.J = block_size;
+    p.rsi = rsi;
+    p.preprocess = (flags & FLAG_PREPROCESS) != 0;
+    p.id_len = id_len_for_bits(bits);
+    p.kmax = (1 << p.id_len) - 3;
+    p.xmax = (bits >= 32) ? 0xFFFFFFFFu : ((1u << bits) - 1u);
+    return p;
+}
+
+// Standard unit-delay predictor + residual mapping (CCSDS 121.0-B-3 §3):
+// d = 2Δ (0<=Δ<=θ), 2|Δ|-1 (-θ<=Δ<0), θ+|Δ| otherwise, θ=min(pred, xmax-pred).
+inline uint32_t map_residual(uint32_t x, uint32_t pred, uint32_t xmax) {
+    int64_t delta = (int64_t)x - (int64_t)pred;
+    uint32_t theta = pred < (xmax - pred) ? pred : (xmax - pred);
+    if (delta >= 0 && (uint32_t)delta <= theta) return (uint32_t)(2 * delta);
+    if (delta < 0 && (uint32_t)(-delta) <= theta) return (uint32_t)(2 * (-delta) - 1);
+    return theta + (uint32_t)(delta < 0 ? -delta : delta);
+}
+
+inline uint32_t unmap_residual(uint32_t d, uint32_t pred, uint32_t xmax) {
+    uint32_t theta = pred < (xmax - pred) ? pred : (xmax - pred);
+    int64_t delta;
+    if (d <= 2 * theta) {
+        if (d & 1) delta = -(int64_t)((d + 1) / 2);
+        else delta = (int64_t)(d / 2);
+    } else {
+        uint32_t mag = d - theta;
+        // sign disambiguated by which side saturates
+        if (pred < xmax - pred) delta = (int64_t)mag;  // theta=pred → neg side exhausted
+        else delta = -(int64_t)mag;
+    }
+    return (uint32_t)((int64_t)pred + delta);
+}
+
+// ---------------------------------------------------------------------------
+// Encoder
+// ---------------------------------------------------------------------------
+
+// Stateful split-k search, mirroring libaec's assess_splitting_option:
+// start from the previous block's k, climb while the CDS length strictly
+// improves, then turn around once from (k_prev - 1) downward. The length
+// function is unimodal in k (Kiely, IPN PR 42-159), so this finds the
+// minimum; on ties the first-evaluated k wins, which is why the search
+// *order* (and the carried k state) matters for bit-exactness.
+static int assess_split(const uint32_t* d, int start, int J, int kmax,
+                        int& k_state, uint64_t& out_len) {
+    const int this_bs = J - start;
+    uint64_t len_min = UINT64_MAX;
+    int k = k_state;
+    int k_min = k;
+    bool no_turn = (k == 0);
+    bool dir = true;  // increasing k
+    for (;;) {
+        uint64_t fs_len = 0;
+        for (int i = start; i < J; ++i) fs_len += d[i] >> k;
+        uint64_t len = fs_len + (uint64_t)this_bs * (k + 1);
+        if (len < len_min) {
+            if (len_min != UINT64_MAX) no_turn = true;
+            len_min = len;
+            k_min = k;
+            if (dir) {
+                if (fs_len < (uint64_t)this_bs || k >= kmax) {
+                    if (no_turn) break;
+                    k = k_state - 1;
+                    dir = false;
+                } else {
+                    ++k;
+                }
+            } else {
+                if (k == 0) break;
+                --k;
+            }
+        } else {
+            if (no_turn) break;
+            k = k_state - 1;
+            dir = false;
+            no_turn = true;
+        }
+        if (k < 0) break;
+    }
+    k_state = k_min;
+    out_len = len_min;
+    return k_min;
+}
+
+// Emit one non-zero block with the cheapest option.
+// d: J mapped samples (d[0] is the *raw reference* if ref==true).
+void emit_block(BitWriter& bw, const uint32_t* d, const Params& p, bool ref,
+                int& k_state) {
+    const int J = p.J;
+    const int start = ref ? 1 : 0;  // samples entropy-coded
+    const int m = J - start;
+
+    uint64_t best_cost;
+    int best_k = assess_split(d, start, J, p.kmax, k_state, best_cost);
+
+    // Second extension (validated bit-exact against libaec): pairs are
+    // (d0,d1)(d2,d3)... with γ = (a+b)(a+b+1)/2 + b; in reference blocks
+    // the slot-0 element is zero, i.e. the first pair is (0, d1).
+    uint64_t se_cost = UINT64_MAX;
+    std::vector<uint32_t> gammas;
+    {
+        bool ok = ((J % 2) == 0);
+        uint64_t c = 1;  // the extra low-entropy selector bit
+        auto gam = [](uint64_t a, uint64_t bq) {
+            uint64_t s = a + bq;
+            return s * (s + 1) / 2 + bq;
+        };
+        if (ok) {
+            for (int i = 0; i + 1 < J; i += 2) {
+                uint64_t a = (ref && i == 0) ? 0 : d[i];
+                uint64_t g = gam(a, d[i + 1]);
+                if (g > (1u << 30)) { ok = false; break; }
+                gammas.push_back((uint32_t)g);
+                c += g + 1;
+            }
+        }
+        if (ok) se_cost = c;
+    }
+
+    uint64_t nc_cost = (uint64_t)m * p.bits;  // no-compression
+
+    if (se_cost <= best_cost && se_cost < nc_cost) {
+        // low-entropy ID (all zeros, id_len bits) + '1' selector
+        bw.put_bits(0, p.id_len);
+        bw.put_bits(1, 1);
+        if (ref) bw.put_bits(d[0], p.bits);
+        for (uint32_t g : gammas) bw.put_fs(g);
+    } else if (best_cost < nc_cost) {
+        int k = best_k;
+        bw.put_bits((uint64_t)(k + 1), p.id_len);
+        if (ref) bw.put_bits(d[0], p.bits);
+        for (int i = start; i < J; ++i) bw.put_fs(d[i] >> k);
+        if (k > 0)
+            for (int i = start; i < J; ++i) bw.put_bits(d[i] & ((1u << k) - 1), k);
+    } else {
+        // no compression: ID all-ones + the J preprocessed samples
+        // (slot 0 holds the raw reference in ref blocks), n bits each
+        bw.put_bits((1u << p.id_len) - 1, p.id_len);
+        for (int i = 0; i < J; ++i) bw.put_bits(d[i], p.bits);
+    }
+}
+
+// Emit a zero-run marker: run of z zero blocks; `ros` when the run reached
+// the end of a 64-block segment (and more data follows semantics per std).
+void emit_zero_run(BitWriter& bw, int z, bool ros, const Params& p) {
+    bw.put_bits(0, p.id_len);
+    bw.put_bits(0, 1);  // low-entropy selector: 0 = zero-block
+    if (ros) bw.put_fs(4);
+    else if (z <= 4) bw.put_fs((uint32_t)(z - 1));
+    else bw.put_fs((uint32_t)z);
+}
+
+}  // namespace
+
+extern "C" int64_t ck121_encode(const uint16_t* in, int64_t n, int bits,
+                                int block_size, int rsi, int flags,
+                                uint8_t* out, int64_t out_cap) {
+    if (bits < 5 || bits > 16 || n <= 0) return -1;
+    Params p = make_params(bits, block_size, rsi, flags);
+    const int J = p.J;
+    if (n % J != 0) return -2;  // framework guarantees whole blocks
+    int64_t nblocks = n / J;
+    std::memset(out, 0, (size_t)out_cap);
+    BitWriter bw(out, out_cap);
+
+    std::vector<uint32_t> d(J);
+    int k_state = 0;  // split-k carried across blocks (libaec state->k)
+    // zero-run state
+    int zrun = 0;
+    bool zrun_has_ref = false;
+    uint32_t zref = 0;
+
+    auto flush_zero_run = [&](bool ros) {
+        if (zrun == 0) return;
+        if (zrun_has_ref) {
+            // ref emitted before the zero-run marker
+            bw.put_bits(0, p.id_len);
+            bw.put_bits(0, 1);
+            bw.put_bits(zref, p.bits);
+            if (ros) bw.put_fs(4);
+            else if (zrun <= 4) bw.put_fs((uint32_t)(zrun - 1));
+            else bw.put_fs((uint32_t)zrun);
+        } else {
+            emit_zero_run(bw, zrun, ros, p);
+        }
+        zrun = 0;
+        zrun_has_ref = false;
+    };
+
+    uint32_t prev = 0;
+    for (int64_t b = 0; b < nblocks; ++b) {
+        bool new_rsi = p.preprocess && (b % p.rsi == 0);
+        const uint16_t* x = in + b * J;
+        bool ref = new_rsi;
+        bool allzero = true;
+        for (int i = 0; i < J; ++i) {
+            uint32_t xi = x[i];
+            if (!p.preprocess) {
+                d[i] = xi;
+            } else if (ref && i == 0) {
+                d[i] = xi;  // raw reference sample
+            } else {
+                d[i] = map_residual(xi, prev, p.xmax);
+            }
+            prev = xi;
+            if (d[i] != 0 && !(ref && i == 0)) allzero = false;
+        }
+        if (allzero) {
+            if (ref) {
+                // a reference block cannot join a previous run
+                flush_zero_run(false);
+                zrun = 1;
+                zrun_has_ref = true;
+                zref = d[0];
+            } else {
+                ++zrun;
+            }
+        } else {
+            flush_zero_run(false);
+            emit_block(bw, d.data(), p, ref, k_state);
+        }
+        // libaec buffers and encodes data in RSI chunks (preprocessing or
+        // not), with 64-block zero-run segments *within* each chunk. A run
+        // flushed at a segment/RSI end uses the ROS codeword when longer
+        // than 4 blocks.
+        int rsi_rel = (int)(b % p.rsi);
+        bool seg_end = (rsi_rel + 1 == p.rsi) || ((rsi_rel + 1) % SEGMENT_BLOCKS == 0);
+        if (seg_end) flush_zero_run(zrun > 4);
+    }
+    // end of data terminates the last (possibly short) RSI chunk, which is
+    // a segment end for ROS purposes
+    flush_zero_run(zrun > 4);
+    if (bw.overflow) return -3;
+    return bw.bytes();
+}
+
+extern "C" int64_t ck121_decode(const uint8_t* in, int64_t nbytes, int bits,
+                                int block_size, int rsi, int flags,
+                                uint16_t* out, int64_t n) {
+    if (bits < 5 || bits > 16 || n <= 0) return -1;
+    Params p = make_params(bits, block_size, rsi, flags);
+    const int J = p.J;
+    if (n % J != 0) return -2;
+    int64_t nblocks = n / J;
+    BitReader br(in, nbytes);
+
+    std::vector<uint32_t> d(J);
+    uint32_t prev = 0;
+    int64_t b = 0;
+    int zero_pending = 0;  // blocks of zeros still to materialize
+
+    auto unpreprocess_block = [&](bool ref) {
+        uint16_t* x = out + b * J;
+        for (int i = 0; i < J; ++i) {
+            uint32_t xi;
+            if (!p.preprocess) xi = d[i];
+            else if (ref && i == 0) xi = d[i];
+            else xi = unmap_residual(d[i], prev, p.xmax);
+            x[i] = (uint16_t)xi;
+            prev = xi;
+        }
+    };
+
+    while (b < nblocks) {
+        bool ref = p.preprocess && (b % p.rsi == 0);
+        if (zero_pending > 0) {
+            for (int i = 0; i < J; ++i) d[i] = 0;
+            if (ref) return -4;  // runs never span an RSI boundary
+            unpreprocess_block(false);
+            --zero_pending;
+            ++b;
+            continue;
+        }
+        uint32_t id = (uint32_t)br.get_bits(p.id_len);
+        if (br.error) return -5;
+        if (id == 0) {
+            uint32_t sel = (uint32_t)br.get_bits(1);
+            if (sel == 0) {
+                // zero-block run
+                uint32_t zref = 0;
+                if (ref) zref = (uint32_t)br.get_bits(p.bits);
+                uint32_t fs = br.get_fs();
+                int run;
+                int seg_pos = (int)((b % rsi) % SEGMENT_BLOCKS);
+                if (fs == 4) run = SEGMENT_BLOCKS - seg_pos;  // ROS
+                else if (fs < 4) run = (int)fs + 1;
+                else run = (int)fs;
+                // runs never cross an RSI boundary (encoder flushes there)
+                {
+                    int to_rsi_end = p.rsi - (int)(b % p.rsi);
+                    if (run > to_rsi_end) run = to_rsi_end;
+                }
+                for (int i = 0; i < J; ++i) d[i] = 0;
+                if (ref) d[0] = zref;
+                unpreprocess_block(ref);
+                ++b;
+                zero_pending = run - 1;
+            } else {
+                // second extension (pairing as in emit_block)
+                uint32_t zref = 0;
+                if (ref) zref = (uint32_t)br.get_bits(p.bits);
+                int npairs = J / 2;
+                auto unpair = [&](uint32_t g, uint32_t& a, uint32_t& bq) {
+                    uint64_t s = 0;
+                    while ((s + 1) * (s + 2) / 2 <= g) ++s;
+                    uint64_t base = s * (s + 1) / 2;
+                    bq = (uint32_t)(g - base);
+                    a = (uint32_t)(s - bq);
+                };
+                for (int i = 0; i < npairs; ++i) {
+                    uint32_t a, bq;
+                    unpair(br.get_fs(), a, bq);
+                    d[2 * i] = a; d[2 * i + 1] = bq;
+                }
+                if (ref) d[0] = zref;  // first pair was (0, d1)
+                unpreprocess_block(ref);
+                ++b;
+            }
+        } else if (id == (uint32_t)((1 << p.id_len) - 1)) {
+            // no compression: J preprocessed samples, n bits each
+            for (int i = 0; i < J; ++i) d[i] = (uint32_t)br.get_bits(p.bits);
+            unpreprocess_block(ref);
+            ++b;
+        } else {
+            int k = (int)id - 1;
+            uint32_t zref = 0;
+            if (ref) zref = (uint32_t)br.get_bits(p.bits);
+            int start = ref ? 1 : 0;
+            for (int i = start; i < J; ++i) d[i] = br.get_fs() << k;
+            if (k > 0)
+                for (int i = start; i < J; ++i)
+                    d[i] |= (uint32_t)br.get_bits(k);
+            if (ref) d[0] = zref;
+            unpreprocess_block(ref);
+            ++b;
+        }
+        if (br.error) return -6;
+    }
+    return b * J;
+}
