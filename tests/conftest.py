@@ -1,16 +1,32 @@
 # -*- coding: utf-8 -*-
 """Test configuration: run JAX on a virtual 8-device CPU mesh so the
-multi-chip sharding paths compile and execute without TPU hardware."""
+multi-chip sharding paths compile and execute without TPU hardware.
+
+The session boot hook (sitecustomize) registers the axon TPU backend in
+every interpreter before user code runs and ignores JAX_PLATFORMS, so the
+platform cannot be switched here. Instead all test computation is pinned
+to the (8-device virtual) CPU backend via jax_default_device, which never
+touches the single-owner TPU tunnel.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # honored when axon is not pre-booted
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture
+def cpu_devices():
+    return jax.devices("cpu")
 
 
 @pytest.fixture

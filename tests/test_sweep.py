@@ -1,0 +1,119 @@
+# -*- coding: utf-8 -*-
+"""End-to-end sweep: synthetic Case B-like tiles -> CCSDS-121 lossless ->
+metrics.csv + metrics_mean.csv with the reference schema."""
+
+import csv
+import json
+
+import numpy as np
+import pytest
+
+from tpukit.codecs.registry import create
+from tpukit.io import tiff, write_manifest
+from tpukit.sweep.runner import SweepConfig, run_sweep
+from tpukit.sweep import csvio
+
+
+@pytest.fixture
+def caseb_setup(tmp_path, rng):
+    tiles = {}
+    items = []
+    for tid in ("LC", "HC"):
+        amp = 6 if tid == "LC" else 60
+        base = rng.integers(200, 1800, (32, 32)).astype(np.int32)
+        cube = (base[None] + rng.integers(-amp, amp, (12, 32, 32))).astype(np.int16)
+        cube = ((cube.view(np.uint16) >> 2) << 2).view(np.int16)
+        p = tmp_path / f"caseB_tile_{tid}.tif"
+        tiff.write_geotiff(p, cube)
+        mask = np.ones((32, 32), np.uint8)
+        mask[:4, :] = 0
+        mp = tmp_path / f"caseB_tile_{tid}_mask.tif"
+        tiff.write_geotiff(mp, mask, nodata=0)
+        tiles[tid] = cube
+        items.append({"tile_id": tid, "path": p, "mask": mp})
+    idx = tmp_path / "index_caseB.json"
+    write_manifest(idx, "caseB", "tile_512", items)
+    return idx, tiles
+
+
+def test_sweep_ccsds121_lossless(tmp_path, caseb_setup):
+    idx, tiles = caseb_setup
+    cfg = SweepConfig(
+        indices=idx,
+        codec=create("ccsds121", tile=32, interleave="bip", preproc="none"),
+        codec_label="ccsds121_ext",
+        outdir=tmp_path / "runs",
+        rate_key="none",
+        reps=2,
+        keep_bitstream=True,
+        ql_rgb=True,
+    )
+    res = run_sweep(cfg)
+    rows = res["rows"]
+    assert len(rows) == 4  # 2 tiles x 2 reps
+    for row in rows:
+        assert row["lossless"] == 1
+        assert row["max_abs_err"] == 0
+        assert row["cr"] > 1.0
+        assert row["bpp"] < 16.0
+        assert np.isinf(row["psnr_global"])
+        assert np.isfinite(row["sam_deg"])  # Case B extras computed
+        assert row["t_e2e_tile_s"] > row["t_link_tile_s"] > 0
+
+    # artifacts
+    assert (tmp_path / "runs" / "LC" / "norate" / "rep_01" / "recon.tif").exists()
+    bit = list((tmp_path / "runs" / "LC" / "norate" / "rep_01" / "bit").glob("*.aec"))
+    assert bit, "bitstreams kept on disk"
+    # recon roundtrip from disk
+    with tiff.open(tmp_path / "runs" / "HC" / "norate" / "rep_01" / "recon.tif") as ds:
+        np.testing.assert_array_equal(ds.read(), tiles["HC"])
+    # quicklooks written
+    ql = list((tmp_path / "runs" / "LC" / "norate" / "rep_01").glob("recon_ERR8_0_*.tif"))
+    assert ql
+
+    # CSV schema
+    mcsv = res["metrics_csv"]
+    with mcsv.open() as f:
+        r = csv.reader(f, delimiter=";")
+        header = next(r)
+        first = next(r)
+    assert header[:8] == ["case", "asset", "codec", "encoder", "nearlossless_eps",
+                          "rate_key", "rate_value", "tile_id"]
+    assert "psnr_b12" in header and "psnr_b13" not in header
+    assert "inf" in first  # lossless psnr literal
+
+    # mean CSV + lossless_all override
+    mean = res["mean_csv"]
+    df = csvio.read_csv_smart(mean)
+    assert set(df["tile_id"]) == {"LC", "HC"}
+    assert (df["lossless_all"] == 1).all()
+    assert (df["n_reps"] == 2).all()
+    assert (df["ssim_global_rep"] == 1.0).all()
+
+    # resume: second run reuses recon (no re-encode -> t_wrap 0)
+    res2 = run_sweep(cfg)
+    assert all(r["t_wrap_s"] == 0.0 for r in res2["rows"])
+    for r1, r2 in zip(res["rows"], res2["rows"]):
+        assert r1["bitstream_bytes"] == r2["bitstream_bytes"]
+
+
+def test_sweep_matches_reference_bitstream_sizes(tmp_path, caseb_setup):
+    """bitstream_bytes in the CSV equals summed libaec output (the number
+    the reference wrapper reports at ccsds121_wrap.py:228)."""
+    from tpukit.native import libaec_oracle as ae
+    if not ae.available():
+        pytest.skip("libaec oracle absent")
+    idx, tiles = caseb_setup
+    cfg = SweepConfig(
+        indices=idx,
+        codec=create("ccsds121", tile=32, interleave="bip", preproc="none"),
+        codec_label="ccsds121_ext",
+        outdir=tmp_path / "runs2",
+        reps=1, quicklooks=False, write_artifacts=False,
+    )
+    rows = run_sweep(cfg)["rows"]
+    for row in rows:
+        cube = tiles[row["tile_id"]]
+        flat = np.moveaxis(cube.view(np.uint16), 0, -1).ravel()
+        expected = len(ae.encode(flat, 16))
+        assert row["bitstream_bytes"] == expected

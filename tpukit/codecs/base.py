@@ -1,0 +1,102 @@
+# -*- coding: utf-8 -*-
+"""Codec API: the uniform contract every tpukit codec implements.
+
+This is the in-process redesign of the reference's L2 wrapper contract —
+CLI + JSON-on-stdout per codec (reference tools/codecs/j2k/j2k_wrap.py:10-11,
+consumed at tools/run_codec.py:497-501, :546). Instead of argv and files,
+codecs here are objects operating on in-memory ``(bands, H, W)`` cubes;
+``CodecResult.to_meta()`` reproduces the exact JSON field names so the CSV
+layer and any external consumer of the wrapper protocol see the same keys
+(codec, encoder, bitstream_bytes, t_comp_s, t_dec_s, mem_*_peak_{mb,bytes},
+plus codec-specific extras).
+"""
+
+from __future__ import annotations
+
+import time
+from abc import ABC, abstractmethod
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class RateSpec:
+    """Rate-control request, mirroring the runner's --rate-key surface
+    (reference run_codec.py:378-380: none | cr | bpp | nearlossless_eps |
+    quality; plus explicit lossless)."""
+    key: Optional[str] = None      # None == lossless anchor ("norate")
+    value: Optional[float] = None
+    lossless: bool = False
+
+    @staticmethod
+    def none() -> "RateSpec":
+        return RateSpec(None, None, False)
+
+    @staticmethod
+    def of(key: Optional[str], value) -> "RateSpec":
+        if key in (None, "none"):
+            return RateSpec.none()
+        return RateSpec(key, float(value), key == "lossless")
+
+
+@dataclass
+class CodecResult:
+    codec: str
+    encoder: str
+    bitstream_bytes: int
+    recon: np.ndarray                      # (B, H, W) reconstructed cube
+    t_comp_s: float
+    t_dec_s: float
+    bitstreams: Optional[Dict[str, bytes]] = None  # name -> stream (kept on request)
+    mem_comp_peak_bytes: Optional[int] = None
+    mem_dec_peak_bytes: Optional[int] = None
+    extras: Dict[str, object] = field(default_factory=dict)
+
+    def to_meta(self) -> Dict[str, object]:
+        """The wrapper-JSON dict (reference j2k_wrap.py:119-130 field set)."""
+        def mib(x):
+            return None if not x else round(x / (1024 * 1024), 2)
+        meta = {
+            "codec": self.codec,
+            "encoder": self.encoder,
+            "bitstream_bytes": int(self.bitstream_bytes),
+            "t_comp_s": float(self.t_comp_s),
+            "t_dec_s": float(self.t_dec_s),
+            "mem_comp_peak_mb": mib(self.mem_comp_peak_bytes),
+            "mem_dec_peak_mb": mib(self.mem_dec_peak_bytes),
+            "mem_comp_peak_bytes": self.mem_comp_peak_bytes,
+            "mem_dec_peak_bytes": self.mem_dec_peak_bytes,
+        }
+        meta.update(self.extras)
+        return meta
+
+
+class Codec(ABC):
+    """A tpukit codec: encode+decode an in-memory cube under a RateSpec."""
+
+    name: str = "codec"
+    encoder_desc: str = ""
+    supports_lossy: bool = False
+
+    @abstractmethod
+    def run(self, cube: np.ndarray, dtype_name: str, rate: RateSpec,
+            keep_bitstream: bool = False, **opts) -> CodecResult:
+        """Encode + decode; return result with recon and exact stream size."""
+
+    def timed(self, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        return out, time.perf_counter() - t0
+
+
+def int16_to_codec_domain(band: np.ndarray) -> np.ndarray:
+    """int16 -> uint16 via +32768, the mapping the reference applies before
+    handing int16 planes to 16-bit unsigned codecs (jpegls_wrap.py:199)."""
+    return (band.astype(np.int32) + 32768).astype(np.uint16)
+
+
+def codec_domain_to_int16(band_u16: np.ndarray) -> np.ndarray:
+    """Inverse of int16_to_codec_domain (jpegls_wrap.py:247-249)."""
+    return np.clip(band_u16.astype(np.int32) - 32768, -32768, 32767).astype(np.int16)
