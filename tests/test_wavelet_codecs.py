@@ -1,0 +1,94 @@
+# -*- coding: utf-8 -*-
+"""J2K-class and CCSDS-122-class codec tests: lossless exactness, RD
+monotonicity, rate control accuracy."""
+
+import numpy as np
+import pytest
+
+from tpukit.codecs.base import RateSpec
+from tpukit.codecs.j2k_codec import J2KCodec, quality_from_cr, quality_from_bpp
+from tpukit.codecs.ccsds122_codec import CCSDS122Codec
+from tpukit.kernels import dwt as dwtk
+
+
+@pytest.fixture
+def smooth_tile(rng):
+    gy, gx = np.mgrid[0:64, 0:64]
+    base = (1000 + 12 * gy + 7 * gx).astype(np.int32)
+    cube = base[None] + rng.integers(-30, 31, (4, 64, 64))
+    return (np.clip(cube, 0, 4095).astype(np.uint16) << 4).astype(np.uint16) >> 4
+
+
+def test_dwt_roundtrips(rng):
+    import jax.numpy as jnp
+    x = rng.integers(0, 4096, (2, 32, 32)).astype(np.int32)
+    for kind in ("53", "97m"):
+        c = dwtk.dwt2(jnp.asarray(x), kind, 3)
+        np.testing.assert_array_equal(np.asarray(dwtk.idwt2(c, kind, 3)), x)
+    c = dwtk.dwt2(jnp.asarray(x, dtype=jnp.float32), "97", 3)
+    y = np.asarray(dwtk.idwt2(c, "97", 3))
+    assert np.abs(y - x).max() < 0.01
+
+
+def test_j2k_lossless(smooth_tile):
+    res = J2KCodec().run(smooth_tile, "uint16", RateSpec.none())
+    np.testing.assert_array_equal(res.recon, smooth_tile)
+    assert res.bitstream_bytes < smooth_tile.nbytes
+
+
+def test_j2k_quality_monotone(smooth_tile):
+    sizes, psnrs = [], []
+    for q in (10, 35, 60, 90):
+        res = J2KCodec().run(smooth_tile, "uint16", RateSpec.of("quality", q))
+        d = res.recon.astype(np.float64) - smooth_tile.astype(np.float64)
+        mse = (d ** 2).mean()
+        sizes.append(res.bitstream_bytes)
+        psnrs.append(1e9 if mse == 0 else -10 * np.log10(mse))
+        assert res.extras["quality_used"] == q
+    assert sizes == sorted(sizes), sizes
+    assert psnrs == sorted(psnrs), psnrs
+
+
+def test_j2k_rate_heuristics():
+    # reference j2k_wrap.py:32-47 mappings preserved
+    assert quality_from_cr(2) == 50
+    assert quality_from_cr(100) == 5
+    assert quality_from_cr(1.01) == 95
+    assert quality_from_bpp(4.5) == 80
+    assert quality_from_bpp(0.3) == 28
+
+
+def test_j2k_int16(tile_caseB):
+    res = J2KCodec().run(tile_caseB, "int16", RateSpec.none())
+    np.testing.assert_array_equal(res.recon, tile_caseB)
+
+
+def test_ccsds122_lossless(smooth_tile):
+    res = CCSDS122Codec().run(smooth_tile, "uint16", RateSpec.none())
+    np.testing.assert_array_equal(res.recon, smooth_tile)
+    assert res.extras["bpp_target_band"] == 16.0
+
+
+def test_ccsds122_rate_control(smooth_tile):
+    B, H, W = smooth_tile.shape
+    for bpp in (4.0, 2.0, 1.0):
+        res = CCSDS122Codec().run(smooth_tile, "uint16", RateSpec.of("bpp", bpp))
+        got_bpp = res.bitstream_bytes * 8.0 / (B * H * W)
+        assert got_bpp <= bpp * 1.05, (bpp, got_bpp)
+        err = np.abs(res.recon.astype(np.int32) - smooth_tile.astype(np.int32))
+        assert err.max() < 4096  # bounded distortion, image not destroyed
+
+
+def test_ccsds122_cr_conversion(smooth_tile):
+    # cr -> per-band bpp = bits_per_sample / cr (ccsds122_wrap.py:97-104)
+    res = CCSDS122Codec().run(smooth_tile, "uint16", RateSpec.of("cr", 8))
+    assert res.extras["bpp_target_band"] == pytest.approx(2.0)
+
+
+def test_ccsds122_quality_improves_with_rate(smooth_tile):
+    mses = []
+    for bpp in (0.5, 1.0, 2.0, 4.0):
+        res = CCSDS122Codec().run(smooth_tile, "uint16", RateSpec.of("bpp", bpp))
+        d = res.recon.astype(np.float64) - smooth_tile.astype(np.float64)
+        mses.append((d ** 2).mean())
+    assert mses == sorted(mses, reverse=True), mses

@@ -1,0 +1,216 @@
+# -*- coding: utf-8 -*-
+"""CCSDS-123-class hyperspectral lossless codec, TPU-first.
+
+The reference wraps the CNES CCSDS-123 reference binaries per 512² tile
+(reference tools/codecs/ccsds123/ccsds123_wrap.py:129-153, :212-276;
+lossless only, :8). Those binaries are user-supplied and the standard's
+sample-adaptive LMS weight update is serial in raster order — a hostile
+fit for TPU. tpukit re-designs the predictor around closed-form adaptation
+instead of per-sample LMS, keeping the same structure (spatial + adaptive
+inter-band prediction + mapped residuals + block-adaptive Golomb coding):
+
+  1. spatial stage: per-band row difference on the mod-2^16 ring —
+     invertible by a modular cumulative sum (one associative scan),
+     not a raster-order recurrence;
+  2. spectral stage: per-band least-squares weights over the 3 previous
+     bands' difference planes (+bias), solved on device as tiny batched
+     normal equations (MXU), quantized to 4.12 fixed point and
+     *transmitted* (720 bands ≈ 1.4 kB) — prediction is pure int32
+     arithmetic, so encoder and decoder agree exactly by construction;
+  3. residuals zigzag-mapped on the ring to uint16 and coded with the
+     CCSDS-121 block-adaptive Golomb coder (no preprocessor).
+
+Decode is a 180-step band scan (each step fully vectorized over H×W)
+plus the modular cumsum — no per-sample sequential work anywhere.
+"""
+
+from __future__ import annotations
+
+import struct
+import time
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpukit.codecs.base import Codec, CodecResult, RateSpec
+from tpukit.native import ccsds121_host
+
+P = 3              # previous bands used by the spectral predictor
+FRAC_BITS = 12     # 4.12 fixed-point weights
+FEAT_CLAMP = 8191  # keeps products inside int32
+_MAGIC = b"TK123\x01"
+
+_ENTROPY = dict(bits=16, block_size=16, rsi=64, flags=0)  # no preprocessor
+
+
+def _signed_view(ring_u16: jax.Array) -> jax.Array:
+    """uint16 ring value -> signed int32 in [-32768, 32767]."""
+    s = ring_u16.astype(jnp.int32)
+    return jnp.where(s >= 32768, s - 65536, s)
+
+
+def _zigzag(srel: jax.Array) -> jax.Array:
+    return jnp.where(srel >= 0, 2 * srel, -2 * srel - 1).astype(jnp.uint16)
+
+
+def _unzigzag(m: jax.Array) -> jax.Array:
+    mi = m.astype(jnp.int32)
+    return jnp.where(mi % 2 == 0, mi // 2, -((mi + 1) // 2))
+
+
+def _row_diff_ring(xu: jax.Array) -> jax.Array:
+    """D[0]=X[0]; D[y]=X[y]-X[y-1] (mod 2^16) along rows of (B,H,W)."""
+    prev = jnp.concatenate([jnp.zeros_like(xu[:, :1]), xu[:, :-1]], axis=1)
+    return (xu - prev).astype(jnp.uint16)
+
+
+def _row_cumsum_ring(d: jax.Array) -> jax.Array:
+    return jax.lax.associative_scan(jnp.add, d, axis=1).astype(jnp.uint16)
+
+
+def _features(c: jax.Array) -> jax.Array:
+    """(B,4,H,W) clamped features: previous 1..3 band planes + bias."""
+    B = c.shape[0]
+    feats = []
+    for j in range(1, P + 1):
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(c[:j]), c[:-j]], axis=0) if j < B else jnp.zeros_like(c)
+        feats.append(jnp.clip(shifted, -FEAT_CLAMP, FEAT_CLAMP))
+    feats.append(jnp.ones_like(c))
+    return jnp.stack(feats, axis=1)
+
+
+def _predict(feats_b: jax.Array, wq_b: jax.Array) -> jax.Array:
+    """Integer prediction for one band: (4,H,W) feats × (4,) 4.12 weights."""
+    acc = jnp.zeros(feats_b.shape[1:], jnp.int32)
+    for i in range(P + 1):
+        acc = acc + feats_b[i] * wq_b[i]
+    return (acc + (1 << (FRAC_BITS - 1))) >> FRAC_BITS
+
+
+@jax.jit
+def encode_model(xu: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Device model: (B,H,W) uint16 ring samples -> (mapped residuals u16,
+    per-band int16 weights)."""
+    d = _row_diff_ring(xu)
+    c = _signed_view(d)
+    feats = _features(c)                       # (B,4,H,W)
+    B, _, H, W = feats.shape
+
+    # LS over rows >=1 (row 0 holds raw samples, not differences)
+    mask = jnp.concatenate([jnp.zeros((1, W)), jnp.ones((H - 1, W))]).astype(jnp.float32)
+    F = feats.astype(jnp.float32) * mask[None, None]
+    T = c.astype(jnp.float32) * mask[None]
+    Fm = F.reshape(B, P + 1, H * W)
+    Tm = T.reshape(B, H * W)
+    M = jnp.einsum("bfn,bgn->bfg", Fm, Fm) + 1e-3 * jnp.eye(P + 1)[None]
+    v = jnp.einsum("bfn,bn->bf", Fm, Tm)
+    w = jnp.linalg.solve(M, v[..., None])[..., 0]   # (B, 4)
+    wq = jnp.clip(jnp.round(w * (1 << FRAC_BITS)), -32767, 32767).astype(jnp.int32)
+
+    pred = jax.vmap(_predict)(feats, wq)       # (B,H,W) int32
+    resid_ring = (c - pred).astype(jnp.int32) & 0xFFFF
+    srel = _signed_view(resid_ring.astype(jnp.uint16))
+    mapped = _zigzag(srel)
+    return mapped, wq.astype(jnp.int16)
+
+
+@jax.jit
+def decode_model(mapped: jax.Array, wq: jax.Array) -> jax.Array:
+    """Inverse: band scan rebuilding difference planes, then modular cumsum."""
+    B, H, W = mapped.shape
+    srel = _unzigzag(mapped)
+
+    def band_step(carry, inp):
+        # carry: (P,H,W) previous signed difference planes (most recent first)
+        prev = carry
+        srel_b, wq_b = inp
+        feats = [jnp.clip(prev[j], -FEAT_CLAMP, FEAT_CLAMP) for j in range(P)]
+        feats.append(jnp.ones((H, W), jnp.int32))
+        acc = jnp.zeros((H, W), jnp.int32)
+        for i in range(P + 1):
+            acc = acc + feats[i] * wq_b[i].astype(jnp.int32)
+        pred = (acc + (1 << (FRAC_BITS - 1))) >> FRAC_BITS
+        ring = (pred + srel_b) & 0xFFFF
+        c_b = _signed_view(ring.astype(jnp.uint16))
+        new_carry = jnp.concatenate([c_b[None], prev[:-1]], axis=0)
+        return new_carry, c_b
+
+    init = jnp.zeros((P, H, W), jnp.int32)
+    _, c = jax.lax.scan(band_step, init, (srel, wq))
+    d = (c & 0xFFFF).astype(jnp.uint16)
+    return _row_cumsum_ring(d)
+
+
+class CCSDS123Codec(Codec):
+    name = "ccsds123"
+    encoder_desc = ("tpukit CCSDS-123-class (LS-adaptive inter-band predictor "
+                    "+ block-adaptive Golomb)")
+    supports_lossy = False
+
+    def __init__(self, tile: int = 512, interleave: str = "bsq"):
+        self.tile = tile          # kept for CLI-surface parity
+        self.interleave = interleave
+
+    def run(self, cube: np.ndarray, dtype_name: str, rate: RateSpec,
+            keep_bitstream: bool = False, **opts) -> CodecResult:
+        B, H, W = cube.shape
+        xu = cube.view(np.uint16) if cube.dtype == np.int16 else cube.astype(np.uint16)
+
+        t0 = time.perf_counter()
+        mapped, wq = encode_model(jnp.asarray(xu))
+        mapped_np = np.asarray(mapped)
+        wq_np = np.asarray(wq)
+        stream = ccsds121_host.encode(mapped_np.ravel(), **_ENTROPY)
+        header = (_MAGIC + struct.pack("<HIII", P, B, H, W) +
+                  wq_np.astype("<i2").tobytes())
+        bs = header + stream
+        t_comp = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        recon_u = self._decode(bs, B, H, W)
+        recon = recon_u.view(np.int16) if cube.dtype == np.int16 \
+            else recon_u.astype(cube.dtype)
+        t_dec = time.perf_counter() - t0
+
+        streams: Dict[str, bytes] = {}
+        if keep_bitstream:
+            streams["cube.tk123"] = bs
+        total_pixels = H * W
+        bpp_total = len(bs) * 8.0 / max(total_pixels, 1)
+        return CodecResult(
+            codec="ccsds123_ext",
+            encoder=self.encoder_desc,
+            bitstream_bytes=len(bs),
+            recon=recon,
+            t_comp_s=t_comp,
+            t_dec_s=t_dec,
+            bitstreams=streams if keep_bitstream else None,
+            extras={
+                "mode": "lossless_only",
+                "bands": int(B), "dtype": dtype_name, "tile": int(self.tile),
+                "bpp_effective_total": float(bpp_total),
+                "bpp_effective_per_band": float(bpp_total / max(B, 1)),
+                "interleave": self.interleave,
+            },
+        )
+
+    @staticmethod
+    def _decode(bs: bytes, B: int, H: int, W: int) -> np.ndarray:
+        if bs[:len(_MAGIC)] != _MAGIC:
+            raise ValueError("bad TK123 stream")
+        off = len(_MAGIC)
+        p, b, h, w = struct.unpack_from("<HIII", bs, off)
+        off += struct.calcsize("<HIII")
+        if (p, b, h, w) != (P, B, H, W):
+            raise ValueError("geometry mismatch")
+        wq = np.frombuffer(bs, "<i2", count=B * (P + 1), offset=off)
+        wq = wq.reshape(B, P + 1).astype(np.int16)
+        off += B * (P + 1) * 2
+        mapped = ccsds121_host.decode(bs[off:], B * H * W, **_ENTROPY)
+        xu = decode_model(jnp.asarray(mapped.reshape(B, H, W)),
+                          jnp.asarray(wq))
+        return np.asarray(xu)

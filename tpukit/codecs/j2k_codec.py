@@ -1,0 +1,164 @@
+# -*- coding: utf-8 -*-
+"""JPEG 2000-class wavelet transform codec.
+
+The reference's "j2k" path shells out to gdal_translate/OpenJPEG with a
+QUALITY 1..100 creation option or REVERSIBLE=YES
+(reference tools/codecs/j2k/j2k_wrap.py:79-105). OpenJPEG's QUALITY→rate
+mapping is not bit-defined, and the BASELINE target for lossy paths is
+RD-curve parity, not bitstream parity — so tpukit implements the same
+codec *class* natively and TPU-first:
+
+  * reversible: 5-level CDF 5/3 integer DWT on device + full embedded
+    bit-plane coding (exactly lossless)
+  * lossy: 5-level CDF 9/7 DWT on device, per-subband deadzone
+    quantization driven by QUALITY 1..100, embedded bit-plane coding
+  * the reference's CR→quality and bpp→quality heuristics are preserved
+    verbatim so sweep configurations translate 1:1 (j2k_wrap.py:32-47)
+
+Per-band coding (no spectral transform), matching the reference note that
+bands are passed through independently (j2k_wrap.py:9).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpukit.codecs.base import Codec, CodecResult, RateSpec
+from tpukit.codecs import wavelet_common as wc
+from tpukit.kernels import dwt as dwtk
+
+LEVELS = 5
+
+
+def quality_from_cr(cr: float) -> int:
+    """≈100/CR clamped to [5,95] (reference j2k_wrap.py:32-35)."""
+    q = int(round(100.0 / max(cr, 1e-6)))
+    return max(5, min(95, q))
+
+
+def quality_from_bpp(bpp_band: float) -> int:
+    """Step table (reference j2k_wrap.py:38-47)."""
+    if bpp_band >= 4.0:
+        return 80
+    if bpp_band >= 3.0:
+        return 70
+    if bpp_band >= 2.0:
+        return 60
+    if bpp_band >= 1.5:
+        return 55
+    if bpp_band >= 1.0:
+        return 45
+    if bpp_band >= 0.75:
+        return 38
+    if bpp_band >= 0.5:
+        return 32
+    return 28
+
+
+def base_step_for_quality(q: int, data_peak: float) -> float:
+    """Monotone QUALITY→quantization-step map. Calibrated so q=100 is
+    near-transparent and low q reaches deep compression on 12/16-bit DN."""
+    q = max(1, min(100, int(q)))
+    return max(0.5, data_peak / 4096.0) * (2.0 ** ((70 - q) / 8.0))
+
+
+def _subband_steps(H: int, W: int, base: float) -> np.ndarray:
+    """Per-coefficient quantization step map for the packed layout; coarser
+    levels get finer steps (~1/2 per level, tracking 9/7 synthesis gain)."""
+    steps = np.empty((H, W), np.float32)
+    subs = dwtk.subband_slices(H, W, LEVELS)
+    for name, lv, sl in subs[:-1]:
+        steps[sl] = base / (2.0 ** lv)
+    ll = subs[-1]
+    steps[ll[2]] = base / (2.0 ** (LEVELS + 1))
+    return steps
+
+
+class J2KCodec(Codec):
+    name = "j2k"
+    encoder_desc = "tpukit J2K-class (device 5/3 & 9/7 DWT + embedded bit-plane coder)"
+    supports_lossy = True
+
+    def run(self, cube: np.ndarray, dtype_name: str, rate: RateSpec,
+            keep_bitstream: bool = False, **opts) -> CodecResult:
+        B, H, W = cube.shape
+        lossless = rate.lossless or rate.key is None
+        q_used = None
+        if not lossless:
+            if rate.key == "quality":
+                q_used = int(rate.value)
+            elif rate.key == "cr":
+                q_used = quality_from_cr(rate.value)
+            elif rate.key == "bpp":
+                q_used = quality_from_bpp(rate.value)
+            else:
+                q_used = 35  # default (j2k_wrap.py:94)
+
+        work, H0, W0 = wc.pad_to_multiple(cube.astype(np.int32), 1 << LEVELS)
+        Hp, Wp = work.shape[-2:]
+        order = wc.scan_order(Hp, Wp, LEVELS)
+
+        streams: Dict[str, bytes] = {}
+        sum_bytes = 0
+        recon = np.empty_like(cube)
+
+        if lossless:
+            t0 = time.perf_counter()
+            coefs = np.asarray(dwtk.dwt2(jnp.asarray(work), "53", LEVELS))
+            encoded = [wc.bpc_encode(coefs[b].ravel()[order]) for b in range(B)]
+            t_comp = time.perf_counter() - t0
+            sum_bytes = sum(len(e) for e in encoded)
+
+            t0 = time.perf_counter()
+            planes = []
+            for b in range(B):
+                c = np.zeros(Hp * Wp, np.int32)
+                c[order] = wc.bpc_decode(encoded[b], Hp * Wp)
+                planes.append(c.reshape(Hp, Wp))
+            rec = np.asarray(dwtk.idwt2(jnp.asarray(np.stack(planes)), "53", LEVELS))
+            recon[:] = rec[:, :H0, :W0].astype(cube.dtype)
+            t_dec = time.perf_counter() - t0
+        else:
+            peak = float(np.abs(cube.astype(np.float64)).max()) or 1.0
+            base = base_step_for_quality(q_used, peak)
+            steps = _subband_steps(Hp, Wp, base)
+            t0 = time.perf_counter()
+            coefs = np.asarray(dwtk.dwt2(jnp.asarray(work.astype(np.float32)),
+                                         "97", LEVELS))
+            qc = np.trunc(coefs / steps[None]).astype(np.int32)  # deadzone
+            encoded = [wc.bpc_encode(qc[b].ravel()[order]) for b in range(B)]
+            t_comp = time.perf_counter() - t0
+            sum_bytes = sum(len(e) for e in encoded)
+
+            t0 = time.perf_counter()
+            planes = []
+            for b in range(B):
+                c = np.zeros(Hp * Wp, np.int32)
+                c[order] = wc.bpc_decode(encoded[b], Hp * Wp)
+                planes.append(c.reshape(Hp, Wp))
+            deq = np.stack(planes).astype(np.float32)
+            deq = np.where(deq != 0, (deq + np.sign(deq) * 0.5) * steps[None], 0.0)
+            rec = np.asarray(dwtk.idwt2(jnp.asarray(deq), "97", LEVELS))
+            info = np.iinfo(cube.dtype)
+            recon[:] = np.clip(np.rint(rec[:, :H0, :W0]),
+                               info.min, info.max).astype(cube.dtype)
+            t_dec = time.perf_counter() - t0
+
+        if keep_bitstream:
+            for b, e in enumerate(encoded):
+                streams[f"b{b+1:02d}.j2c"] = e
+
+        return CodecResult(
+            codec="j2k_gdal",
+            encoder=self.encoder_desc,
+            bitstream_bytes=sum_bytes,
+            recon=recon,
+            t_comp_s=t_comp,
+            t_dec_s=t_dec,
+            bitstreams=streams if keep_bitstream else None,
+            extras={"quality_used": (int(q_used) if q_used is not None else None)},
+        )

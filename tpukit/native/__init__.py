@@ -87,13 +87,10 @@ def _declare(lib: ctypes.CDLL) -> None:
         ("bitpack_concat", i64, [u32p, u8p, i64, i64, u8p, i64]),
         ("jls_encode", i64, [u16p, i32, i32, i32, i32, u8p, i64]),
         ("jls_decode", i64, [u8p, i64, u16p, i32, i32, ct.POINTER(i32), ct.POINTER(i32)]),
-        ("rice_pack_blocks", i64,
-         [u32p, ct.POINTER(ct.c_int32), i64, i32, i32, u8p, i64]),
-        ("ck123_pack", i64, [u32p, i64, i32, i32, i32, u8p, i64]),
-        ("ck123_unpack", i64, [u8p, i64, i32, i32, i32, u32p, i64]),
-        ("bpe_pack_words", i64, [u32p, u32p, i64, u8p, i64]),
-        ("bpe_unpack_words", i64, [u8p, i64, u32p, u32p, i64]),
-        ("deflate_bound", i64, [i64]),
+        ("bpc_encode", i64, [u32p, i64, u8p, i64, i64]),
+        ("bpc_decode", i64, [u8p, i64, u32p, i64]),
+        ("ck123_code", i64, [u32p, i64, i32, i32, u8p, i64]),
+        ("ck123_decode", i64, [u8p, i64, i32, i32, u32p, i64]),
     ]:
         try:
             fn = getattr(lib, name)
