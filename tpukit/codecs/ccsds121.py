@@ -189,6 +189,99 @@ def encode_size(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2) -> jax.A
 
 
 # ---------------------------------------------------------------------------
+# Chunked model: fixed-shape chunks => one small compiled program reused,
+# with the k-state chain folded across chunks on host.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("bits", "J", "rsi"))
+def chunk_totals(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2):
+    """Per-chunk encoder model parameterized by the incoming k state.
+
+    Because the stateful k selection is ``k = clip(k_in, lo, hi)`` (see
+    ``analyze``), a chunk's contribution is fully described by 14 candidate
+    totals (one per possible incoming k) plus the outgoing k for each —
+    the fs-cost table (the expensive part) is shared across all candidates.
+    Returns (total_bits[K], k_out[K]) with K = KMAX+1.
+    """
+    a = analyze(x, bits=bits, J=J, rsi=rsi)
+    # recompute the pieces needed for all k_in variants
+    n = x.shape[0]
+    nb = n // J
+    d = a["d"]
+    bidx = jnp.arange(nb, dtype=jnp.int32)
+    is_ref = (bidx % rsi) == 0
+    m = jnp.where(is_ref, J - 1, J).astype(jnp.int32)
+    slot0 = jnp.arange(J) == 0
+    coded = jnp.where(is_ref[:, None] & slot0[None, :], 0, d)
+    ks = jnp.arange(KMAX + 1, dtype=jnp.int32)
+    fs_len = jnp.stack([jnp.sum(coded >> k, axis=1) for k in range(KMAX + 1)],
+                       axis=1)
+    split_len = fs_len + m[:, None] * (ks[None, :] + 1)
+    best = jnp.min(split_len, axis=1, keepdims=True)
+    is_min = split_len == best
+    mlo = jnp.argmax(is_min, axis=1).astype(jnp.int32)
+    mhi = (KMAX - jnp.argmax(is_min[:, ::-1], axis=1)).astype(jnp.int32)
+    allzero = jnp.all(coded == 0, axis=1)
+    lo_e = jnp.where(allzero, 0, mlo)
+    hi_e = jnp.where(allzero, KMAX, mhi)
+    lo_s, hi_s = jax.lax.associative_scan(_clip_compose, (lo_e, hi_e))
+
+    GCAP = 1 << 20
+    se_src = coded
+    aa = se_src[:, 0::2]
+    bb = se_src[:, 1::2]
+    ssum = jnp.minimum(aa + bb, 2048)
+    gam = ssum * (ssum + 1) // 2 + jnp.minimum(bb, 65535)
+    gam_c = jnp.minimum(gam, GCAP)
+    se_len = 1 + jnp.sum(gam_c + 1, axis=1)
+    se_len = jnp.where(jnp.any(gam_c >= GCAP, axis=1), jnp.int32(1) << 28, se_len)
+    nc_len = (m * bits).astype(jnp.int32)
+
+    zero_total = jnp.sum(jnp.where(allzero, a["blk_bits"], 0))
+
+    def total_for(k_in):
+        k_sel = jnp.clip(k_in, lo_s, hi_s)
+        split_sel = jnp.take_along_axis(split_len, k_sel[:, None], axis=1)[:, 0]
+        use_se = (se_len <= split_sel) & (se_len < nc_len)
+        use_nc = (~use_se) & (split_sel >= nc_len)
+        payload = jnp.where(use_se, se_len, jnp.where(use_nc, nc_len, split_sel))
+        nz_bits = ID_LEN + jnp.where(is_ref, bits, 0) + payload
+        total = jnp.sum(jnp.where(allzero, 0, nz_bits)) + zero_total
+        k_out = jnp.clip(k_in, lo_s[-1], hi_s[-1])
+        return total, k_out
+
+    totals, kouts = jax.vmap(total_for)(jnp.arange(KMAX + 1, dtype=jnp.int32))
+    return totals, kouts
+
+
+def encode_size_chunked(x, bits: int = 16, J: int = 8, rsi: int = 2,
+                        chunk: int = 1 << 22) -> int:
+    """Exact encoded byte size using fixed-shape chunks (fast compile, one
+    compiled program reused for arbitrarily large streams)."""
+    import numpy as _np
+    n = int(x.shape[0])
+    step = J * rsi
+    assert chunk % step == 0 and n % J == 0
+    if n <= chunk:
+        return int(encode_size(x, bits=bits, J=J, rsi=rsi))
+    main = (n // chunk) * chunk
+    rem = n - main
+    pieces = [x[i * chunk:(i + 1) * chunk] for i in range(n // chunk)]
+    results = [chunk_totals(p, bits=bits, J=J, rsi=rsi) for p in pieces]
+    if rem:
+        assert rem % step == 0
+        results.append(chunk_totals(x[main:], bits=bits, J=J, rsi=rsi))
+    k = 0
+    total_bits = 0
+    for totals, kouts in results:
+        totals = _np.asarray(totals)
+        kouts = _np.asarray(kouts)
+        total_bits += int(totals[k])
+        k = int(kouts[k])
+    return (total_bits + 7) // 8
+
+
+# ---------------------------------------------------------------------------
 # Full codec API (bitstream via native packer; model on device)
 # ---------------------------------------------------------------------------
 
