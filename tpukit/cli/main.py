@@ -31,6 +31,10 @@ def run_codec_main(argv=None):
     ap.add_argument("--codec", required=True,
                     help="codec name (ccsds121|jpegls|png|j2k|ccsds122|ccsds123"
                          " or reference labels like ccsds121_ext)")
+    ap.add_argument("--compressor-cmd", nargs="+", default=None,
+                    help="external wrapper command (reference L2 contract); "
+                         "when set, --codec is only the CSV label and unknown "
+                         "args after -- pass through to the wrapper")
     ap.add_argument("--rate-key", default="none",
                     choices=["none", "cr", "bpp", "nearlossless_eps", "quality"])
     ap.add_argument("--rates", nargs="+", default=None)
@@ -62,12 +66,17 @@ def run_codec_main(argv=None):
     from tpukit.metrics.link import link_for_case
     from tpukit.sweep.runner import SweepConfig, run_sweep
 
-    copts = {}
-    for k in ("tile", "interleave", "preproc", "nbit", "zlevel"):
-        v = getattr(args, k)
-        if v is not None:
-            copts[k] = v
-    codec = create(args.codec, **copts)
+    if args.compressor_cmd:
+        from tpukit.codecs.shell import ShellCodec
+        extra = [x for x in _extra if x != "--"]
+        codec = ShellCodec(args.compressor_cmd, extra)
+    else:
+        copts = {}
+        for k in ("tile", "interleave", "preproc", "nbit", "zlevel"):
+            v = getattr(args, k)
+            if v is not None:
+                copts[k] = v
+        codec = create(args.codec, **copts)
 
     case_name, _, _ = load_indices(Path(args.indices))
     if args.case:
