@@ -20,10 +20,19 @@ struct BitWriter {
         acc = (acc << nbits) | (value & (nbits == 32 ? 0xFFFFFFFFu
                                                      : ((1u << nbits) - 1u)));
         nacc += nbits;
-        while (nacc >= 8) {
-            nacc -= 8;
-            if (bytepos < cap) buf[bytepos++] = (uint8_t)(acc >> nacc);
-            else overflow = true;
+        if (nacc >= 32) {
+            nacc -= 32;
+            uint32_t out32 = (uint32_t)(acc >> nacc);
+            if (bytepos + 4 <= cap) {
+                uint32_t be = __builtin_bswap32(out32);
+                std::memcpy(buf + bytepos, &be, 4);
+                bytepos += 4;
+            } else {
+                for (int s = 24; s >= 0; s -= 8) {
+                    if (bytepos < cap) buf[bytepos++] = (uint8_t)(out32 >> s);
+                    else overflow = true;
+                }
+            }
         }
     }
 
@@ -45,40 +54,62 @@ struct BitWriter {
     inline int64_t bitpos_now() const { return bytepos * 8 + nacc; }
 
     inline int64_t bytes() {
-        // flush: pad the last partial byte with zeros
-        if (nacc > 0) raw(0, 8 - nacc);
+        // flush: pad the last partial byte with zeros, then drain
+        if (nacc % 8) raw(0, 8 - (nacc % 8));
+        while (nacc > 0) {
+            nacc -= 8;
+            if (bytepos < cap) buf[bytepos++] = (uint8_t)(acc >> nacc);
+            else overflow = true;
+        }
         return bytepos;
     }
 };
 
 struct BitReader {
+    // 64-bit left-aligned window; MSB-first consumption. FS decode uses CLZ.
     const uint8_t* buf;
-    int64_t nbits;
-    int64_t bitpos = 0;
+    int64_t nbytes;
+    int64_t bytepos = 0;     // next byte to pull into the window
+    uint64_t window = 0;     // upcoming bits, MSB-aligned
+    int avail = 0;           // valid bits in window
     bool error = false;
 
-    BitReader(const uint8_t* b, int64_t nbytes) : buf(b), nbits(nbytes * 8) {}
+    BitReader(const uint8_t* b, int64_t n) : buf(b), nbytes(n) {}
 
-    inline uint64_t get_bits(int n) {
-        uint64_t v = 0;
-        if (bitpos + n > nbits) { error = true; bitpos = nbits; return 0; }
-        for (int i = 0; i < n; ++i) {
-            v = (v << 1) | ((buf[bitpos >> 3] >> (7 - (bitpos & 7))) & 1u);
-            ++bitpos;
+    inline void refill() {
+        while (avail <= 56 && bytepos < nbytes) {
+            window |= (uint64_t)buf[bytepos++] << (56 - avail);
+            avail += 8;
         }
+    }
+
+    inline uint64_t get_bits(int n) {  // n <= 57
+        if (n == 0) return 0;
+        refill();
+        if (avail < n) { error = true; avail = 0; window = 0; return 0; }
+        uint64_t v = window >> (64 - n);
+        window <<= n;
+        avail -= n;
         return v;
     }
 
     inline uint32_t get_fs() {
         uint32_t zeros = 0;
-        while (bitpos < nbits) {
-            uint32_t bit = (buf[bitpos >> 3] >> (7 - (bitpos & 7))) & 1u;
-            ++bitpos;
-            if (bit) return zeros;
-            ++zeros;
+        for (;;) {
+            refill();
+            if (avail == 0) { error = true; return zeros; }
+            if (window == 0) {           // whole window is zeros
+                zeros += avail;
+                avail = 0;
+                continue;
+            }
+            int z = __builtin_clzll(window);
+            if (z >= avail) { zeros += avail; avail = 0; window = 0; continue; }
+            zeros += z;
+            window = (z + 1 >= 64) ? 0 : (window << (z + 1));  // z+1==64 is UB
+            avail -= z + 1;
+            return zeros;
         }
-        error = true;
-        return zeros;
     }
 };
 

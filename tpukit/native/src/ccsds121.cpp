@@ -57,11 +57,12 @@ Params make_params(int bits, int block_size, int rsi, int flags) {
 // Standard unit-delay predictor + residual mapping (CCSDS 121.0-B-3 §3):
 // d = 2Δ (0<=Δ<=θ), 2|Δ|-1 (-θ<=Δ<0), θ+|Δ| otherwise, θ=min(pred, xmax-pred).
 inline uint32_t map_residual(uint32_t x, uint32_t pred, uint32_t xmax) {
-    int64_t delta = (int64_t)x - (int64_t)pred;
+    int32_t delta = (int32_t)x - (int32_t)pred;
     uint32_t theta = pred < (xmax - pred) ? pred : (xmax - pred);
-    if (delta >= 0 && (uint32_t)delta <= theta) return (uint32_t)(2 * delta);
-    if (delta < 0 && (uint32_t)(-delta) <= theta) return (uint32_t)(2 * (-delta) - 1);
-    return theta + (uint32_t)(delta < 0 ? -delta : delta);
+    uint32_t neg = (uint32_t)(delta < 0);
+    uint32_t absd = (uint32_t)(neg ? -delta : delta);
+    // 2|Δ|-neg inside the θ zone; θ+|Δ| outside (branchless-friendly)
+    return absd <= theta ? (2 * absd - neg) : (theta + absd);
 }
 
 inline uint32_t unmap_residual(uint32_t d, uint32_t pred, uint32_t xmax) {
