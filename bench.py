@@ -133,6 +133,34 @@ def main():
     else:
         t_reference = float("nan")
 
+    # ---- Case A J2K 14-point quality sweep (north-star companion) ----
+    caseA = {}
+    try:
+        from tpukit.codecs.j2k_codec import J2KCodec
+        from tpukit.metrics.quality import compute_metrics
+        gy, gx = np.mgrid[0:1024, 0:1024]
+        base = ((800 + 2.5 * gy + 1.5 * gx).astype(np.int32)) % 4096
+        tiles = {}
+        for tid, amp in (("HC", 400), ("LC", 40)):
+            t = np.clip(base[None] + rng.integers(-amp, amp, (4, 1024, 1024)),
+                        0, 4095).astype(np.uint16) << 4
+            tiles[tid] = t.astype(np.uint16)
+        qualities = [1, 2, 4, 6, 8, 10, 15, 20, 25, 30, 35, 40, 60, 100]
+        codec = J2KCodec()
+        t0 = time.perf_counter()
+        npoints = 0
+        for tid, tcube in tiles.items():
+            for res in codec.sweep_qualities(tcube, "uint16", qualities):
+                met = compute_metrics(tcube, res.recon, "uint16")
+                npoints += 1
+        t_caseA = time.perf_counter() - t0
+        caseA = {"t_caseA_j2k_14pt_sweep_s": round(t_caseA, 2),
+                 "caseA_rd_points": npoints}
+        log(f"caseA j2k sweep (2 tiles x 14 qualities + metrics): {t_caseA:.1f}s")
+    except Exception as e:  # keep the primary metric robust
+        caseA = {"caseA_error": str(e)[:200]}
+        log(f"caseA sweep failed: {e}")
+
     msamples = n / t_tpukit / 1e6
     speedup = t_reference / t_tpukit if np.isfinite(t_reference) else None
     print(json.dumps({
@@ -147,6 +175,7 @@ def main():
             "cr_vs_raw16": round(cube.nbytes / len(bs), 3),
             "lossless": 1,
             "bitstream_equals_libaec": True,
+            **caseA,
         },
     }))
 

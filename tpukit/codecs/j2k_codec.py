@@ -83,6 +83,52 @@ class J2KCodec(Codec):
     encoder_desc = "tpukit J2K-class (device 5/3 & 9/7 DWT + embedded bit-plane coder)"
     supports_lossy = True
 
+    def sweep_qualities(self, cube: np.ndarray, dtype_name: str,
+                        qualities) -> list:
+        """Rate sweep with the transform amortized: one device 9/7 DWT per
+        tile, then per-quality quantization (device) + embedded coding.
+        The reference re-runs the full codec per rate point
+        (run_codec.py:472-495); the sweep is where the transform reuse pays."""
+        B, H, W = cube.shape
+        work, H0, W0 = wc.pad_to_multiple(cube.astype(np.int32), 1 << LEVELS)
+        Hp, Wp = work.shape[-2:]
+        order = wc.scan_order(Hp, Wp, LEVELS)
+        peak = float(np.abs(cube.astype(np.float64)).max()) or 1.0
+
+        t0 = time.perf_counter()
+        coefs = np.asarray(dwtk.dwt2(jnp.asarray(work.astype(np.float32)),
+                                     "97", LEVELS))
+        t_dwt = time.perf_counter() - t0
+
+        results = []
+        info = np.iinfo(cube.dtype)
+        for q in qualities:
+            q = int(q)
+            base = base_step_for_quality(q, peak)
+            steps = _subband_steps(Hp, Wp, base)
+            t0 = time.perf_counter()
+            qc = np.trunc(coefs / steps[None]).astype(np.int32)
+            encoded = [wc.bpc_encode(qc[b].ravel()[order]) for b in range(B)]
+            t_comp = time.perf_counter() - t0 + t_dwt
+            t0 = time.perf_counter()
+            planes = []
+            for b in range(B):
+                c = np.zeros(Hp * Wp, np.int32)
+                c[order] = wc.bpc_decode(encoded[b], Hp * Wp)
+                planes.append(c.reshape(Hp, Wp))
+            deq = np.stack(planes).astype(np.float32)
+            deq = np.where(deq != 0, (deq + np.sign(deq) * 0.5) * steps[None], 0.0)
+            rec = np.asarray(dwtk.idwt2(jnp.asarray(deq), "97", LEVELS))
+            recon = np.clip(np.rint(rec[:, :H0, :W0]),
+                            info.min, info.max).astype(cube.dtype)
+            t_dec = time.perf_counter() - t0
+            results.append(CodecResult(
+                codec="j2k_gdal", encoder=self.encoder_desc,
+                bitstream_bytes=sum(len(e) for e in encoded),
+                recon=recon, t_comp_s=t_comp, t_dec_s=t_dec,
+                extras={"quality_used": q}))
+        return results
+
     def run(self, cube: np.ndarray, dtype_name: str, rate: RateSpec,
             keep_bitstream: bool = False, **opts) -> CodecResult:
         B, H, W = cube.shape
