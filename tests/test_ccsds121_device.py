@@ -1,0 +1,55 @@
+# -*- coding: utf-8 -*-
+"""Device CCSDS-121 model: exact size parity with the C++/libaec coder."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpukit.codecs import ccsds121 as dev
+from tpukit.native import ccsds121_host as ck
+
+
+def _gen(rng, n, kind, hi=16):
+    if kind == 0:
+        return rng.integers(0, 2 ** int(rng.integers(2, hi + 1)), n).astype(np.uint16)
+    if kind == 1:
+        return (np.cumsum(rng.integers(-5, 6, n)).astype(np.int64) % 65536).astype(np.uint16)
+    if kind == 2:
+        x = np.zeros(n, np.uint16)
+        idx = rng.integers(0, n, max(1, n // 8))
+        x[idx] = rng.integers(0, 3000, idx.size).astype(np.uint16)
+        return x
+    return rng.integers(0, 65536, n).astype(np.uint16)
+
+
+def test_encode_size_exact(rng):
+    for trial in range(40):
+        n = int(rng.choice([16, 64, 256, 1024]))
+        x = _gen(rng, n, int(rng.integers(0, 4)))
+        assert int(dev.encode_size(jnp.asarray(x))) == len(ck.encode(x, 16))
+
+
+def test_encode_size_variants(rng):
+    for J, rsi in ((8, 2), (16, 4), (8, 64)):
+        n = 32 * J
+        x = _gen(rng, n, 1)
+        got = int(dev.encode_size(jnp.asarray(x), J=J, rsi=rsi))
+        assert got == len(ck.encode(x, 16, J, rsi))
+
+
+def test_chunked_matches_monolithic(rng):
+    chunk = 512
+    for trial in range(10):
+        n = chunk * int(rng.integers(1, 5)) + 16 * int(rng.integers(0, chunk // 16))
+        x = _gen(rng, n, int(rng.integers(0, 4)))
+        got = dev.encode_size_chunked(jnp.asarray(x), chunk=chunk)
+        assert got == len(ck.encode(x, 16)), (n, trial)
+
+
+def test_codec_device_size_matches_run(tile_caseB):
+    from tpukit.codecs.base import RateSpec
+    from tpukit.codecs.ccsds121_codec import CCSDS121Codec
+    codec = CCSDS121Codec(tile=32, interleave="bip", preproc="none")
+    res = codec.run(tile_caseB, "int16", RateSpec.none())
+    sz = int(codec.encode_size_device(jnp.asarray(tile_caseB)))
+    assert sz == res.bitstream_bytes

@@ -256,9 +256,13 @@ def chunk_totals(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2):
 
 def encode_size_chunked(x, bits: int = 16, J: int = 8, rsi: int = 2,
                         chunk: int = 1 << 22) -> int:
-    """Exact encoded byte size using fixed-shape chunks (fast compile, one
-    compiled program reused for arbitrarily large streams)."""
-    import numpy as _np
+    """Exact encoded byte size using fixed-shape chunks.
+
+    All per-chunk programs dispatch asynchronously (two compiled shapes at
+    most: main chunk + remainder), then the tiny (nch, K) k-state tables come
+    back in ONE device_get — the tunnel's device->host latency dominates, so
+    one batched transfer instead of one per chunk. The exact k-state chain is
+    folded on host in Python ints (no 32-bit overflow for huge streams)."""
     n = int(x.shape[0])
     step = J * rsi
     assert chunk % step == 0 and n % J == 0
@@ -266,18 +270,18 @@ def encode_size_chunked(x, bits: int = 16, J: int = 8, rsi: int = 2,
         return int(encode_size(x, bits=bits, J=J, rsi=rsi))
     main = (n // chunk) * chunk
     rem = n - main
-    pieces = [x[i * chunk:(i + 1) * chunk] for i in range(n // chunk)]
-    results = [chunk_totals(p, bits=bits, J=J, rsi=rsi) for p in pieces]
+    results = [chunk_totals(x[i * chunk:(i + 1) * chunk], bits=bits, J=J,
+                            rsi=rsi) for i in range(n // chunk)]
     if rem:
         assert rem % step == 0
         results.append(chunk_totals(x[main:], bits=bits, J=J, rsi=rsi))
+    totals, kouts = jax.device_get((jnp.stack([t for t, _ in results]),
+                                    jnp.stack([ko for _, ko in results])))
     k = 0
     total_bits = 0
-    for totals, kouts in results:
-        totals = _np.asarray(totals)
-        kouts = _np.asarray(kouts)
-        total_bits += int(totals[k])
-        k = int(kouts[k])
+    for t, ko in zip(totals, kouts):
+        total_bits += int(t[k])
+        k = int(ko[k])
     return (total_bits + 7) // 8
 
 
