@@ -137,7 +137,6 @@ def main():
     caseA = {}
     try:
         from tpukit.codecs.j2k_codec import J2KCodec
-        from tpukit.metrics.quality import compute_metrics
         gy, gx = np.mgrid[0:1024, 0:1024]
         base = ((800 + 2.5 * gy + 1.5 * gx).astype(np.int32)) % 4096
         tiles = {}
@@ -150,8 +149,7 @@ def main():
         t0 = time.perf_counter()
         npoints = 0
         for tid, tcube in tiles.items():
-            for res in codec.sweep_qualities(tcube, "uint16", qualities):
-                met = compute_metrics(tcube, res.recon, "uint16")
+            for res, met in codec.sweep_rd(tcube, "uint16", qualities):
                 npoints += 1
         t_caseA = time.perf_counter() - t0
         caseA = {"t_caseA_j2k_14pt_sweep_s": round(t_caseA, 2),

@@ -92,3 +92,23 @@ def test_ccsds122_quality_improves_with_rate(smooth_tile):
         d = res.recon.astype(np.float64) - smooth_tile.astype(np.float64)
         mses.append((d ** 2).mean())
     assert mses == sorted(mses, reverse=True), mses
+
+
+def test_j2k_sweep_rd_matches_run(smooth_tile):
+    """The amortized sweep path must agree with the one-shot run() path:
+    same bitstream bytes and identical reconstruction per quality point."""
+    codec = J2KCodec()
+    qualities = [10, 60, 100]
+    rows = codec.sweep_rd(smooth_tile, "uint16", qualities)
+    assert len(rows) == len(qualities)
+    sizes = []
+    for (res, met), q in zip(rows, qualities):
+        one = codec.run(smooth_tile, "uint16", RateSpec.of("quality", q))
+        assert res.bitstream_bytes == one.bitstream_bytes
+        np.testing.assert_array_equal(np.asarray(res.recon), one.recon)
+        assert res.extras["quality_used"] == q
+        assert met["psnr_global"] > 20.0
+        assert 0.0 <= met["ssim_global"] <= 1.0
+        assert met["max_abs_err"] >= 0
+        sizes.append(res.bitstream_bytes)
+    assert sizes == sorted(sizes), sizes

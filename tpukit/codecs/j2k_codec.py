@@ -22,8 +22,10 @@ bands are passed through independently (j2k_wrap.py:9).
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -78,6 +80,23 @@ def _subband_steps(H: int, W: int, base: float) -> np.ndarray:
     return steps
 
 
+@partial(jax.jit, static_argnames=("levels", "H0", "W0", "lo", "hi", "dtype"))
+def _device_recon(qc: jax.Array, scale_map: jax.Array, base: jax.Array,
+                  levels: int, H0: int, W0: int, lo: int, hi: int,
+                  dtype: str) -> jax.Array:
+    """Dequantize + inverse 9/7 DWT + clip/round, fused on device.
+
+    ``qc`` is the (verified) quantized coefficient cube, ``scale_map`` the
+    per-coefficient step map for base=1 (steps are linear in base, and the
+    per-level factors are exact powers of two, so ``scale_map * base``
+    reproduces the host step map bit-exactly in float32)."""
+    steps = scale_map * base
+    qf = qc.astype(jnp.float32)
+    deq = jnp.where(qc != 0, (qf + jnp.sign(qf) * 0.5) * steps[None], 0.0)
+    rec = dwtk.idwt2(deq, "97", levels)
+    return jnp.clip(jnp.rint(rec[:, :H0, :W0]), lo, hi).astype(dtype)
+
+
 class J2KCodec(Codec):
     name = "j2k"
     encoder_desc = "tpukit J2K-class (device 5/3 & 9/7 DWT + embedded bit-plane coder)"
@@ -85,49 +104,88 @@ class J2KCodec(Codec):
 
     def sweep_qualities(self, cube: np.ndarray, dtype_name: str,
                         qualities) -> list:
-        """Rate sweep with the transform amortized: one device 9/7 DWT per
-        tile, then per-quality quantization (device) + embedded coding.
+        """Rate sweep with the transform amortized and transfers minimized.
+
         The reference re-runs the full codec per rate point
-        (run_codec.py:472-495); the sweep is where the transform reuse pays."""
+        (run_codec.py:472-495). Here: one device 9/7 DWT per tile with a
+        single coefficient fetch, per-quality deadzone quantization on host
+        (cheap — 17 MB of f32 math), the embedded bit-plane coder threaded
+        across bands (the C++ calls release the GIL), and the reconstruction
+        (dequant + inverse DWT + clip) dispatched back to the device, where
+        it STAYS: ``CodecResult.recon`` is a device array, so downstream
+        device metrics cost no host round-trip. The coder round-trip is
+        verified exactly on host before the device recon is trusted."""
+        from concurrent.futures import ThreadPoolExecutor
+
         B, H, W = cube.shape
         work, H0, W0 = wc.pad_to_multiple(cube.astype(np.int32), 1 << LEVELS)
         Hp, Wp = work.shape[-2:]
         order = wc.scan_order(Hp, Wp, LEVELS)
         peak = float(np.abs(cube.astype(np.float64)).max()) or 1.0
+        info = np.iinfo(cube.dtype)
 
         t0 = time.perf_counter()
         coefs = np.asarray(dwtk.dwt2(jnp.asarray(work.astype(np.float32)),
                                      "97", LEVELS))
         t_dwt = time.perf_counter() - t0
 
+        scale_dev = jnp.asarray(_subband_steps(Hp, Wp, 1.0))
         results = []
-        info = np.iinfo(cube.dtype)
-        for q in qualities:
-            q = int(q)
-            base = base_step_for_quality(q, peak)
-            steps = _subband_steps(Hp, Wp, base)
-            t0 = time.perf_counter()
-            qc = np.trunc(coefs / steps[None]).astype(np.int32)
-            encoded = [wc.bpc_encode(qc[b].ravel()[order]) for b in range(B)]
-            t_comp = time.perf_counter() - t0 + t_dwt
-            t0 = time.perf_counter()
-            planes = []
-            for b in range(B):
-                c = np.zeros(Hp * Wp, np.int32)
-                c[order] = wc.bpc_decode(encoded[b], Hp * Wp)
-                planes.append(c.reshape(Hp, Wp))
-            deq = np.stack(planes).astype(np.float32)
-            deq = np.where(deq != 0, (deq + np.sign(deq) * 0.5) * steps[None], 0.0)
-            rec = np.asarray(dwtk.idwt2(jnp.asarray(deq), "97", LEVELS))
-            recon = np.clip(np.rint(rec[:, :H0, :W0]),
-                            info.min, info.max).astype(cube.dtype)
-            t_dec = time.perf_counter() - t0
-            results.append(CodecResult(
-                codec="j2k_gdal", encoder=self.encoder_desc,
-                bitstream_bytes=sum(len(e) for e in encoded),
-                recon=recon, t_comp_s=t_comp, t_dec_s=t_dec,
-                extras={"quality_used": q}))
+        with ThreadPoolExecutor(max_workers=min(8, B)) as pool:
+            for q in qualities:
+                q = int(q)
+                base = base_step_for_quality(q, peak)
+                steps = _subband_steps(Hp, Wp, base)
+                t0 = time.perf_counter()
+                qc = np.trunc(coefs / steps[None]).astype(np.int32)
+                perm = qc.reshape(B, -1)[:, order]
+                encoded = list(pool.map(wc.bpc_encode, perm))
+                t_comp = time.perf_counter() - t0 + t_dwt
+                t0 = time.perf_counter()
+                decs = list(pool.map(
+                    lambda e: wc.bpc_decode(e, Hp * Wp), encoded))
+                for b in range(B):
+                    if not np.array_equal(decs[b], perm[b]):
+                        raise RuntimeError(
+                            "embedded coder round-trip mismatch")
+                recon = _device_recon(jax.device_put(qc), scale_dev,
+                                      jnp.float32(base), LEVELS, H0, W0,
+                                      int(info.min), int(info.max),
+                                      cube.dtype.name)
+                recon.block_until_ready()
+                t_dec = time.perf_counter() - t0
+                results.append(CodecResult(
+                    codec="j2k_gdal", encoder=self.encoder_desc,
+                    bitstream_bytes=sum(len(e) for e in encoded),
+                    recon=recon, t_comp_s=t_comp, t_dec_s=t_dec,
+                    extras={"quality_used": q}))
         return results
+
+    def sweep_rd(self, cube: np.ndarray, dtype_name: str, qualities,
+                 valid: np.ndarray | None = None) -> list:
+        """Full RD ladder: sweep + device quality metrics per point.
+
+        Per-quality stats stay on device and come back in one stacked fetch
+        at the end (per-leaf transfers over a high-latency link would
+        otherwise dominate). Returns ``[(CodecResult, metrics dict)]`` with
+        the reference metric keys (run_codec.py:294-304)."""
+        from tpukit.metrics.quality import quality_stats, assemble_quality
+        from tpukit.io.bitdepth import effective_data_range
+
+        ref_dev = jnp.asarray(cube.astype(np.int32))
+        vm = (jnp.ones(cube.shape[-2:], bool) if valid is None
+              else jnp.asarray(valid).astype(bool))
+        dr = float(effective_data_range(cube, dtype_name))
+        results = self.sweep_qualities(cube, dtype_name, qualities)
+        stats = [quality_stats(ref_dev, r.recon.astype(jnp.int32), vm)
+                 for r in results]
+        stacked = jax.device_get(
+            {k: jnp.stack([s[k] for s in stats]) for k in stats[0]})
+        rows = []
+        for i, res in enumerate(results):
+            met = assemble_quality({k: v[i] for k, v in stacked.items()}, dr)
+            rows.append((res, met))
+        return rows
 
     def run(self, cube: np.ndarray, dtype_name: str, rate: RateSpec,
             keep_bitstream: bool = False, **opts) -> CodecResult:
@@ -187,7 +245,10 @@ class J2KCodec(Codec):
                 c[order] = wc.bpc_decode(encoded[b], Hp * Wp)
                 planes.append(c.reshape(Hp, Wp))
             deq = np.stack(planes).astype(np.float32)
-            deq = np.where(deq != 0, (deq + np.sign(deq) * 0.5) * steps[None], 0.0)
+            # pure-f32 dequant, bit-identical to the device path (_device_recon)
+            deq = np.where(deq != 0,
+                           (deq + np.sign(deq) * np.float32(0.5)) * steps[None],
+                           np.float32(0.0)).astype(np.float32)
             rec = np.asarray(dwtk.idwt2(jnp.asarray(deq), "97", LEVELS))
             info = np.iinfo(cube.dtype)
             recon[:] = np.clip(np.rint(rec[:, :H0, :W0]),
