@@ -19,6 +19,7 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -81,14 +82,14 @@ def main():
     flat = np.ascontiguousarray(np.moveaxis(cube.view(np.uint16), 0, -1)).ravel()
     log(f"cube: {bands}x{size}x{size} int16 (14-in-16), {cube.nbytes/1e6:.0f} MB")
 
-    CHUNK = 1 << 21
+    CHUNK = 1 << 23
     xj = jnp.asarray(flat)
     cj = jnp.asarray(cube.view(np.uint16))
     vj = jnp.ones((size, size), bool)
 
     # ---- warm up / compile (cached across rounds via jax cache) ----
     t0 = time.perf_counter()
-    _ = ck_dev.encode_size_chunked(xj, chunk=CHUNK)
+    _ = ck_dev.encode_plan(xj, chunk=CHUNK)
     q = quality_stats(cj.astype(jnp.int32), cj.astype(jnp.int32), vj)
     jax.block_until_ready(q)
     s = spectral_stats(cj.astype(jnp.int32), cj.astype(jnp.int32), vj)
@@ -100,8 +101,12 @@ def main():
     t_tpu = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        size_model = ck_dev.encode_size_chunked(xj, chunk=CHUNK)     # device
-        bs = ck.encode(flat, 16)                                     # C++ pack
+        plan = ck_dev.encode_plan(xj, chunk=CHUNK)                   # device
+        size_model = (plan["total_bits"] + 7) // 8
+        if (os.cpu_count() or 1) > 1:
+            bs = ck.encode_parallel(flat, plan)                      # C++ pack
+        else:  # 1-core host: thread pool + splice is pure overhead
+            bs = ck.encode(flat, 16)
         dec = ck.decode(bs, flat.size, 16)                           # C++ unpack
         assert np.array_equal(dec, flat), "lossless verify failed"
         recon = cube  # exact

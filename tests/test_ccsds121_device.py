@@ -53,3 +53,33 @@ def test_codec_device_size_matches_run(tile_caseB):
     res = codec.run(tile_caseB, "int16", RateSpec.none())
     sz = int(codec.encode_size_device(jnp.asarray(tile_caseB)))
     assert sz == res.bitstream_bytes
+
+
+def test_encode_parallel_matches_sequential(rng):
+    """Device-planned parallel encode (chunked, k-state from the TPU plan,
+    bit-spliced) must be byte-identical to the sequential coder."""
+    from tpukit.codecs.ccsds121 import encode_plan
+
+    for trial in range(12):
+        nch = int(rng.integers(2, 6))
+        chunk = 16 * int(rng.integers(4, 40))           # multiple of J*rsi
+        rem = 16 * int(rng.integers(0, chunk // 16))
+        n = nch * chunk + rem
+        x = _gen(rng, n, int(rng.integers(0, 4)))
+        plan = encode_plan(jnp.asarray(x), chunk=chunk)
+        assert plan is not None
+        par = ck.encode_parallel(x, plan)
+        seq = ck.encode(x, 16)
+        assert par == seq, (trial, n, chunk, rem)
+        assert len(par) == (plan["total_bits"] + 7) // 8
+
+
+def test_encode_parallel_unaligned_offsets(rng):
+    """Chunks whose bit lengths are not byte-aligned exercise the splice's
+    shifted word path."""
+    from tpukit.codecs.ccsds121 import encode_plan
+    x = _gen(rng, 16 * 64, 1)
+    plan = encode_plan(jnp.asarray(x), chunk=16 * 8)
+    assert plan is not None
+    assert any(o % 8 for o in plan["bit_off"][1:])      # genuinely unaligned
+    assert ck.encode_parallel(x, plan) == ck.encode(x, 16)

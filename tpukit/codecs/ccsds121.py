@@ -127,8 +127,10 @@ def analyze(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2):
     lo_s, hi_s = jax.lax.associative_scan(_clip_compose, (lo_e, hi_e))
     k_sel = lo_s  # apply composed clamp to k_init = 0
 
-    # per-block split length at the selected k
-    split_sel = jnp.take_along_axis(split_len, k_sel[:, None], axis=1)[:, 0]
+    # per-block split length at the selected k: k_sel lies inside the argmin
+    # interval [mlo, mhi], so the selected length IS the row minimum (no
+    # gather needed — take_along_axis is slow on TPU)
+    split_sel = split_min
 
     # option choice (mirrors native emit_block: SE wins ties vs split)
     use_se = (se_len <= split_sel) & (se_len < nc_len)
@@ -176,6 +178,10 @@ def analyze(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2):
         "option": option,
         "blk_bits": blk_bits,
         "nbytes": nbytes,
+        "total_bits": total_bits,
+        # outgoing split-k interval: k_out = clip(k_in, k_lo_out, k_hi_out)
+        "k_lo_out": lo_s[-1],
+        "k_hi_out": hi_s[-1],
         "run_end": run_end,
         "z": z,
         "ros": ros,
@@ -194,95 +200,92 @@ def encode_size(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2) -> jax.A
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("bits", "J", "rsi"))
-def chunk_totals(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2):
-    """Per-chunk encoder model parameterized by the incoming k state.
+def chunk_stats(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2):
+    """Per-chunk model: (total_bits, k_lo_out, k_hi_out).
 
-    Because the stateful k selection is ``k = clip(k_in, lo, hi)`` (see
-    ``analyze``), a chunk's contribution is fully described by 14 candidate
-    totals (one per possible incoming k) plus the outgoing k for each —
-    the fs-cost table (the expensive part) is shared across all candidates.
-    Returns (total_bits[K], k_out[K]) with K = KMAX+1.
+    The chunk's bit length is INVARIANT to the incoming split-k state:
+    every block's k is ``clip(k_in-composed, mlo_b, mhi_b)`` and the final
+    clip lands inside the block's argmin interval [mlo_b, mhi_b], where by
+    construction every k attains the row-minimum split cost — so the cost
+    of every block (and the SE/no-compression option choice, which compares
+    against that minimum) does not depend on k_in. Only the *bit pattern*
+    (the emitted ID and fs codes) depends on k, which is why the parallel
+    encoder still threads the k chain: k_out = clip(k_in, k_lo_out,
+    k_hi_out). Mirrors libaec's assess_splitting_option, where the carried
+    k breaks ties but never changes the selected length.
     """
     a = analyze(x, bits=bits, J=J, rsi=rsi)
-    # recompute the pieces needed for all k_in variants
-    n = x.shape[0]
-    nb = n // J
-    d = a["d"]
-    bidx = jnp.arange(nb, dtype=jnp.int32)
-    is_ref = (bidx % rsi) == 0
-    m = jnp.where(is_ref, J - 1, J).astype(jnp.int32)
-    slot0 = jnp.arange(J) == 0
-    coded = jnp.where(is_ref[:, None] & slot0[None, :], 0, d)
+    return a["total_bits"], a["k_lo_out"], a["k_hi_out"]
+
+
+@partial(jax.jit, static_argnames=("bits", "J", "rsi"))
+def chunk_totals(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2):
+    """Compat table view of chunk_stats: (totals[K], kouts[K]), K = KMAX+1.
+    All totals entries are equal (see chunk_stats)."""
+    total, lo, hi = chunk_stats(x, bits=bits, J=J, rsi=rsi)
     ks = jnp.arange(KMAX + 1, dtype=jnp.int32)
-    fs_len = jnp.stack([jnp.sum(coded >> k, axis=1) for k in range(KMAX + 1)],
-                       axis=1)
-    split_len = fs_len + m[:, None] * (ks[None, :] + 1)
-    best = jnp.min(split_len, axis=1, keepdims=True)
-    is_min = split_len == best
-    mlo = jnp.argmax(is_min, axis=1).astype(jnp.int32)
-    mhi = (KMAX - jnp.argmax(is_min[:, ::-1], axis=1)).astype(jnp.int32)
-    allzero = jnp.all(coded == 0, axis=1)
-    lo_e = jnp.where(allzero, 0, mlo)
-    hi_e = jnp.where(allzero, KMAX, mhi)
-    lo_s, hi_s = jax.lax.associative_scan(_clip_compose, (lo_e, hi_e))
+    return jnp.full((KMAX + 1,), total), jnp.clip(ks, lo, hi)
 
-    GCAP = 1 << 20
-    se_src = coded
-    aa = se_src[:, 0::2]
-    bb = se_src[:, 1::2]
-    ssum = jnp.minimum(aa + bb, 2048)
-    gam = ssum * (ssum + 1) // 2 + jnp.minimum(bb, 65535)
-    gam_c = jnp.minimum(gam, GCAP)
-    se_len = 1 + jnp.sum(gam_c + 1, axis=1)
-    se_len = jnp.where(jnp.any(gam_c >= GCAP, axis=1), jnp.int32(1) << 28, se_len)
-    nc_len = (m * bits).astype(jnp.int32)
 
-    zero_total = jnp.sum(jnp.where(allzero, a["blk_bits"], 0))
+def encode_plan(x, bits: int = 16, J: int = 8, rsi: int = 2,
+                chunk: int = 1 << 22):
+    """Device-computed parallel-encode plan.
 
-    def total_for(k_in):
-        k_sel = jnp.clip(k_in, lo_s, hi_s)
-        split_sel = jnp.take_along_axis(split_len, k_sel[:, None], axis=1)[:, 0]
-        use_se = (se_len <= split_sel) & (se_len < nc_len)
-        use_nc = (~use_se) & (split_sel >= nc_len)
-        payload = jnp.where(use_se, se_len, jnp.where(use_nc, nc_len, split_sel))
-        nz_bits = ID_LEN + jnp.where(is_ref, bits, 0) + payload
-        total = jnp.sum(jnp.where(allzero, 0, nz_bits)) + zero_total
-        k_out = jnp.clip(k_in, lo_s[-1], hi_s[-1])
-        return total, k_out
+    Splits the stream into chunks aligned to reference-sample intervals
+    (chunks are then independent except for the carried split-k search
+    state), computes every chunk's k-state table on device — all programs
+    dispatch asynchronously, the tiny (nch, K) tables come back in ONE
+    device_get (the link's device->host latency dominates, so one batched
+    transfer instead of one per chunk) — and folds the exact k-state chain
+    on host in Python ints (no 32-bit overflow for huge streams).
 
-    totals, kouts = jax.vmap(total_for)(jnp.arange(KMAX + 1, dtype=jnp.int32))
-    return totals, kouts
+    Returns a dict with per-chunk ``sizes`` (samples), ``k_in`` (split-k
+    state entering each chunk), ``bit_off`` (exact bit offset of each
+    chunk's codewords in the stream), ``seg_bits`` (exact bit length of
+    each chunk), and ``total_bits``. A thread pool can then entropy-code
+    every chunk independently and splice the results at the planned
+    offsets — the TPU plans, the host packs (see
+    tpukit.native.ccsds121_host.encode_parallel). Returns None when the
+    stream is too small or misaligned to chunk (callers fall back to the
+    monolithic path)."""
+    n = int(x.shape[0])
+    step = J * rsi
+    assert chunk % step == 0 and n % J == 0
+    if n <= chunk or n % step != 0:
+        return None
+    main = (n // chunk) * chunk
+    rem = n - main
+    results = [chunk_stats(x[i * chunk:(i + 1) * chunk], bits=bits, J=J,
+                           rsi=rsi) for i in range(n // chunk)]
+    sizes = [chunk] * (n // chunk)
+    if rem:
+        results.append(chunk_stats(x[main:], bits=bits, J=J, rsi=rsi))
+        sizes.append(rem)
+    totals, los, his = jax.device_get(
+        (jnp.stack([t for t, _, _ in results]),
+         jnp.stack([lo for _, lo, _ in results]),
+         jnp.stack([hi for _, _, hi in results])))
+    k = 0
+    off = 0
+    k_in, bit_off, seg_bits = [], [], []
+    for t, lo, hi in zip(totals, los, his):
+        k_in.append(k)
+        bit_off.append(off)
+        seg_bits.append(int(t))
+        off += int(t)
+        k = int(min(max(k, lo), hi))
+    return {"n": n, "sizes": sizes, "k_in": k_in, "bit_off": bit_off,
+            "seg_bits": seg_bits, "total_bits": off,
+            "bits": bits, "J": J, "rsi": rsi}
 
 
 def encode_size_chunked(x, bits: int = 16, J: int = 8, rsi: int = 2,
                         chunk: int = 1 << 22) -> int:
-    """Exact encoded byte size using fixed-shape chunks.
-
-    All per-chunk programs dispatch asynchronously (two compiled shapes at
-    most: main chunk + remainder), then the tiny (nch, K) k-state tables come
-    back in ONE device_get — the tunnel's device->host latency dominates, so
-    one batched transfer instead of one per chunk. The exact k-state chain is
-    folded on host in Python ints (no 32-bit overflow for huge streams)."""
-    n = int(x.shape[0])
-    step = J * rsi
-    assert chunk % step == 0 and n % J == 0
-    if n <= chunk:
+    """Exact encoded byte size using fixed-shape chunks (see encode_plan)."""
+    plan = encode_plan(x, bits=bits, J=J, rsi=rsi, chunk=chunk)
+    if plan is None:
         return int(encode_size(x, bits=bits, J=J, rsi=rsi))
-    main = (n // chunk) * chunk
-    rem = n - main
-    results = [chunk_totals(x[i * chunk:(i + 1) * chunk], bits=bits, J=J,
-                            rsi=rsi) for i in range(n // chunk)]
-    if rem:
-        assert rem % step == 0
-        results.append(chunk_totals(x[main:], bits=bits, J=J, rsi=rsi))
-    totals, kouts = jax.device_get((jnp.stack([t for t, _ in results]),
-                                    jnp.stack([ko for _, ko in results])))
-    k = 0
-    total_bits = 0
-    for t, ko in zip(totals, kouts):
-        total_bits += int(t[k])
-        k = int(ko[k])
-    return (total_bits + 7) // 8
+    return (plan["total_bits"] + 7) // 8
 
 
 # ---------------------------------------------------------------------------

@@ -36,6 +36,56 @@ def encode(samples: np.ndarray, bits: int = 16,
     return out[:n].tobytes()
 
 
+def encode_parallel(samples: np.ndarray, plan: dict,
+                    threads: int | None = None) -> bytes:
+    """Parallel encode from a device-computed plan (TPU plans, host packs).
+
+    ``plan`` comes from tpukit.codecs.ccsds121.encode_plan: per-chunk sample
+    counts, incoming split-k states, exact bit offsets and bit lengths. Each
+    chunk starts at a reference-sample interval, so with the k-state supplied
+    the chunks are fully independent: a thread pool entropy-codes them into
+    local buffers (the ctypes calls release the GIL) and the results are
+    OR-spliced at the planned bit offsets. Byte-identical to ``encode``."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    lib = native.load()
+    x = np.ascontiguousarray(np.asarray(samples).ravel(), dtype=np.uint16)
+    if x.size != plan["n"]:
+        raise ValueError(f"plan is for n={plan['n']}, got {x.size}")
+    bits, J, rsi = plan["bits"], plan["J"], plan["rsi"]
+    sizes, k_in = plan["sizes"], plan["k_in"]
+    flags = FLAG_PREPROCESS
+
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+
+    def enc_one(i: int):
+        seg = x[starts[i]:starts[i + 1]]
+        buf = np.zeros(seg.size * 4 + 4096, np.uint8)
+        nbits = lib.ck121_encode_seg(
+            seg.ctypes.data_as(_u16p), seg.size, bits, J, rsi, flags,
+            int(k_in[i]), buf.ctypes.data_as(_u8p), buf.size)
+        if nbits < 0:
+            raise RuntimeError(f"ck121_encode_seg failed: {nbits}")
+        if nbits != plan["seg_bits"][i]:
+            raise RuntimeError(
+                f"chunk {i}: coder emitted {nbits} bits, device plan says "
+                f"{plan['seg_bits'][i]}")
+        return buf, int(nbits)
+
+    nseg = len(sizes)
+    with ThreadPoolExecutor(max_workers=threads or min(8, os.cpu_count() or 1,
+                                                       nseg)) as pool:
+        parts = list(pool.map(enc_one, range(nseg)))
+
+    total_bytes = (plan["total_bits"] + 7) // 8
+    out = np.zeros(total_bytes + 16, np.uint8)
+    for i, (buf, nbits) in enumerate(parts):
+        lib.ck121_splice(out.ctypes.data_as(_u8p), int(plan["bit_off"][i]),
+                         buf.ctypes.data_as(_u8p), nbits)
+    return out[:total_bytes].tobytes()
+
+
 def decode(bitstream: bytes, n_samples: int, bits: int = 16,
            block_size: int = DEFAULT_BLOCK_SIZE, rsi: int = DEFAULT_RSI,
            flags: int = FLAG_PREPROCESS) -> np.ndarray:

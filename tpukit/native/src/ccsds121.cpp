@@ -201,11 +201,14 @@ void emit_zero_run(BitWriter& bw, int z, bool ros, const Params& p) {
 
 }  // namespace
 
-extern "C" int64_t ck121_encode(const uint16_t* in, int64_t n, int bits,
-                                int block_size, int rsi, int flags,
-                                uint8_t* out, int64_t out_cap) {
-    if (bits < 5 || bits > 16 || n <= 0) return -1;
-    Params p = make_params(bits, block_size, rsi, flags);
+namespace {
+
+// Encode a whole stream (or a chunk starting at an RSI boundary, with the
+// split-k state carried in from the previous chunk). Returns the exact BIT
+// length of the emitted codewords (the buffer is flushed with zero padding
+// to a byte boundary, so chunks can be OR-spliced at arbitrary bit offsets).
+int64_t encode_core(const uint16_t* in, int64_t n, const Params& p,
+                    int k_state_init, uint8_t* out, int64_t out_cap) {
     const int J = p.J;
     if (n % J != 0) return -2;  // framework guarantees whole blocks
     int64_t nblocks = n / J;
@@ -213,7 +216,7 @@ extern "C" int64_t ck121_encode(const uint16_t* in, int64_t n, int bits,
     BitWriter bw(out, out_cap);
 
     std::vector<uint32_t> d(J);
-    int k_state = 0;  // split-k carried across blocks (libaec state->k)
+    int k_state = k_state_init;  // split-k carried across blocks
     // zero-run state
     int zrun = 0;
     bool zrun_has_ref = false;
@@ -280,7 +283,75 @@ extern "C" int64_t ck121_encode(const uint16_t* in, int64_t n, int bits,
     // a segment end for ROS purposes
     flush_zero_run(zrun > 4);
     if (bw.overflow) return -3;
-    return bw.bytes();
+    int64_t nbits = bw.bitpos_now();
+    bw.bytes();  // flush (zero padding)
+    if (bw.overflow) return -3;
+    return nbits;
+}
+
+}  // namespace
+
+extern "C" int64_t ck121_encode(const uint16_t* in, int64_t n, int bits,
+                                int block_size, int rsi, int flags,
+                                uint8_t* out, int64_t out_cap) {
+    if (bits < 5 || bits > 16 || n <= 0) return -1;
+    Params p = make_params(bits, block_size, rsi, flags);
+    int64_t nbits = encode_core(in, n, p, 0, out, out_cap);
+    if (nbits < 0) return nbits;
+    return (nbits + 7) / 8;
+}
+
+// Encode one chunk of a device-planned parallel encode: the chunk must
+// start at a reference-sample-interval boundary (the predictor restarts
+// there, so the only inter-chunk coupling is the split-k search state,
+// which the TPU-side plan supplies — tpukit/codecs/ccsds121.py
+// encode_plan). Returns the exact BIT length.
+extern "C" int64_t ck121_encode_seg(const uint16_t* in, int64_t n, int bits,
+                                    int block_size, int rsi, int flags,
+                                    int k_in, uint8_t* out, int64_t out_cap) {
+    if (bits < 5 || bits > 16 || n <= 0) return -1;
+    Params p = make_params(bits, block_size, rsi, flags);
+    if (k_in < 0 || k_in > p.kmax) return -7;
+    return encode_core(in, n, p, k_in, out, out_cap);
+}
+
+// OR-splice `nbits` MSB-first bits of `src` (starting at src bit 0) into
+// `dst` starting at bit `bit_off`. Word-batched. Trailing bits of src's
+// last byte must be zero (encode_core zero-pads), destination bits in the
+// spliced range must be zero beforehand (callers memset), and `dst` needs
+// 8 bytes of slack past the spliced region. All writes OR, so splices of
+// adjacent chunks compose in any order — but not concurrently (the shared
+// boundary byte is a plain read-modify-write).
+extern "C" void ck121_splice(uint8_t* dst, int64_t bit_off,
+                             const uint8_t* src, int64_t nbits) {
+    if (nbits <= 0) return;
+    int64_t nbytes = (nbits + 7) >> 3;
+    uint8_t* d = dst + (bit_off >> 3);
+    const int sh = (int)(bit_off & 7);
+    if (sh == 0) {
+        // byte-aligned: first/last bytes may be shared with neighbors
+        d[0] |= src[0];
+        if (nbytes > 2) std::memcpy(d + 1, src + 1, (size_t)(nbytes - 2));
+        if (nbytes > 1) d[nbytes - 1] |= src[nbytes - 1];
+        return;
+    }
+    int64_t i = 0;
+    for (; i + 8 <= nbytes; i += 8) {
+        uint64_t v;
+        std::memcpy(&v, src + i, 8);
+        v = __builtin_bswap64(v);          // MSB-first bit order
+        uint64_t cur;
+        std::memcpy(&cur, d + i, 8);
+        cur = __builtin_bswap64(cur);
+        cur |= v >> sh;
+        cur = __builtin_bswap64(cur);
+        std::memcpy(d + i, &cur, 8);
+        d[i + 8] |= (uint8_t)(v << (8 - sh));  // low sh bits carry over
+    }
+    for (; i < nbytes; ++i) {
+        d[i] |= (uint8_t)(src[i] >> sh);
+        d[i + 1] |= (uint8_t)(src[i] << (8 - sh));
+    }
 }
 
 extern "C" int64_t ck121_decode(const uint8_t* in, int64_t nbytes, int bits,
