@@ -90,6 +90,7 @@ def main():
     # ---- warm up / compile (cached across rounds via jax cache) ----
     t0 = time.perf_counter()
     _ = ck_dev.encode_plan(xj, chunk=CHUNK)
+    _ = ck_dev.encode_device(xj, chunk=CHUNK)
     q = quality_stats(cj.astype(jnp.int32), cj.astype(jnp.int32), vj)
     jax.block_until_ready(q)
     s = spectral_stats(cj.astype(jnp.int32), cj.astype(jnp.int32), vj)
@@ -116,6 +117,16 @@ def main():
         t_tpu.append(time.perf_counter() - t0)
     t_tpukit = min(t_tpu)
     assert size_model == len(bs), f"device size model {size_model} != {len(bs)}"
+
+    # full on-device encode (pack_words): byte parity + standalone timing.
+    # Not the headline flow on this host: the padded word buffer download
+    # over the device link costs more than the in-process C++ pack; on a
+    # co-located host (PCIe) the device path wins.
+    t0 = time.perf_counter()
+    bs_dev = ck_dev.encode_device(xj, chunk=CHUNK)
+    t_dev_encode = time.perf_counter() - t0
+    assert bs_dev == bs, "device-packed bitstream differs from C++ coder"
+    log(f"device-packed encode (TPU bit-packer): {t_dev_encode:.2f}s, byte-equal")
     met = assemble_quality({k: np.asarray(v) for k, v in qs.items()},
                            effective_data_range(cube, "int16"))
     assert met["lossless"] == 1
@@ -178,6 +189,7 @@ def main():
             "cr_vs_raw16": round(cube.nbytes / len(bs), 3),
             "lossless": 1,
             "bitstream_equals_libaec": True,
+            "t_encode_device_s": round(t_dev_encode, 3),
             **caseA,
         },
     }))

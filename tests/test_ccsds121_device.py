@@ -83,3 +83,25 @@ def test_encode_parallel_unaligned_offsets(rng):
     assert plan is not None
     assert any(o % 8 for o in plan["bit_off"][1:])      # genuinely unaligned
     assert ck.encode_parallel(x, plan) == ck.encode(x, 16)
+
+
+def test_pack_device_matches_native(rng):
+    """Full on-device encode (pack_words): byte-exact vs the C++ coder,
+    monolithic and chunked (k-state threaded through pack k_init)."""
+    for trial in range(8):
+        n = 8 * int(rng.integers(2, 400))
+        x = _gen(rng, n, trial % 4)
+        assert dev.encode_device(jnp.asarray(x), chunk=1 << 22) == ck.encode(x, 16)
+    for trial in range(3):
+        chunk = 16 * int(rng.integers(4, 50))
+        n = chunk * int(rng.integers(2, 5)) + 16 * int(rng.integers(0, chunk // 16))
+        x = _gen(rng, n, trial % 4)
+        assert dev.encode_device(jnp.asarray(x), chunk=chunk) == ck.encode(x, 16)
+
+
+def test_pack_device_all_zero_and_saturating(rng):
+    """Zero-run/ROS markers and no-compression blocks through the packer."""
+    assert (dev.encode_device(jnp.zeros(8 * 200, jnp.uint16), chunk=1 << 22)
+            == ck.encode(np.zeros(8 * 200, np.uint16), 16))
+    x = rng.integers(0, 65536, 8 * 64).astype(np.uint16)   # white noise -> NC
+    assert dev.encode_device(jnp.asarray(x), chunk=1 << 22) == ck.encode(x, 16)

@@ -174,8 +174,14 @@ def analyze(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2):
 
     return {
         "d": d,
+        "coded": coded,
         "k_sel": k_sel,
+        "lo_s": lo_s,
+        "hi_s": hi_s,
+        "is_ref": is_ref,
+        "allzero": allzero,
         "option": option,
+        "gam_c": gam_c,
         "blk_bits": blk_bits,
         "nbytes": nbytes,
         "total_bits": total_bits,
@@ -183,6 +189,7 @@ def analyze(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2):
         "k_lo_out": lo_s[-1],
         "k_hi_out": hi_s[-1],
         "run_end": run_end,
+        "head_idx": head_idx,
         "z": z,
         "ros": ros,
     }
@@ -192,6 +199,198 @@ def analyze(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2):
 def encode_size(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2) -> jax.Array:
     """Exact compressed byte size (== native/libaec encoder output length)."""
     return analyze(x, bits=bits, J=J, rsi=rsi)["nbytes"]
+
+
+# ---------------------------------------------------------------------------
+# Device bit-packer: the full encoder ON TPU (SURVEY §7.3's design —
+# vectorized per-block codeword registers, prefix-sum bit offsets, and a
+# disjoint-bit scatter-add into the output word buffer).
+# ---------------------------------------------------------------------------
+
+_REG_WORDS = 5   # every block codeword fits 160 bits (max is 132 for NC)
+
+
+def _reg_insert(W, pos, value, width, mask):
+    """OR `width`-bit `value` (MSB-first) at local bit `pos` into the
+    (nb, _REG_WORDS) register file. Vector over blocks; pos/width may vary
+    per block. Out-of-range positions drop silently (callers gate by mask,
+    which zeroes the value)."""
+    value = jnp.where(mask, value.astype(jnp.uint32), jnp.uint32(0))
+    pos = pos.astype(jnp.int32)
+    width = jnp.asarray(width, jnp.int32) + jnp.zeros_like(pos)
+    l = pos >> 5
+    s = pos & 31
+    left_space = 32 - s
+    rsh = width - left_space            # > 0: the value spans two words
+    # shift counts MUST be uint32: a signed count would promote the uint32
+    # value to signed and turn >> into an arithmetic shift
+    sh_span = jnp.clip(rsh, 0, 31).astype(jnp.uint32)
+    sh_fit = jnp.clip(left_space - width, 0, 31).astype(jnp.uint32)
+    sh_lo = jnp.clip(32 - rsh, 0, 31).astype(jnp.uint32)
+    hi = jnp.where(rsh > 0, value >> sh_span, value << sh_fit)
+    lo = jnp.where(rsh > 0, value << sh_lo, jnp.uint32(0))
+    lanes = jnp.arange(_REG_WORDS, dtype=jnp.int32)
+    W = W | jnp.where(l[:, None] == lanes[None], hi[:, None], jnp.uint32(0))
+    W = W | jnp.where((l + 1)[:, None] == lanes[None], lo[:, None],
+                      jnp.uint32(0))
+    return W
+
+
+def _excl_cumsum(x, axis):
+    c = jnp.cumsum(x, axis=axis)
+    return c - x
+
+
+@partial(jax.jit, static_argnames=("bits", "J", "rsi", "out_words"))
+def pack_words(x: jax.Array, k_init: jax.Array, bits: int = 16, J: int = 8,
+               rsi: int = 2, out_words: int = 0):
+    """Full CCSDS-121 encode on device: (words[out_words] uint32, total_bits).
+
+    Bit-exact with the C++/libaec coder (fuzz-tested): every block's
+    codeword is built in a fixed 5-word register (vectorized over all
+    blocks), block bit offsets come from a prefix sum of the modeled
+    lengths, and the registers scatter-add into the output — contributions
+    never share set bits, so add == or. The bitstream is the big-endian
+    byte view of `words`. ``k_init`` is the split-k search state entering
+    the chunk (0 for a whole stream; from encode_plan for chunked packing).
+    """
+    a = analyze(x, bits=bits, J=J, rsi=rsi)
+    n = x.shape[0]
+    nb = n // J
+    d = a["d"]
+    coded = a["coded"]
+    is_ref = a["is_ref"]
+    option = a["option"]
+    run_end = a["run_end"]
+    k_sel = jnp.clip(k_init.astype(jnp.int32), a["lo_s"], a["hi_s"])
+
+    blk_off = _excl_cumsum(a["blk_bits"], 0)
+    W = jnp.zeros((nb, _REG_WORDS), jnp.uint32)
+    slot0 = jnp.arange(J) == 0
+    coded_mask = ~(is_ref[:, None] & slot0[None, :])
+    zeros = jnp.zeros((nb,), jnp.int32)
+
+    is_split = option == 0
+    is_se = option == 1
+    is_nc = option == 2
+
+    # --- ID fields -----------------------------------------------------------
+    W = _reg_insert(W, zeros, k_sel + 1, ID_LEN, is_split)
+    W = _reg_insert(W, zeros, jnp.ones((nb,), jnp.int32), ID_LEN + 1, is_se)
+    W = _reg_insert(W, zeros, jnp.full((nb,), (1 << ID_LEN) - 1, jnp.int32),
+                    ID_LEN, is_nc)
+    # zero-run marker ID+selector are all-zero bits: nothing to set
+
+    # --- reference samples ---------------------------------------------------
+    ref_pos = jnp.where(is_se, ID_LEN + 1, ID_LEN) + zeros
+    W = _reg_insert(W, ref_pos, d[:, 0], bits, is_ref & (is_split | is_se))
+
+    # --- no-compression body: J raw (preprocessed) samples -------------------
+    for i in range(J):
+        W = _reg_insert(W, zeros + ID_LEN + bits * i, d[:, i], bits, is_nc)
+
+    # --- split option: fs codes then k-bit LSBs -------------------------------
+    base = ID_LEN + jnp.where(is_ref, bits, 0)
+    q = coded >> k_sel[:, None]
+    fs_len = jnp.where(coded_mask, q + 1, 0)
+    cumex = _excl_cumsum(fs_len, 1)
+    one_pos = base[:, None] + cumex + q          # position of each fs '1'
+    ones = jnp.ones((nb,), jnp.int32)
+    for i in range(J):
+        W = _reg_insert(W, one_pos[:, i], ones, 1,
+                        is_split & coded_mask[:, i])
+    fs_total = cumex[:, -1] + fs_len[:, -1]
+    base2 = base + fs_total
+    rank = jnp.cumsum(coded_mask, axis=1) - 1
+    kmask = (jnp.uint32(1) << jnp.clip(k_sel, 0, 31).astype(jnp.uint32)) - 1
+    for i in range(J):
+        W = _reg_insert(W, base2 + rank[:, i] * k_sel,
+                        coded[:, i].astype(jnp.uint32) & kmask, k_sel,
+                        is_split & coded_mask[:, i] & (k_sel > 0))
+
+    # --- second extension: gamma fs codes -------------------------------------
+    gam = a["gam_c"]
+    gbase = ID_LEN + 1 + jnp.where(is_ref, bits, 0)
+    gcum = _excl_cumsum(gam + 1, 1)
+    for p in range(J // 2):
+        W = _reg_insert(W, gbase + gcum[:, p] + gam[:, p], ones, 1, is_se)
+
+    # --- zero-run markers (attributed to the run-end block) ------------------
+    head = jnp.clip(a["head_idx"], 0, nb - 1)
+    head_is_ref = jnp.take(is_ref, head)
+    zref = jnp.take(d[:, 0], head)
+    W = _reg_insert(W, zeros + ID_LEN + 1, zref, bits,
+                    run_end & head_is_ref)
+    z = a["z"]
+    v = jnp.where(a["ros"], 4, jnp.where(z <= 4, z - 1, z))
+    W = _reg_insert(W, ID_LEN + 1 + jnp.where(head_is_ref, bits, 0) + v,
+                    ones, 1, run_end)
+
+    # --- scatter the registers into the global word buffer -------------------
+    out = jnp.zeros((out_words,), jnp.uint32)
+    for l in range(_REG_WORDS):
+        gb = blk_off + 32 * l
+        g = gb >> 5
+        s = gb & 31
+        wl = W[:, l]
+        hi = wl >> s.astype(jnp.uint32)
+        lo = jnp.where(s > 0, wl << jnp.clip(32 - s, 0, 31).astype(jnp.uint32),
+                       jnp.uint32(0))
+        out = out.at[g].add(hi, mode="drop")
+        out = out.at[g + 1].add(lo, mode="drop")
+    return out, a["total_bits"]
+
+
+def pack_cap_words(n: int, bits: int = 16) -> int:
+    """Static output-word capacity for pack_words: the worst block expansion
+    is no-compression (ID_LEN + J*bits per J*bits raw) plus marker slack."""
+    return int(n * bits * 1.04 + 2048) // 32 + 64
+
+
+def encode_device(x, bits: int = 16, J: int = 8, rsi: int = 2,
+                  chunk: int = 1 << 23) -> bytes:
+    """Produce the actual CCSDS-121 bitstream entirely on device.
+
+    Chunked like encode_plan (the k chain threads through pack_words's
+    k_init); the packed word buffers come down in one device_get and are
+    bit-spliced on host (the only host work). Byte-identical to
+    encode()/libaec."""
+    from tpukit import native
+    import ctypes as ct
+
+    n = int(x.shape[0])
+    plan = encode_plan(x, bits=bits, J=J, rsi=rsi, chunk=chunk)
+    if plan is None:
+        words, total_bits = pack_words(x, jnp.int32(0), bits=bits, J=J,
+                                       rsi=rsi, out_words=pack_cap_words(n, bits))
+        words, total_bits = jax.device_get((words, total_bits))
+        nbytes = (int(total_bits) + 7) // 8
+        return words.astype(">u4").tobytes()[:nbytes]
+
+    parts = []
+    starts = [0]
+    for sz in plan["sizes"]:
+        starts.append(starts[-1] + sz)
+    for i, sz in enumerate(plan["sizes"]):
+        words, tb = pack_words(x[starts[i]:starts[i + 1]],
+                               jnp.int32(plan["k_in"][i]), bits=bits, J=J,
+                               rsi=rsi, out_words=pack_cap_words(sz, bits))
+        parts.append((words, tb))
+    host = jax.device_get(parts)
+
+    lib = native.load()
+    total_bytes = (plan["total_bits"] + 7) // 8
+    out = np.zeros(total_bytes + 16, np.uint8)
+    u8p = ct.POINTER(ct.c_uint8)
+    for i, (words, tb) in enumerate(host):
+        assert int(tb) == plan["seg_bits"][i], \
+            f"chunk {i}: packed {int(tb)} bits, plan says {plan['seg_bits'][i]}"
+        nby = (int(tb) + 7) // 8
+        seg = np.ascontiguousarray(words.astype(">u4")).view(np.uint8)[:nby + 8]
+        seg = np.ascontiguousarray(seg)
+        lib.ck121_splice(out.ctypes.data_as(u8p), int(plan["bit_off"][i]),
+                         seg.ctypes.data_as(u8p), int(tb))
+    return out[:total_bytes].tobytes()
 
 
 # ---------------------------------------------------------------------------
