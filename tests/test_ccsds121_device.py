@@ -105,3 +105,22 @@ def test_pack_device_all_zero_and_saturating(rng):
             == ck.encode(np.zeros(8 * 200, np.uint16), 16))
     x = rng.integers(0, 65536, 8 * 64).astype(np.uint16)   # white noise -> NC
     assert dev.encode_device(jnp.asarray(x), chunk=1 << 22) == ck.encode(x, 16)
+
+
+def test_device_model_sub16_bits(rng):
+    """bits<16 must use the true xmax=(1<<bits)-1 in the residual map
+    (regression: the model silently assumed 16-bit samples)."""
+    for bits in (12, 14, 9):
+        x = rng.integers(0, 1 << bits, 8 * 150).astype(np.uint16)
+        assert int(dev.encode_size(jnp.asarray(x), bits=bits)) == \
+            len(ck.encode(x, bits))
+        assert dev.encode_device(jnp.asarray(x), bits=bits, chunk=1 << 22) \
+            == ck.encode(x, bits)
+
+
+def test_chunk_misaligned_to_rsi(rng):
+    """encode_plan must round the chunk down to an RSI boundary (or fall
+    back) instead of asserting for rsi values that do not divide it."""
+    x = _gen(rng, 8 * 3 * 100, 1)
+    n = dev.encode_size_chunked(jnp.asarray(x), rsi=3, chunk=8 * 3 * 10 + 8)
+    assert n == len(ck.encode(x, 16, 8, 3))

@@ -46,7 +46,11 @@ class CodecResult:
     codec: str
     encoder: str
     bitstream_bytes: int
-    recon: np.ndarray                      # (B, H, W) reconstructed cube
+    # (B, H, W) reconstructed cube. run() paths return a numpy array;
+    # batched sweep paths (J2KCodec.sweep_qualities) return a DEVICE array
+    # so downstream device metrics cost no host round-trip — call
+    # np.asarray(recon) when host bytes are needed.
+    recon: "np.ndarray | object"
     t_comp_s: float
     t_dec_s: float
     bitstreams: Optional[Dict[str, bytes]] = None  # name -> stream (kept on request)

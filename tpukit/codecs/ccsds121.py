@@ -37,12 +37,12 @@ KMAX = (1 << ID_LEN) - 3          # 13
 SEGMENT_BLOCKS = 64
 
 
-def _map_residuals(x: jax.Array, ref_period: int) -> jax.Array:
+def _map_residuals(x: jax.Array, ref_period: int, bits: int = 16) -> jax.Array:
     """Unit-delay predictor + standard residual mapping; raw samples at
     reference positions (every ref_period samples)."""
     xi = x.astype(jnp.int32)
     prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), xi[:-1]])
-    xmax = jnp.int32(65535)
+    xmax = jnp.int32((1 << bits) - 1)
     theta = jnp.minimum(prev, xmax - prev)
     delta = xi - prev
     d = jnp.where((delta >= 0) & (delta <= theta), 2 * delta,
@@ -74,10 +74,13 @@ def analyze(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2):
     """
     n = x.shape[0]
     assert n % J == 0, "whole blocks required"
+    # ID_LEN/KMAX are the 4-bit-ID regime of the standard; other sample
+    # sizes need a different ID table — reject rather than model wrongly
+    assert 8 < bits <= 16, f"device model supports 8 < bits <= 16, got {bits}"
     nb = n // J
     ref_period = J * rsi
 
-    d_flat = _map_residuals(x, ref_period)
+    d_flat = _map_residuals(x, ref_period, bits)
     d = d_flat.reshape(nb, J)
     bidx = jnp.arange(nb, dtype=jnp.int32)
     is_ref = (bidx % rsi) == 0
@@ -341,10 +344,15 @@ def pack_words(x: jax.Array, k_init: jax.Array, bits: int = 16, J: int = 8,
     return out, a["total_bits"]
 
 
-def pack_cap_words(n: int, bits: int = 16) -> int:
-    """Static output-word capacity for pack_words: the worst block expansion
-    is no-compression (ID_LEN + J*bits per J*bits raw) plus marker slack."""
-    return int(n * bits * 1.04 + 2048) // 32 + 64
+def pack_cap_words(n: int, bits: int = 16, J: int = 8) -> int:
+    """Static output-word capacity for pack_words. Exact worst case per
+    block is ID_LEN + 1 (SE selector) + J*bits (reference samples are
+    included in the J*bits of the no-compression payload), so this bound
+    can never be exceeded — overflowing scatter writes would be silently
+    dropped (mode=\"drop\")."""
+    nb = (n + J - 1) // J
+    cap_bits = nb * (ID_LEN + 1) + n * bits + 64
+    return cap_bits // 32 + 2
 
 
 def encode_device(x, bits: int = 16, J: int = 8, rsi: int = 2,
@@ -355,14 +363,13 @@ def encode_device(x, bits: int = 16, J: int = 8, rsi: int = 2,
     k_init); the packed word buffers come down in one device_get and are
     bit-spliced on host (the only host work). Byte-identical to
     encode()/libaec."""
-    from tpukit import native
-    import ctypes as ct
+    from tpukit.native.ccsds121_host import splice_segments
 
     n = int(x.shape[0])
     plan = encode_plan(x, bits=bits, J=J, rsi=rsi, chunk=chunk)
     if plan is None:
         words, total_bits = pack_words(x, jnp.int32(0), bits=bits, J=J,
-                                       rsi=rsi, out_words=pack_cap_words(n, bits))
+                                       rsi=rsi, out_words=pack_cap_words(n, bits, J))
         words, total_bits = jax.device_get((words, total_bits))
         nbytes = (int(total_bits) + 7) // 8
         return words.astype(">u4").tobytes()[:nbytes]
@@ -374,23 +381,12 @@ def encode_device(x, bits: int = 16, J: int = 8, rsi: int = 2,
     for i, sz in enumerate(plan["sizes"]):
         words, tb = pack_words(x[starts[i]:starts[i + 1]],
                                jnp.int32(plan["k_in"][i]), bits=bits, J=J,
-                               rsi=rsi, out_words=pack_cap_words(sz, bits))
+                               rsi=rsi, out_words=pack_cap_words(sz, bits, J))
         parts.append((words, tb))
     host = jax.device_get(parts)
-
-    lib = native.load()
-    total_bytes = (plan["total_bits"] + 7) // 8
-    out = np.zeros(total_bytes + 16, np.uint8)
-    u8p = ct.POINTER(ct.c_uint8)
-    for i, (words, tb) in enumerate(host):
-        assert int(tb) == plan["seg_bits"][i], \
-            f"chunk {i}: packed {int(tb)} bits, plan says {plan['seg_bits'][i]}"
-        nby = (int(tb) + 7) // 8
-        seg = np.ascontiguousarray(words.astype(">u4")).view(np.uint8)[:nby + 8]
-        seg = np.ascontiguousarray(seg)
-        lib.ck121_splice(out.ctypes.data_as(u8p), int(plan["bit_off"][i]),
-                         seg.ctypes.data_as(u8p), int(tb))
-    return out[:total_bytes].tobytes()
+    return splice_segments(
+        [(words.astype(">u4").view(np.uint8), int(tb)) for words, tb in host],
+        plan)
 
 
 # ---------------------------------------------------------------------------
@@ -417,15 +413,6 @@ def chunk_stats(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2):
     return a["total_bits"], a["k_lo_out"], a["k_hi_out"]
 
 
-@partial(jax.jit, static_argnames=("bits", "J", "rsi"))
-def chunk_totals(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2):
-    """Compat table view of chunk_stats: (totals[K], kouts[K]), K = KMAX+1.
-    All totals entries are equal (see chunk_stats)."""
-    total, lo, hi = chunk_stats(x, bits=bits, J=J, rsi=rsi)
-    ks = jnp.arange(KMAX + 1, dtype=jnp.int32)
-    return jnp.full((KMAX + 1,), total), jnp.clip(ks, lo, hi)
-
-
 def encode_plan(x, bits: int = 16, J: int = 8, rsi: int = 2,
                 chunk: int = 1 << 22):
     """Device-computed parallel-encode plan.
@@ -449,8 +436,9 @@ def encode_plan(x, bits: int = 16, J: int = 8, rsi: int = 2,
     monolithic path)."""
     n = int(x.shape[0])
     step = J * rsi
-    assert chunk % step == 0 and n % J == 0
-    if n <= chunk or n % step != 0:
+    assert n % J == 0, "whole blocks required"
+    chunk -= chunk % step       # chunks must end on an RSI boundary
+    if chunk <= 0 or n <= chunk or n % step != 0:
         return None
     main = (n // chunk) * chunk
     rem = n - main

@@ -177,6 +177,8 @@ class J2KCodec(Codec):
               else jnp.asarray(valid).astype(bool))
         dr = float(effective_data_range(cube, dtype_name))
         results = self.sweep_qualities(cube, dtype_name, qualities)
+        if not results:
+            return []
         stats = [quality_stats(ref_dev, r.recon.astype(jnp.int32), vm)
                  for r in results]
         stacked = jax.device_get(

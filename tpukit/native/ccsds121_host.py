@@ -36,6 +36,26 @@ def encode(samples: np.ndarray, bits: int = 16,
     return out[:n].tobytes()
 
 
+def splice_segments(parts, plan: dict) -> bytes:
+    """Assemble per-chunk codeword buffers into one stream at the plan's
+    exact bit offsets (ck121_splice). ``parts``: [(uint8 buffer, nbits)] in
+    chunk order; each buffer must hold at least ceil(nbits/8)+8 bytes with
+    the trailing bits zero. Raises if a chunk's bit length disagrees with
+    the device plan (the only cross-check between packer and plan)."""
+    lib = native.load()
+    total_bytes = (plan["total_bits"] + 7) // 8
+    out = np.zeros(total_bytes + 16, np.uint8)
+    for i, (buf, nbits) in enumerate(parts):
+        if int(nbits) != plan["seg_bits"][i]:
+            raise RuntimeError(
+                f"chunk {i}: coder emitted {int(nbits)} bits, device plan "
+                f"says {plan['seg_bits'][i]}")
+        buf = np.ascontiguousarray(buf, dtype=np.uint8)
+        lib.ck121_splice(out.ctypes.data_as(_u8p), int(plan["bit_off"][i]),
+                         buf.ctypes.data_as(_u8p), int(nbits))
+    return out[:total_bytes].tobytes()
+
+
 def encode_parallel(samples: np.ndarray, plan: dict,
                     threads: int | None = None) -> bytes:
     """Parallel encode from a device-computed plan (TPU plans, host packs).
@@ -67,23 +87,13 @@ def encode_parallel(samples: np.ndarray, plan: dict,
             int(k_in[i]), buf.ctypes.data_as(_u8p), buf.size)
         if nbits < 0:
             raise RuntimeError(f"ck121_encode_seg failed: {nbits}")
-        if nbits != plan["seg_bits"][i]:
-            raise RuntimeError(
-                f"chunk {i}: coder emitted {nbits} bits, device plan says "
-                f"{plan['seg_bits'][i]}")
         return buf, int(nbits)
 
     nseg = len(sizes)
     with ThreadPoolExecutor(max_workers=threads or min(8, os.cpu_count() or 1,
                                                        nseg)) as pool:
         parts = list(pool.map(enc_one, range(nseg)))
-
-    total_bytes = (plan["total_bits"] + 7) // 8
-    out = np.zeros(total_bytes + 16, np.uint8)
-    for i, (buf, nbits) in enumerate(parts):
-        lib.ck121_splice(out.ctypes.data_as(_u8p), int(plan["bit_off"][i]),
-                         buf.ctypes.data_as(_u8p), nbits)
-    return out[:total_bytes].tobytes()
+    return splice_segments(parts, plan)
 
 
 def decode(bitstream: bytes, n_samples: int, bits: int = 16,
