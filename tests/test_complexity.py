@@ -68,3 +68,16 @@ def test_nodata_ignored(rng):
     m_plain = compute_all_arrays(arr)
     # masked stats should be in a sane range, not dominated by the hole
     assert 0 < m_masked["grad_mean"] < 3 * m_plain["grad_mean"]
+
+
+def test_nodata_border_has_no_gradient():
+    """Gradients touching nodata are excluded (regression: a flat tile with
+    a nodata border ranked as high-complexity)."""
+    from tpukit.analysis.complexity import compute_all_arrays
+    flat = np.full((1, 64, 64), 1000.0, np.float32)
+    bordered = flat.copy()
+    bordered[:, :, :4] = -9999.0
+    m_plain = compute_all_arrays(flat)
+    m_border = compute_all_arrays(bordered, nodata=-9999.0)
+    assert m_plain["grad_mean"] == 0.0
+    assert m_border["grad_mean"] == 0.0

@@ -98,3 +98,17 @@ def test_empty_mask_spectral(tile_caseB):
     vm = np.zeros(tile_caseB.shape[1:], bool)
     got = compute_sam_sid_lmse(tile_caseB, tile_caseB, vm)
     assert np.isnan(got["sam_deg"]) and np.isnan(got["sid"])
+
+
+def test_float_cubes_not_truncated():
+    """Float rasters must difference in float (regression: int32 cast made
+    sub-1.0 errors vanish and could report false lossless)."""
+    from tpukit.metrics.quality import compute_metrics
+    ref = np.full((1, 16, 16), 10.4, np.float32)
+    tst = np.full((1, 16, 16), 11.1, np.float32)
+    met = compute_metrics(ref, tst, "float32", data_range=100.0)
+    assert abs(met["max_abs_err"] - 0.7) < 1e-5
+    assert met["lossless"] == 0
+    tst2 = ref + np.float32(0.4)
+    met2 = compute_metrics(ref, tst2, "float32", data_range=100.0)
+    assert met2["lossless"] == 0 and met2["max_abs_err"] > 0.3

@@ -123,3 +123,18 @@ def test_float32(tmp_path, rng):
     arr = rng.random(size=(2, 20, 20)).astype(np.float32)
     meta, out, _ = _roundtrip(tmp_path, arr)
     np.testing.assert_array_equal(out, arr)
+
+
+def test_one_bit_internal_mask(tmp_path):
+    """1-bit packed planes (GDAL/rasterio internal masks) must be unpacked
+    bitwise, not misread as bytes."""
+    PIL = pytest.importorskip("PIL.Image")
+    from tpukit.io import tiff
+    m = np.zeros((20, 33), np.uint8)
+    m[3:15, 5:29] = 1
+    img = PIL.fromarray(m.astype(bool))
+    p = tmp_path / "mask1bit.tif"
+    img.save(p)
+    with tiff.Dataset(p) as ds:
+        got = ds.read(1)
+    np.testing.assert_array_equal(got.astype(bool), m.astype(bool))

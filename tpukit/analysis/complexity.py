@@ -53,12 +53,23 @@ def _compute_device(arr: jax.Array, valid: jax.Array, hf_cut: float,
     nv_safe = jnp.maximum(nv, 1.0)
 
     # ---- gradient complexity ----
-    gx, gy = finite_diff_grad(a)
+    # The reference NaN-masks nodata before differencing
+    # (tile_complexity.py gradient_complexity), so gradients that touch an
+    # invalid pixel are excluded from the statistics. Equivalent masked
+    # form: zero-fill invalid samples and keep only gradients whose whole
+    # finite-difference stencil (a 3x3 cross, edge-replicated) is valid.
+    af = jnp.where(valid[None], a, 0.0)
+    gx, gy = finite_diff_grad(af)
+    vp = jnp.pad(valid, 1, mode="edge")
+    gvalid = (vp[1:-1, 1:-1] & vp[:-2, 1:-1] & vp[2:, 1:-1]
+              & vp[1:-1, :-2] & vp[1:-1, 2:])
+    gv = gvalid.astype(jnp.float32)
+    ngv = jnp.maximum(jnp.sum(gv), 1.0)
     mag = jnp.sqrt(gx * gx + gy * gy)
-    max_mag = jnp.max(jnp.where(valid[None], mag, -jnp.inf), axis=0)
-    max_mag = jnp.where(valid, max_mag, 0.0)
-    gmean = jnp.sum(max_mag * v) / nv_safe
-    gvar = jnp.sum((max_mag - gmean) ** 2 * v) / nv_safe
+    max_mag = jnp.max(jnp.where(gvalid[None], mag, -jnp.inf), axis=0)
+    max_mag = jnp.where(gvalid, max_mag, 0.0)
+    gmean = jnp.sum(max_mag * gv) / ngv
+    gvar = jnp.sum((max_mag - gmean) ** 2 * gv) / ngv
     grad_mean = gmean
     grad_std = jnp.sqrt(gvar)
 
@@ -82,8 +93,6 @@ def _compute_device(arr: jax.Array, valid: jax.Array, hf_cut: float,
     # radial profile via segment sums
     rmax = jnp.max(R)
     binw = rmax / nbins_radial
-    idx = jnp.clip((R / jnp.maximum(binw, 1e-12)).astype(jnp.int32), 0,
-                   nbins_radial - 1)
     # digitize semantics of the reference: bin i covers (edges[i], edges[i+1]]
     idx = jnp.clip(jnp.ceil(R / jnp.maximum(binw, 1e-12)).astype(jnp.int32) - 1,
                    0, nbins_radial - 1)

@@ -271,7 +271,7 @@ class Dataset:
     def __init__(self, path: Union[str, Path]):
         self.path = Path(path)
         self._buf = np.fromfile(self.path, dtype=np.uint8)
-        self._mv = memoryview(self._buf.tobytes())
+        self._mv = memoryview(self._buf)  # zero-copy view of the file buffer
         p = _Parser(self._mv)
         self._parser = p
         ifds: List[IFD] = []
@@ -387,6 +387,9 @@ class Dataset:
         bo = self._parser.bo
         dt = np.dtype(dtype).newbyteorder(bo)
         spp = nbands if planar == 1 else 1
+        # TIFF 6.0: BitsPerSample defaults to 1 (bilevel) when absent —
+        # PIL omits the tag for 1-bit images; GDAL/rasterio always write it
+        bits_ps = int(ifd.scalar(TAG_BITS_PER_SAMPLE, 1) or 1)
 
         tiles_x = (W + tw - 1) // tw
         tiles_y = (H + th - 1) // th
@@ -408,11 +411,26 @@ class Dataset:
                 else:
                     rows = min(th, H - ty * th)
                     cols = W
-                n_expected = rows * cols * spp
-                arr = np.frombuffer(raw, dtype=dt, count=min(n_expected, len(raw) // dt.itemsize))
-                if arr.size < n_expected:
-                    arr = np.concatenate([arr, np.zeros(n_expected - arr.size, dtype=dt)])
-                arr = arr.reshape(rows, cols, spp).astype(dtype)
+                if bits_ps == 1:
+                    # 1-bit packed plane (GDAL/rasterio internal masks): rows
+                    # are MSB-first bit rows padded to whole bytes
+                    rowbytes = (cols * spp + 7) // 8
+                    need = rows * rowbytes
+                    rawb = np.frombuffer(raw, np.uint8,
+                                         count=min(need, len(raw)))
+                    if rawb.size < need:
+                        rawb = np.concatenate(
+                            [rawb, np.zeros(need - rawb.size, np.uint8)])
+                    arr = np.unpackbits(rawb.reshape(rows, rowbytes),
+                                        axis=1)[:, :cols * spp]
+                    arr = arr.reshape(rows, cols, spp).astype(dtype)
+                else:
+                    n_expected = rows * cols * spp
+                    arr = np.frombuffer(raw, dtype=dt,
+                                        count=min(n_expected, len(raw) // dt.itemsize))
+                    if arr.size < n_expected:
+                        arr = np.concatenate([arr, np.zeros(n_expected - arr.size, dtype=dt)])
+                    arr = arr.reshape(rows, cols, spp).astype(dtype)
                 if pred == 2:
                     arr = _undo_predictor2(arr)
                 plane = arr[..., band_idx0] if planar == 1 else arr[..., 0]
@@ -472,6 +490,7 @@ class Dataset:
     def close(self):
         self._cache.clear()
         self._mv = memoryview(b"")
+        self._parser = None  # drops the last reference to the file buffer
         self._buf = None
 
     def __enter__(self):

@@ -37,13 +37,19 @@ def quality_stats(ref: jax.Array, tst: jax.Array, valid: jax.Array) -> Dict[str,
     Matches reference run_codec.py:264-285: if the mask selects nothing,
     statistics fall back to all pixels (``use_mask = np.any(vm)``).
     """
-    a = ref.astype(jnp.int32)
-    r = tst.astype(jnp.int32)
+    # Integer cubes difference exactly in int32; float cubes must NOT be
+    # truncated toward zero (the reference differences the original arrays
+    # in float64, run_codec.py:275-285) — keep them in float32.
+    is_float = jnp.issubdtype(ref.dtype, jnp.floating) or \
+        jnp.issubdtype(tst.dtype, jnp.floating)
+    work_dt = jnp.float32 if is_float else jnp.int32
+    a = ref.astype(work_dt)
+    r = tst.astype(work_dt)
     w = valid.astype(jnp.int32)
     any_valid = jnp.any(w > 0)
     w = jnp.where(any_valid, w, jnp.ones_like(w))
     wf = w.astype(jnp.float32)[None]          # (1,H,W)
-    wi = w[None]
+    wi = w[None].astype(work_dt)
 
     af = a.astype(jnp.float32)
     rf = r.astype(jnp.float32)
@@ -110,8 +116,11 @@ def assemble_quality(stats: Dict[str, np.ndarray], data_range: float) -> Dict[st
     sum_rc2 = np.asarray(stats["sum_rc2"], dtype=np.float64)
     sum_acrc = np.asarray(stats["sum_acrc"], dtype=np.float64)
     sse = np.asarray(stats["sse"], dtype=np.float64)
-    maxerr = np.asarray(stats["maxerr"], dtype=np.int64)
+    maxerr = np.asarray(stats["maxerr"], dtype=np.float64)  # float cubes
     B = len(c_a)
+
+    def _err(v: float):
+        return int(v) if float(v).is_integer() else float(v)
 
     psnrs, ssims = [], []
     for i in range(B):
@@ -140,13 +149,13 @@ def assemble_quality(stats: Dict[str, np.ndarray], data_range: float) -> Dict[st
         "ssim_band_avg": float(np.nanmean(ssims)) if ssims else float("nan"),
         "psnr_global": psnr_total,
         "ssim_global": ssim_total,
-        "max_abs_err": int(maxerr.max()) if B else 0,
+        "max_abs_err": _err(maxerr.max()) if B else 0,
         "lossless": 1 if (B and maxerr.max() == 0) else 0,
     }
     for i in range(B):
         out[f"psnr_b{i+1}"] = psnrs[i]
         out[f"ssim_b{i+1}"] = ssims[i]
-        out[f"maxerr_b{i+1}"] = int(maxerr[i])
+        out[f"maxerr_b{i+1}"] = _err(maxerr[i])
     return out
 
 

@@ -185,7 +185,12 @@ def mosaic(paths: Sequence[Path], band_indices: Optional[List[int]] = None,
 
 def _wb_whitepatch(R, G, B, valid=None, q=98):
     def qv(x):
-        return np.percentile(x[valid], q) if (valid is not None and valid.any()) else np.percentile(x, q)
+        # bands may hold NaN at their own nodata even where `valid` (built
+        # from another band) is True — be NaN-aware or the whole quicklook
+        # turns black
+        sel = x[valid] if (valid is not None and valid.any()) else x
+        v = np.nanpercentile(sel, q) if sel.size else np.nan
+        return v if np.isfinite(v) else 1.0
     rq, gq, bq = qv(R), qv(G), qv(B)
     t = (rq + gq + bq) / 3.0
     return (np.clip(R * (t / (rq + 1e-6)), 0, 1),
@@ -194,10 +199,11 @@ def _wb_whitepatch(R, G, B, valid=None, q=98):
 
 
 def _wb_grayworld(R, G, B, valid=None):
-    if valid is not None and valid.any():
-        rm, gm, bm = np.median(R[valid]), np.median(G[valid]), np.median(B[valid])
-    else:
-        rm, gm, bm = np.median(R), np.median(G), np.median(B)
+    def med(x):
+        sel = x[valid] if (valid is not None and valid.any()) else x
+        v = np.nanmedian(sel) if sel.size else np.nan
+        return v if np.isfinite(v) else 1.0
+    rm, gm, bm = med(R), med(G), med(B)
     m = np.mean([rm, gm, bm]) + 1e-6
     return (np.clip(R * (m / (rm + 1e-6)), 0, 1),
             np.clip(G * (m / (gm + 1e-6)), 0, 1),

@@ -33,7 +33,7 @@ from tpukit.io.manifest import guess_mask_path, load_indices
 from tpukit.metrics import compute_metrics, compute_sam_sid_lmse
 from tpukit.metrics.link import link_for_case
 from tpukit.sweep import csvio
-from tpukit.sweep.proc import MemorySampler, bytes_to_mib
+from tpukit.sweep.proc import MemorySampler
 
 
 def log(s: str):
@@ -196,8 +196,9 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
                             for name, data in result.bitstreams.items():
                                 (bit_dir / name).write_bytes(data)
 
-                # quicklooks (reference run_codec.py:511-520)
-                if cfg.quicklooks and cfg.write_artifacts and not reused:
+                # quicklooks (reference run_codec.py:511-520 — regenerated
+                # on every pass, including resumed reconstructions)
+                if cfg.quicklooks and cfg.write_artifacts:
                     try:
                         from tpukit.viz import quicklooks as ql
                         run_dir.mkdir(parents=True, exist_ok=True)

@@ -47,10 +47,8 @@ def pretty_codec(name: str) -> str:
 
 
 def read_csv_smart(path) -> pd.DataFrame:
-    try:
-        df = pd.read_csv(path, sep=None, engine="python", decimal=",")
-    except Exception:
-        df = pd.read_csv(path, sep=None, engine="python", decimal=".")
+    from tpukit.sweep.csvio import read_csv_smart as _read
+    df = _read(path)
     df.columns = [re.sub(r"\s+", "_", str(c).strip()) for c in df.columns]
     return df
 
