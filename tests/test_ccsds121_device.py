@@ -124,3 +124,14 @@ def test_chunk_misaligned_to_rsi(rng):
     x = _gen(rng, 8 * 3 * 100, 1)
     n = dev.encode_size_chunked(jnp.asarray(x), rsi=3, chunk=8 * 3 * 10 + 8)
     assert n == len(ck.encode(x, 16, 8, 3))
+
+
+def test_pack_device_wide_blocks(rng):
+    """J=16/32 codewords exceed 160 bits (regression: the packer's register
+    file was fixed at 5 words and silently dropped the overflow)."""
+    for J in (16, 32):
+        n = J * 96  # fixed size per J: one compiled shape each
+        for trial in range(3):
+            x = _gen(rng, n, trial + 1)
+            got = dev.encode_device(jnp.asarray(x), J=J, chunk=1 << 22)
+            assert got == ck.encode(x, 16, J, 2), (J, trial)

@@ -210,12 +210,15 @@ def encode_size(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2) -> jax.A
 # disjoint-bit scatter-add into the output word buffer).
 # ---------------------------------------------------------------------------
 
-_REG_WORDS = 5   # every block codeword fits 160 bits (max is 132 for NC)
+def _reg_words(bits: int, J: int) -> int:
+    """Register words per block: the worst codeword is ID_LEN + 1 (SE
+    selector) + J*bits (no-compression payload, reference sample included)."""
+    return (ID_LEN + 1 + J * bits + 31) // 32
 
 
 def _reg_insert(W, pos, value, width, mask):
     """OR `width`-bit `value` (MSB-first) at local bit `pos` into the
-    (nb, _REG_WORDS) register file. Vector over blocks; pos/width may vary
+    (nb, reg_words) register file. Vector over blocks; pos/width may vary
     per block. Out-of-range positions drop silently (callers gate by mask,
     which zeroes the value)."""
     value = jnp.where(mask, value.astype(jnp.uint32), jnp.uint32(0))
@@ -232,7 +235,7 @@ def _reg_insert(W, pos, value, width, mask):
     sh_lo = jnp.clip(32 - rsh, 0, 31).astype(jnp.uint32)
     hi = jnp.where(rsh > 0, value >> sh_span, value << sh_fit)
     lo = jnp.where(rsh > 0, value << sh_lo, jnp.uint32(0))
-    lanes = jnp.arange(_REG_WORDS, dtype=jnp.int32)
+    lanes = jnp.arange(W.shape[1], dtype=jnp.int32)
     W = W | jnp.where(l[:, None] == lanes[None], hi[:, None], jnp.uint32(0))
     W = W | jnp.where((l + 1)[:, None] == lanes[None], lo[:, None],
                       jnp.uint32(0))
@@ -247,15 +250,20 @@ def _excl_cumsum(x, axis):
 @partial(jax.jit, static_argnames=("bits", "J", "rsi", "out_words"))
 def pack_words(x: jax.Array, k_init: jax.Array, bits: int = 16, J: int = 8,
                rsi: int = 2, out_words: int = 0):
-    """Full CCSDS-121 encode on device: (words[out_words] uint32, total_bits).
+    """Full CCSDS-121 encode on device.
+
+    Returns (words[out_words] uint32, total_bits, k_lo_out, k_hi_out): the
+    packed stream plus the chunk's outgoing split-k interval so callers can
+    chain chunks as device scalars without a host sync.
 
     Bit-exact with the C++/libaec coder (fuzz-tested): every block's
-    codeword is built in a fixed 5-word register (vectorized over all
-    blocks), block bit offsets come from a prefix sum of the modeled
-    lengths, and the registers scatter-add into the output — contributions
-    never share set bits, so add == or. The bitstream is the big-endian
-    byte view of `words`. ``k_init`` is the split-k search state entering
-    the chunk (0 for a whole stream; from encode_plan for chunked packing).
+    codeword is built in a fixed-width register file sized for the worst
+    codeword of (bits, J) (vectorized over all blocks), block bit offsets
+    come from a prefix sum of the modeled lengths, and the registers
+    scatter-add into the output — contributions never share set bits, so
+    add == or. The bitstream is the big-endian byte view of `words`.
+    ``k_init`` is the split-k search state entering the chunk (0 for a
+    whole stream).
     """
     a = analyze(x, bits=bits, J=J, rsi=rsi)
     n = x.shape[0]
@@ -268,7 +276,7 @@ def pack_words(x: jax.Array, k_init: jax.Array, bits: int = 16, J: int = 8,
     k_sel = jnp.clip(k_init.astype(jnp.int32), a["lo_s"], a["hi_s"])
 
     blk_off = _excl_cumsum(a["blk_bits"], 0)
-    W = jnp.zeros((nb, _REG_WORDS), jnp.uint32)
+    W = jnp.zeros((nb, _reg_words(bits, J)), jnp.uint32)
     slot0 = jnp.arange(J) == 0
     coded_mask = ~(is_ref[:, None] & slot0[None, :])
     zeros = jnp.zeros((nb,), jnp.int32)
@@ -331,7 +339,7 @@ def pack_words(x: jax.Array, k_init: jax.Array, bits: int = 16, J: int = 8,
 
     # --- scatter the registers into the global word buffer -------------------
     out = jnp.zeros((out_words,), jnp.uint32)
-    for l in range(_REG_WORDS):
+    for l in range(_reg_words(bits, J)):
         gb = blk_off + 32 * l
         g = gb >> 5
         s = gb & 31
@@ -341,7 +349,7 @@ def pack_words(x: jax.Array, k_init: jax.Array, bits: int = 16, J: int = 8,
                        jnp.uint32(0))
         out = out.at[g].add(hi, mode="drop")
         out = out.at[g + 1].add(lo, mode="drop")
-    return out, a["total_bits"]
+    return out, a["total_bits"], a["k_lo_out"], a["k_hi_out"]
 
 
 def pack_cap_words(n: int, bits: int = 16, J: int = 8) -> int:
@@ -359,34 +367,50 @@ def encode_device(x, bits: int = 16, J: int = 8, rsi: int = 2,
                   chunk: int = 1 << 23) -> bytes:
     """Produce the actual CCSDS-121 bitstream entirely on device.
 
-    Chunked like encode_plan (the k chain threads through pack_words's
-    k_init); the packed word buffers come down in one device_get and are
-    bit-spliced on host (the only host work). Byte-identical to
-    encode()/libaec."""
+    Chunks end on reference-sample intervals, and the split-k chain threads
+    between chunks as DEVICE scalars (k_next = clip(k, lo_out, hi_out)), so
+    every chunk's pack dispatches asynchronously and analyze() runs exactly
+    once per chunk; the packed word buffers and bit lengths come down in one
+    device_get and are bit-spliced on host (the only host work).
+    Byte-identical to encode()/libaec."""
     from tpukit.native.ccsds121_host import splice_segments
 
     n = int(x.shape[0])
-    plan = encode_plan(x, bits=bits, J=J, rsi=rsi, chunk=chunk)
-    if plan is None:
-        words, total_bits = pack_words(x, jnp.int32(0), bits=bits, J=J,
-                                       rsi=rsi, out_words=pack_cap_words(n, bits, J))
+    step = J * rsi
+    assert n % J == 0, "whole blocks required"
+    chunk -= chunk % step
+    if chunk <= 0 or n <= chunk or n % step != 0:
+        words, total_bits, _, _ = pack_words(
+            x, jnp.int32(0), bits=bits, J=J, rsi=rsi,
+            out_words=pack_cap_words(n, bits, J))
         words, total_bits = jax.device_get((words, total_bits))
         nbytes = (int(total_bits) + 7) // 8
         return words.astype(">u4").tobytes()[:nbytes]
 
+    sizes = [chunk] * (n // chunk)
+    if n % chunk:
+        sizes.append(n % chunk)
     parts = []
-    starts = [0]
-    for sz in plan["sizes"]:
-        starts.append(starts[-1] + sz)
-    for i, sz in enumerate(plan["sizes"]):
-        words, tb = pack_words(x[starts[i]:starts[i + 1]],
-                               jnp.int32(plan["k_in"][i]), bits=bits, J=J,
-                               rsi=rsi, out_words=pack_cap_words(sz, bits, J))
+    start = 0
+    k = jnp.int32(0)
+    for sz in sizes:
+        words, tb, lo, hi = pack_words(x[start:start + sz], k, bits=bits,
+                                       J=J, rsi=rsi,
+                                       out_words=pack_cap_words(sz, bits, J))
         parts.append((words, tb))
+        k = jnp.clip(k, lo, hi)
+        start += sz
     host = jax.device_get(parts)
+    seg_bits = [int(tb) for _, tb in host]
+    off = 0
+    bit_off = []
+    for tb in seg_bits:
+        bit_off.append(off)
+        off += tb
+    plan = {"seg_bits": seg_bits, "bit_off": bit_off, "total_bits": off}
     return splice_segments(
-        [(words.astype(">u4").view(np.uint8), int(tb)) for words, tb in host],
-        plan)
+        [(words.astype(">u4").view(np.uint8), tb) for (words, _), tb
+         in zip(host, seg_bits)], plan)
 
 
 # ---------------------------------------------------------------------------

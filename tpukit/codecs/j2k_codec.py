@@ -129,13 +129,17 @@ class J2KCodec(Codec):
                                      "97", LEVELS))
         t_dwt = time.perf_counter() - t0
 
-        scale_dev = jnp.asarray(_subband_steps(Hp, Wp, 1.0))
+        scale_host = _subband_steps(Hp, Wp, 1.0)
+        scale_dev = jnp.asarray(scale_host)
         results = []
         with ThreadPoolExecutor(max_workers=min(8, B)) as pool:
             for q in qualities:
                 q = int(q)
                 base = base_step_for_quality(q, peak)
-                steps = _subband_steps(Hp, Wp, base)
+                # bit-exact per-quality step map: the per-level factors are
+                # exact powers of two, so scaling the base=1 map reproduces
+                # _subband_steps(Hp, Wp, base) without rebuilding it
+                steps = scale_host * np.float32(base)
                 t0 = time.perf_counter()
                 qc = np.trunc(coefs / steps[None]).astype(np.int32)
                 perm = qc.reshape(B, -1)[:, order]

@@ -118,6 +118,9 @@ extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
                               int64_t n) {
     if (nbytes < 1 || n <= 0) return -1;
     int nplanes = in[0];
+    // a legitimate stream has <= 32 planes (int32 magnitudes); larger values
+    // mean corruption and would shift by >= the type width (UB)
+    if (nplanes > 32) return -2;
     BitReader br(in + 1, nbytes - 1);
     int64_t ngroups = (n + GROUP - 1) / GROUP;
     std::vector<uint8_t> active((size_t)ngroups, 0);
