@@ -59,6 +59,11 @@ def run_codec_main(argv=None):
     ap.add_argument("--preproc", default=None)
     ap.add_argument("--nbit", type=int, default=None)
     ap.add_argument("--zlevel", type=int, default=None)
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the sweep into DIR "
+                         "(view with TensorBoard / xprof; the TPU analog of "
+                         "the reference's wall-clock/psutil instrumentation, "
+                         "SURVEY §5.1)")
     args, _extra = ap.parse_known_args(argv)
 
     from tpukit.codecs.registry import create
@@ -96,7 +101,12 @@ def run_codec_main(argv=None):
         ql_rgb=args.ql_rgb, ql_err_global=args.ql_err_global,
         ql_err_zoom=args.ql_err_zoom, case=args.case, asset=args.asset,
         link_mbps=link_mbps, link_eff=link_eff, csv_decimal=args.csv_decimal)
-    run_sweep(cfg)
+    if args.profile:
+        import jax
+        with jax.profiler.trace(str(args.profile)):
+            run_sweep(cfg)
+    else:
+        run_sweep(cfg)
     return 0
 
 
