@@ -135,3 +135,15 @@ def test_pack_device_wide_blocks(rng):
             x = _gen(rng, n, trial + 1)
             got = dev.encode_device(jnp.asarray(x), J=J, chunk=1 << 22)
             assert got == ck.encode(x, 16, J, 2), (J, trial)
+
+
+def test_fs_table_pallas_matches_jnp(rng):
+    """The Pallas fs-cost kernel (interpreter mode on CPU) must match the
+    jnp reference for every k, including the padded tail tile."""
+    from tpukit.codecs.ccsds121 import _fs_table_jnp, _fs_table_pallas
+    for J in (8, 16):
+        nb = int(rng.integers(3, 700))
+        coded = jnp.asarray(rng.integers(0, 65536, (nb, J)).astype(np.int32))
+        ref = np.asarray(_fs_table_jnp(coded))
+        got = np.asarray(_fs_table_pallas(coded, interpret=True))
+        np.testing.assert_array_equal(got, ref)

@@ -31,6 +31,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 ID_LEN = 4        # 8 < bits <= 16
 KMAX = (1 << ID_LEN) - 3          # 13
@@ -50,6 +52,60 @@ def _map_residuals(x: jax.Array, ref_period: int, bits: int = 16) -> jax.Array:
                             theta + jnp.abs(delta)))
     is_ref = (jnp.arange(x.shape[0], dtype=jnp.int32) % ref_period) == 0
     return jnp.where(is_ref, xi, d)
+
+
+def _fs_table_jnp(coded: jax.Array) -> jax.Array:
+    """(nb, J) -> (nb, KMAX+1) split-sample cost table: sum(coded >> k)."""
+    return jnp.stack([jnp.sum(coded >> k, axis=1)
+                      for k in range(KMAX + 1)], axis=1)
+
+
+def _fs_table_pallas(coded: jax.Array, interpret: bool = False) -> jax.Array:
+    """Pallas version of the fs-cost table — the FLOP/bandwidth-heavy stage
+    of the encoder model. The jnp form re-reads the (nb, J) residuals once
+    per k (14 HBM passes); this kernel streams each block tile through VMEM
+    once and produces all K sums in-register. Blocks ride the lane axis
+    ((J, lanes) tiles), so J must be a multiple of the int32 sublane tile.
+    """
+    nb, J = coded.shape
+    LANES = 4096
+    ct = coded.T                                  # (J, nb): blocks on lanes
+    nb_pad = -(-nb // LANES) * LANES
+    if nb_pad != nb:
+        ct = jnp.pad(ct, ((0, 0), (0, nb_pad - nb)))
+
+    def kernel(x_ref, o_ref):
+        v = x_ref[:]
+        o_ref[:] = jnp.concatenate(
+            [jnp.sum(v >> k, axis=0, keepdims=True)
+             for k in range(KMAX + 1)], axis=0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb_pad // LANES,),
+        in_specs=[pl.BlockSpec((J, LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((KMAX + 1, LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((KMAX + 1, nb_pad), jnp.int32),
+        interpret=interpret,
+    )(ct)
+    return out[:, :nb].T
+
+
+def _fs_table(coded: jax.Array) -> jax.Array:
+    """Backend dispatch: Pallas on TPU (unless TPUKIT_FS_PALLAS=0), jnp
+    elsewhere (CPU tests exercise the Pallas kernel in interpreter mode).
+    The target platform is the configured default DEVICE when one is set
+    (tests pin jax_default_device to CPU while a TPU backend stays
+    registered), else the default backend."""
+    import os
+    nb, J = coded.shape
+    dev = jax.config.jax_default_device
+    platform = getattr(dev, "platform", None) or jax.default_backend()
+    use_pallas = (platform == "tpu" and J % 8 == 0
+                  and os.environ.get("TPUKIT_FS_PALLAS", "1") != "0")
+    return _fs_table_pallas(coded) if use_pallas else _fs_table_jnp(coded)
 
 
 def _clip_compose(left, right):
@@ -93,8 +149,7 @@ def analyze(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2):
     # ---- split-k cost table -------------------------------------------------
     # One (nb,) reduction per k keeps peak memory at O(nb*J), not O(nb*J*K).
     ks = jnp.arange(KMAX + 1, dtype=jnp.int32)
-    fs_len = jnp.stack([jnp.sum(coded >> k, axis=1) for k in range(KMAX + 1)],
-                       axis=1)  # (nb, K)
+    fs_len = _fs_table(coded)  # (nb, K); Pallas single-pass kernel on TPU
     split_len = fs_len + m[:, None] * (ks[None, :] + 1)
 
     # minimizer interval [mlo, mhi] of the convex split_len row
