@@ -94,18 +94,17 @@ def _fs_table_pallas(coded: jax.Array, interpret: bool = False) -> jax.Array:
 
 
 def _fs_table(coded: jax.Array) -> jax.Array:
-    """Backend dispatch: Pallas on TPU (unless TPUKIT_FS_PALLAS=0), jnp
-    elsewhere (CPU tests exercise the Pallas kernel in interpreter mode).
-    The target platform is the configured default DEVICE when one is set
-    (tests pin jax_default_device to CPU while a TPU backend stays
-    registered), else the default backend."""
+    """Backend dispatch: the Pallas kernel on TPU (unless
+    TPUKIT_FS_PALLAS=0), jnp elsewhere. Resolved at LOWERING time via
+    jax.lax.platform_dependent — guessing from the default backend/device
+    is wrong whenever a TPU backend stays registered while the computation
+    targets CPU (virtual-device test meshes, the multi-chip dry run)."""
     import os
     nb, J = coded.shape
-    dev = jax.config.jax_default_device
-    platform = getattr(dev, "platform", None) or jax.default_backend()
-    use_pallas = (platform == "tpu" and J % 8 == 0
-                  and os.environ.get("TPUKIT_FS_PALLAS", "1") != "0")
-    return _fs_table_pallas(coded) if use_pallas else _fs_table_jnp(coded)
+    if J % 8 != 0 or os.environ.get("TPUKIT_FS_PALLAS", "1") == "0":
+        return _fs_table_jnp(coded)
+    return jax.lax.platform_dependent(coded, tpu=_fs_table_pallas,
+                                      default=_fs_table_jnp)
 
 
 def _clip_compose(left, right):
