@@ -384,9 +384,12 @@ extern "C" int64_t ck121_decode(const uint8_t* in, int64_t nbytes, int bits,
     while (b < nblocks) {
         bool ref = p.preprocess && (b % p.rsi == 0);
         if (zero_pending > 0) {
-            for (int i = 0; i < J; ++i) d[i] = 0;
             if (ref) return -4;  // runs never span an RSI boundary
-            unpreprocess_block(false);
+            // zero residuals decode to a constant run: with preprocessing,
+            // unmap(0, prev) == prev for every sample; without, plain zeros
+            uint16_t* x = out + b * J;
+            const uint16_t fill = p.preprocess ? (uint16_t)prev : 0;
+            for (int i = 0; i < J; ++i) x[i] = fill;
             --zero_pending;
             ++b;
             continue;
@@ -447,9 +450,20 @@ extern "C" int64_t ck121_decode(const uint8_t* in, int64_t nbytes, int bits,
             if (ref) zref = (uint32_t)br.get_bits(p.bits);
             int start = ref ? 1 : 0;
             for (int i = start; i < J; ++i) d[i] = br.get_fs() << k;
-            if (k > 0)
-                for (int i = start; i < J; ++i)
-                    d[i] |= (uint32_t)br.get_bits(k);
+            if (k > 0) {
+                const int m = J - start;
+                const int64_t total = (int64_t)m * k;
+                if (total <= 57) {
+                    // batch all split LSB fields in one windowed read
+                    uint64_t v = br.get_bits((int)total);
+                    const uint32_t mk = (1u << k) - 1;
+                    for (int i = start, j = m - 1; i < J; ++i, --j)
+                        d[i] |= (uint32_t)(v >> (j * k)) & mk;
+                } else {
+                    for (int i = start; i < J; ++i)
+                        d[i] |= (uint32_t)br.get_bits(k);
+                }
+            }
             if (ref) d[0] = zref;
             unpreprocess_block(ref);
             ++b;
