@@ -93,3 +93,22 @@ def test_tile_complexity_cli(tile_file, capsys):
     assert rc == 0
     m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "grad_mean" in m and m["bands"] == 4
+
+
+def test_run_codec_profile_flag(tmp_path, rng):
+    """--profile wraps the sweep in a jax.profiler trace and writes the
+    TensorBoard/xprof artifacts."""
+    from tpukit.cli.main import run_codec_main
+    cube = rng.integers(0, 4096, (1, 32, 32)).astype(np.uint16)
+    p = tmp_path / "t.tif"
+    tiff.write_geotiff(p, cube)
+    idx = tmp_path / "idx.json"
+    write_manifest(idx, "caseA", "tile_1024", [{"tile_id": "HC", "path": p}])
+    trace_dir = tmp_path / "trace"
+    rc = run_codec_main([
+        "--indices", str(idx), "--codec", "png", "--rate-key", "none",
+        "--outdir", str(tmp_path / "runs"), "--reps", "1", "--no-artifacts",
+        "--profile", str(trace_dir)])
+    assert rc == 0
+    planes = list(trace_dir.rglob("*.xplane.pb"))
+    assert planes, f"no xplane trace written under {trace_dir}"
