@@ -60,3 +60,121 @@ def test_device_size_matches_cpp_through_step(rng):
     for t in range(T):
         flat = np.moveaxis(tiles[t], 0, -1).ravel()
         assert out["bitstream_bytes"][t] == len(ck.encode(flat, 16))
+
+
+def test_sharded_metric_ladder_matches_single(rng):
+    """The mesh-sharded quality+spectral ladder equals the single-device
+    ladder for two codec families' reconstructions (SURVEY §2.3 item 3)."""
+    import jax.numpy as jnp
+    from tpukit.codecs.base import RateSpec
+    from tpukit.codecs.registry import create
+    from tpukit.metrics.quality import quality_stats_ladder
+    from tpukit.metrics.spectral import spectral_stats_ladder
+    from tpukit.parallel.mesh import (make_mesh, place_ladder_inputs,
+                                      sharded_metric_ladder)
+
+    base = rng.integers(300, 3000, (32, 32)).astype(np.int32)
+    cube = np.clip(base[None] + rng.integers(-80, 80, (4, 32, 32)),
+                   0, 4095).astype(np.uint16)
+    recons = []
+    for res in create("j2k").sweep_rates(
+            cube, "uint16", [RateSpec.of("quality", q) for q in (15, 60)]):
+        recons.append(np.asarray(res.recon))
+    for res in create("ccsds122").sweep_rates(
+            cube, "uint16", [RateSpec.of("bpp", v) for v in (1.0, 4.0)]):
+        recons.append(np.asarray(res.recon))
+    vm = rng.random((32, 32)) > 0.1
+
+    mesh = make_mesh(jax.devices("cpu")[:8], dp=4, sp=2)
+    step = sharded_metric_ladder(mesh, has_nodata=False, caseb=True)
+    refj, stack, vmj, samj, nodj, n_real = place_ladder_inputs(
+        mesh, cube, recons, vm, vm, 0.0)
+    qs, ss = step(refj, stack, vmj, samj, nodj)
+    assert n_real == 4
+
+    qs1 = quality_stats_ladder(jnp.asarray(cube),
+                               jnp.asarray(np.stack(recons)),
+                               jnp.asarray(vm), jnp.float32(0.0), False)
+    ss1 = spectral_stats_ladder(jnp.asarray(cube),
+                                jnp.asarray(np.stack(recons)),
+                                jnp.asarray(vm))
+    for k in qs1:
+        np.testing.assert_allclose(np.asarray(qs[k])[:n_real],
+                                   np.asarray(qs1[k]), rtol=1e-5)
+    for k in ss1:
+        np.testing.assert_allclose(np.asarray(ss[k])[:n_real],
+                                   np.asarray(ss1[k]), rtol=1e-5)
+
+
+def test_sweep_csv_identical_dp1_vs_dp8(tmp_path, rng):
+    """run-codec --mesh: the CSV is bit-identical between dp=1 and dp=8
+    (sharding changes layout, not results)."""
+    from tpukit.codecs.registry import create
+    from tpukit.io import tiff, write_manifest
+    from tpukit.sweep.runner import SweepConfig, run_sweep
+
+    base = rng.integers(300, 3000, (32, 32)).astype(np.int32)
+    cube = np.clip(base[None] + rng.integers(-80, 80, (4, 32, 32)),
+                   0, 4095).astype(np.uint16)
+    p = tmp_path / "t.tif"
+    tiff.write_geotiff(p, cube)
+    idx = tmp_path / "index.json"
+    write_manifest(idx, "caseA", "tile", [{"tile_id": "T", "path": p}])
+
+    csvs = {}
+    for name, mesh in (("dp1", "1"), ("dp8", "8"), ("dp4sp2", "4,2")):
+        cfg = SweepConfig(
+            indices=idx, codec=create("j2k"), codec_label="j2k",
+            outdir=tmp_path / f"runs_{name}", rate_key="quality",
+            rates=[20, 60], reps=2, write_artifacts=False,
+            quicklooks=False, mesh=mesh)
+        run_sweep(cfg)
+        csvs[name] = (tmp_path / f"runs_{name}" / "metrics.csv").read_text()
+
+    # timing/memory columns differ run to run; compare the rest
+    import csv as csvmod
+    import io
+
+    def stable(text):
+        rows = list(csvmod.reader(io.StringIO(text), delimiter=";"))
+        hdr = rows[0]
+        drop = {i for i, h in enumerate(hdr)
+                if h.startswith(("t_", "mem_"))}
+        return [[v for i, v in enumerate(r) if i not in drop]
+                for r in rows]
+
+    assert stable(csvs["dp1"]) == stable(csvs["dp8"]) == stable(csvs["dp4sp2"])
+
+
+def test_sharded_j2k_model_matches_host_coder(rng):
+    """The sharded J2K quantized-coefficient model prices tiles byte-exactly
+    vs the native embedded coder."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpukit.codecs import wavelet_common as wc
+    from tpukit.codecs.j2k_codec import LEVELS, _subband_steps, \
+        base_step_for_quality
+    from tpukit.kernels import dwt as dwtk
+    from tpukit.parallel.mesh import make_mesh, sharded_j2k_model
+
+    T, B, H, W = 4, 2, 32, 32
+    tiles = rng.integers(0, 4096, (T, B, H, W)).astype(np.float32)
+    mesh = make_mesh(jax.devices("cpu")[:4], dp=4, sp=1)
+    step = sharded_j2k_model(mesh, levels=LEVELS)
+
+    order = wc.scan_order(H, W, LEVELS)
+    scale = _subband_steps(H, W, 1.0)
+    base = base_step_for_quality(40, 4095.0)
+    rep = NamedSharding(mesh, P())
+    sizes = np.asarray(step(
+        jax.device_put(tiles, NamedSharding(mesh, P("dp", None, None, None))),
+        jax.device_put(scale, rep),
+        jax.device_put(np.float32(base), rep),
+        jax.device_put(order.astype(np.int32), rep)))
+
+    for t in range(T):
+        coefs = np.asarray(dwtk.dwt2(jnp.asarray(tiles[t]), "97", LEVELS))
+        qc = np.trunc(coefs / (scale * np.float32(base))[None]).astype(np.int32)
+        expect = sum(len(wc.bpc_encode(qc[b].ravel()[order]))
+                     for b in range(B))
+        assert int(sizes[t]) == expect

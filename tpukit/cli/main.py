@@ -59,11 +59,26 @@ def run_codec_main(argv=None):
     ap.add_argument("--preproc", default=None)
     ap.add_argument("--nbit", type=int, default=None)
     ap.add_argument("--zlevel", type=int, default=None)
+    ap.add_argument("--crop-nodata", dest="crop_nodata", action="store_true",
+                    help="ccsds123: skip coding of 100%% NoData tiles")
+    ap.add_argument("--tilex", type=int, default=None,
+                    help="j2k: independent-tile width (TILEXSIZE)")
+    ap.add_argument("--tiley", type=int, default=None,
+                    help="j2k: independent-tile height (TILEYSIZE)")
+    ap.add_argument("--rate-fit", dest="rate_fit", action="store_true",
+                    help="j2k: hit bpp/cr targets by device bisection over "
+                         "the exact coder size model instead of the "
+                         "heuristic quality tables")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the sweep into DIR "
                          "(view with TensorBoard / xprof; the TPU analog of "
                          "the reference's wall-clock/psutil instrumentation, "
                          "SURVEY §5.1)")
+    ap.add_argument("--mesh", metavar="DP[,SP]", default=None,
+                    help="shard the (rates x reps) metric ladder over a "
+                         "device mesh: DP-way over lanes, SP-way over the "
+                         "band axis (falls back to the virtual CPU mesh "
+                         "when fewer real devices exist)")
     args, _extra = ap.parse_known_args(argv)
 
     from tpukit.codecs.registry import create
@@ -77,10 +92,15 @@ def run_codec_main(argv=None):
         codec = ShellCodec(args.compressor_cmd, extra)
     else:
         copts = {}
-        for k in ("tile", "interleave", "preproc", "nbit", "zlevel"):
+        for k in ("tile", "interleave", "preproc", "nbit", "zlevel",
+                  "tilex", "tiley"):
             v = getattr(args, k)
             if v is not None:
                 copts[k] = v
+        if args.crop_nodata:
+            copts["crop_nodata"] = True
+        if args.rate_fit:
+            copts["rate_fit"] = True
         codec = create(args.codec, **copts)
 
     case_name, _, _ = load_indices(Path(args.indices))
@@ -100,7 +120,8 @@ def run_codec_main(argv=None):
         quicklooks=not args.no_artifacts,
         ql_rgb=args.ql_rgb, ql_err_global=args.ql_err_global,
         ql_err_zoom=args.ql_err_zoom, case=args.case, asset=args.asset,
-        link_mbps=link_mbps, link_eff=link_eff, csv_decimal=args.csv_decimal)
+        link_mbps=link_mbps, link_eff=link_eff, csv_decimal=args.csv_decimal,
+        mesh=args.mesh)
     if args.profile:
         import jax
         with jax.profiler.trace(str(args.profile)):

@@ -89,6 +89,16 @@ class Codec(ABC):
             keep_bitstream: bool = False, **opts) -> CodecResult:
         """Encode + decode; return result with recon and exact stream size."""
 
+    def sweep_rates(self, cube: np.ndarray, dtype_name: str, specs,
+                    keep_bitstream: bool = False, **opts) -> List[CodecResult]:
+        """Run a whole rate ladder on one cube; returns one CodecResult per
+        RateSpec, in order. Transform codecs override this to amortize the
+        device transform across the ladder (the reference re-runs the full
+        codec per rate point, run_codec.py:472-495); the default is the
+        plain per-point loop."""
+        return [self.run(cube, dtype_name, s, keep_bitstream=keep_bitstream,
+                         **opts) for s in specs]
+
     def timed(self, fn):
         t0 = time.perf_counter()
         out = fn()

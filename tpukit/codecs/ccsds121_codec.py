@@ -29,6 +29,7 @@ from tpukit.codecs.base import Codec, CodecResult, RateSpec
 from tpukit.io import raw as rawio
 from tpukit.kernels.diff1 import diff1_forward_np, diff1_inverse_np
 from tpukit.native import ccsds121_host
+from tpukit.sweep.proc import mem_phase
 
 
 class CCSDS121Codec(Codec):
@@ -71,15 +72,18 @@ class CCSDS121Codec(Codec):
                     self.interleave).ravel()
 
                 t0 = time.perf_counter()
-                bs = ccsds121_host.encode(flat, self.nbit, self.block_size, self.rsi)
+                with mem_phase("comp"):
+                    bs = ccsds121_host.encode(flat, self.nbit,
+                                              self.block_size, self.rsi)
                 t_enc += time.perf_counter() - t0
                 sum_bytes += len(bs)
                 if keep_bitstream:
                     streams[f"t_x{x0:05d}_y{y0:05d}.aec"] = bs
 
                 t0 = time.perf_counter()
-                dec = ccsds121_host.decode(bs, flat.size, self.nbit,
-                                           self.block_size, self.rsi)
+                with mem_phase("dec"):
+                    dec = ccsds121_host.decode(bs, flat.size, self.nbit,
+                                               self.block_size, self.rsi)
                 t_dec += time.perf_counter() - t0
                 rec = rawio.interleaved_to_bsq(dec, self.interleave, B, th, tw)
                 if cube.dtype == np.int16:

@@ -28,6 +28,7 @@ from tpukit import native
 from tpukit.codecs.base import (Codec, CodecResult, RateSpec,
                                 codec_domain_to_int16, int16_to_codec_domain)
 from tpukit.kernels.diff1 import diff1_forward_np, diff1_inverse_np
+from tpukit.sweep.proc import mem_phase
 
 _NEAR_LADDER = [0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32, 40, 48, 64,
                 80, 96, 128, 160, 192, 224, 255]
@@ -164,14 +165,16 @@ class JPEGLSCodec(Codec):
             t_pre += time.perf_counter() - t0
 
             t0 = time.perf_counter()
-            bs = jls_encode(plane, near, bits)
+            with mem_phase("comp"):
+                bs = jls_encode(plane, near, bits)
             t_enc += time.perf_counter() - t0
             sum_bytes += len(bs)
             if keep_bitstream:
                 streams[f"band_{i+1:02d}.jls"] = bs
 
             t0 = time.perf_counter()
-            dec = jls_decode(bs, W, H)
+            with mem_phase("dec"):
+                dec = jls_decode(bs, W, H)
             t_dec += time.perf_counter() - t0
 
             t0 = time.perf_counter()

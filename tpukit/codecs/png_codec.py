@@ -19,6 +19,7 @@ from typing import Dict
 import numpy as np
 
 from tpukit.codecs.base import Codec, CodecResult, RateSpec
+from tpukit.sweep.proc import mem_phase
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -181,23 +182,25 @@ class PNGCodec(Codec):
 
         t0 = time.perf_counter()
         encoded = []
-        for i in range(B):
-            band = cube[i]
-            if band.dtype == np.int16:
-                band = band.view(np.uint16)  # lossless bit-view container
-            bs = png_encode(band, self.zlevel)
-            encoded.append(bs)
-            sum_bytes += len(bs)
-            if keep_bitstream:
-                streams[f"b{i+1:02d}.png"] = bs
+        with mem_phase("comp"):
+            for i in range(B):
+                band = cube[i]
+                if band.dtype == np.int16:
+                    band = band.view(np.uint16)  # lossless bit-view container
+                bs = png_encode(band, self.zlevel)
+                encoded.append(bs)
+                sum_bytes += len(bs)
+                if keep_bitstream:
+                    streams[f"b{i+1:02d}.png"] = bs
         t_comp = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        for i in range(B):
-            dec = png_decode(encoded[i])
-            if cube.dtype == np.int16:
-                dec = dec.astype(np.uint16).view(np.int16)
-            recon[i] = dec.astype(cube.dtype, copy=False)
+        with mem_phase("dec"):
+            for i in range(B):
+                dec = png_decode(encoded[i])
+                if cube.dtype == np.int16:
+                    dec = dec.astype(np.uint16).view(np.int16)
+                recon[i] = dec.astype(cube.dtype, copy=False)
         t_dec = time.perf_counter() - t0
 
         return CodecResult(

@@ -217,3 +217,31 @@ def quality_stats_batched(ref: jax.Array, tst: jax.Array, valid: jax.Array):
     reference's per-(tile,rate,rep) subprocess + numpy pass
     (run_codec.py:472-529)."""
     return jax.vmap(lambda a, r, v: quality_stats(a, r, v))(ref, tst, valid)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("has_nodata",))
+def quality_stats_ladder(ref: jax.Array, recons: jax.Array,
+                         valid_base: jax.Array, nodata,
+                         has_nodata: bool):
+    """Rate-ladder metrics with the reference cube closed over (uploaded
+    once): recons is (N, B, H, W) against one (B, H, W) ref. The per-recon
+    validity mask folds the recon-side nodata exclusion on device
+    (reference run_codec.py:249-263 builds the mask from BOTH cubes)."""
+    def one(t):
+        vm = valid_base
+        if has_nodata:
+            vm = vm & jnp.all(t != nodata, axis=0)
+        return quality_stats(ref, t, vm)
+    return jax.vmap(one)(recons)
+
+
+def assemble_quality_many(stacked: Dict[str, np.ndarray],
+                          data_range: float) -> list:
+    """Split a stacked (leading axis N) stats fetch into N reference metric
+    dicts via assemble_quality."""
+    n = len(np.asarray(stacked["maxerr"]))
+    return [assemble_quality({k: np.asarray(v)[i] for k, v in stacked.items()},
+                             data_range) for i in range(n)]

@@ -83,6 +83,34 @@ def spectral_stats(ref: jax.Array, tst: jax.Array, valid: jax.Array) -> Dict[str
     return {"n": n, "sam_sum": sam_sum, "sid_sum": sid_sum, "lmse": lmse}
 
 
+@jax.jit
+def spectral_stats_ladder(ref: jax.Array, recons: jax.Array,
+                          valid: jax.Array):
+    """vmap of spectral_stats over a stack of recons against one ref cube
+    (the SAM/SID mask does not depend on the recon — reference
+    run_codec.py:523-531 passes the baseline validity mask)."""
+    return jax.vmap(lambda t: spectral_stats(ref, t, valid))(recons)
+
+
+def assemble_spectral_many(stacked) -> list:
+    """Stacked spectral stats fetch -> list of reference metric dicts."""
+    n_arr = np.asarray(stacked["n"])
+    out = []
+    for i in range(len(n_arr)):
+        n = float(n_arr[i])
+        if n == 0:
+            out.append({"sam_deg": float("nan"), "sid": float("nan"),
+                        "lmse": float("nan")})
+        else:
+            out.append({
+                "sam_deg": float(np.degrees(
+                    float(np.asarray(stacked["sam_sum"])[i]) / n)),
+                "sid": float(np.asarray(stacked["sid_sum"])[i]) / n,
+                "lmse": float(np.asarray(stacked["lmse"])[i]),
+            })
+    return out
+
+
 def compute_sam_sid_lmse(ref_cube: np.ndarray, tst_cube: np.ndarray,
                          valid: Optional[np.ndarray] = None) -> Dict[str, float]:
     """Host wrapper matching reference compute_sam_sid_lmse_caseB

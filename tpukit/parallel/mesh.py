@@ -28,8 +28,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpukit.codecs import ccsds121 as ck_dev
-from tpukit.metrics.quality import quality_stats
-from tpukit.metrics.spectral import spectral_stats
+from tpukit.metrics.quality import quality_stats, quality_stats_ladder
+from tpukit.metrics.spectral import spectral_stats, spectral_stats_ladder
 
 
 def make_mesh(devices: Optional[Sequence] = None, dp: Optional[int] = None,
@@ -83,10 +83,96 @@ def sharded_analysis_step(mesh: Mesh):
     )
 
 
+def sharded_metric_ladder(mesh: Mesh, has_nodata: bool, caseb: bool):
+    """jit the sweep runner's rate-ladder metric pass over the mesh: the
+    lane axis (rates × reps) shards over dp, the band axis over sp. This is
+    the general path every codec's reconstructions go through — the sweep's
+    metric workload for ANY codec scales over chips (SURVEY §2.3 item 3).
+
+    Returns step(ref (B,H,W), recons (N,B,H,W), vm (H,W), sam_vm (H,W),
+    nodata scalar) -> (quality stats pytree, spectral stats pytree | None),
+    each leaf leading with the lane axis (sharded dp)."""
+    lane = NamedSharding(mesh, P("dp", "sp", None, None))
+    refs = NamedSharding(mesh, P("sp", None, None))
+    rep = NamedSharding(mesh, P())
+    out = NamedSharding(mesh, P("dp"))
+
+    def fn(ref, recons, vm, sam_vm, nodata):
+        qs = quality_stats_ladder(ref, recons, vm, nodata, has_nodata)
+        ss = spectral_stats_ladder(ref, recons, sam_vm) if caseb else None
+        return qs, ss
+
+    return jax.jit(
+        fn,
+        in_shardings=(refs, lane, rep, rep, rep),
+        out_shardings=(out, out if caseb else None),
+    )
+
+
+def place_ladder_inputs(mesh: Mesh, ref: np.ndarray, recons,
+                        vm: np.ndarray, sam_vm: np.ndarray, nodata):
+    """device_put the ladder inputs directly onto the mesh sharding (never
+    via the default backend — see run_sharded_batch). ``recons`` is a list
+    of (B,H,W) host/device arrays; the lane axis is padded to a multiple
+    of dp by repeating the last lane (extra rows are sliced off by the
+    caller). Returns (ref, stack, vm, sam_vm, nodata, n_real)."""
+    dp = mesh.shape["dp"]
+    n_real = len(recons)
+    pad = (-n_real) % dp
+    lanes = list(recons) + [recons[-1]] * pad
+    stack = np.stack([np.asarray(x) for x in lanes])
+    lane = NamedSharding(mesh, P("dp", "sp", None, None))
+    refs = NamedSharding(mesh, P("sp", None, None))
+    rep = NamedSharding(mesh, P())
+    return (jax.device_put(np.asarray(ref), refs),
+            jax.device_put(stack, lane),
+            jax.device_put(np.asarray(vm), rep),
+            jax.device_put(np.asarray(sam_vm), rep),
+            jax.device_put(np.float32(nodata), rep),
+            n_real)
+
+
+def sharded_j2k_model(mesh: Mesh, levels: int = 5):
+    """Sharded J2K quantized-coefficient model: tiles (T,B,Hp,Wp) float32
+    (already edge-padded to multiples of 2^levels) shard over dp; per tile
+    the step runs the device 9/7 DWT, deadzone-quantizes at the given base
+    step, and prices the embedded bit-plane stream EXACTLY with the
+    closed-form size model (codecs/bitplane_model.py). Returns
+    step(tiles, scale_map (Hp,Wp), base scalar, order (Hp*Wp,)) ->
+    (T,) total bytes, without running the host coder at all."""
+    from tpukit.codecs.bitplane_model import bpc_size_bytes
+    from tpukit.kernels import dwt as dwtk
+
+    tl = NamedSharding(mesh, P("dp", None, None, None))
+    rep = NamedSharding(mesh, P())
+    out = NamedSharding(mesh, P("dp"))
+
+    def fn(tiles, scale_map, base, order):
+        def per_tile(cube):
+            coefs = dwtk.dwt2(cube, "97", levels)
+            qc = jnp.trunc(coefs / (scale_map * base)[None]).astype(jnp.int32)
+            perm = jnp.take(qc.reshape(qc.shape[0], -1), order, axis=1)
+            return jnp.sum(bpc_size_bytes(perm))
+
+        return jax.vmap(per_tile)(tiles)
+
+    return jax.jit(fn, in_shardings=(tl, rep, rep, rep),
+                   out_shardings=out)
+
+
 def run_sharded_batch(tiles: np.ndarray, recons: np.ndarray,
                       valid: np.ndarray, mesh: Optional[Mesh] = None):
-    """Host entry: place a (T,B,H,W) batch on the mesh and run the step."""
+    """Host entry: place a (T,B,H,W) batch on the mesh and run the step.
+
+    Host arrays are `device_put` directly onto the mesh sharding — never
+    committed to the default backend first (the mesh may live on a
+    different backend, e.g. the virtual-CPU mesh under a TPU default).
+    """
     mesh = mesh or make_mesh()
+    tile_sh = NamedSharding(mesh, P("dp", "sp", None, None))
+    mask_sh = NamedSharding(mesh, P("dp", None, None))
     step = sharded_analysis_step(mesh)
-    out = step(jnp.asarray(tiles), jnp.asarray(recons), jnp.asarray(valid))
+    out = step(jax.device_put(np.asarray(tiles), tile_sh),
+               jax.device_put(np.asarray(recons), tile_sh),
+               jax.device_put(np.asarray(valid), mask_sh))
     return jax.tree_util.tree_map(np.asarray, out)

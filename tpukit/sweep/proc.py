@@ -19,12 +19,43 @@ import os
 import subprocess
 import threading
 import time
-from typing import Dict, Iterable, Optional, Tuple
+from contextlib import contextmanager
+from typing import Dict, Iterable, List, Optional, Tuple
 
 try:
     import psutil
 except Exception:  # pragma: no cover
     psutil = None
+
+# Module-level phase tag + registry of live samplers. Codecs bracket their
+# encode/decode sections with ``mem_phase("comp"/"dec")`` so a surrounding
+# MemorySampler can attribute peak RSS per direction — the in-process
+# equivalent of the reference measuring each codec subprocess separately
+# (reference tools/common/proc_metrics.py:8-44 callers measure encode and
+# decode as two processes).
+_PHASE: str = ""
+_ACTIVE: "List[MemorySampler]" = []
+_PHASE_LOCK = threading.Lock()
+
+
+def current_phase() -> str:
+    return _PHASE
+
+
+@contextmanager
+def mem_phase(name: str):
+    """Tag the enclosed section as memory phase ``name`` ("comp"/"dec")."""
+    global _PHASE
+    prev = _PHASE
+    _PHASE = name
+    for s in list(_ACTIVE):
+        s.sample_now()
+    try:
+        yield
+    finally:
+        for s in list(_ACTIVE):
+            s.sample_now()
+        _PHASE = prev
 
 ENV_DEFAULTS = {
     "PYTHONHASHSEED": "0",
@@ -40,12 +71,16 @@ ENV_DEFAULTS = {
 
 
 class MemorySampler:
-    """Daemon-thread peak RSS (or USS) sampler for an in-process phase."""
+    """Daemon-thread peak RSS (or USS) sampler for an in-process phase.
+
+    Tracks an overall peak plus per-phase peaks keyed by the module-level
+    ``mem_phase`` tag active at each sample."""
 
     def __init__(self, interval_s: float = 0.01, use_uss: bool = False):
         self.interval_s = interval_s
         self.use_uss = use_uss
         self._peak = 0
+        self._phase_peaks: Dict[str, int] = {}
         self._stop = False
         self._thr: Optional[threading.Thread] = None
         self._proc = psutil.Process(os.getpid()) if psutil else None
@@ -62,28 +97,44 @@ class MemorySampler:
         except Exception:
             return 0
 
+    def sample_now(self):
+        m = self._mem()
+        if m > self._peak:
+            self._peak = m
+        ph = _PHASE
+        if ph:
+            with _PHASE_LOCK:
+                if m > self._phase_peaks.get(ph, 0):
+                    self._phase_peaks[ph] = m
+
     def _loop(self):
         while not self._stop:
-            m = self._mem()
-            if m > self._peak:
-                self._peak = m
+            self.sample_now()
             time.sleep(self.interval_s)
 
     def __enter__(self):
         if self._proc is not None:
-            self._peak = self._mem()
+            self.sample_now()
+            _ACTIVE.append(self)
             self._thr = threading.Thread(target=self._loop, daemon=True)
             self._thr.start()
         return self
 
     def __exit__(self, *exc):
         self._stop = True
+        if self in _ACTIVE:
+            _ACTIVE.remove(self)
         if self._thr:
             self._thr.join(timeout=0.2)
 
     @property
     def peak_bytes(self) -> Optional[int]:
         return self._peak or None
+
+    def phase_peak_bytes(self, name: str) -> Optional[int]:
+        """Peak RSS observed while ``mem_phase(name)`` was active; falls
+        back to the overall peak when the phase saw no samples."""
+        return self._phase_peaks.get(name) or self.peak_bytes
 
 
 def run_and_measure(cmd: Iterable[str] | str, cwd: Optional[str] = None,

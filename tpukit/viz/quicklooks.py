@@ -122,6 +122,37 @@ def _write_err_tif(path, err8: np.ndarray, valid: Optional[np.ndarray], geo):
         tags=tags)
 
 
+def write_rgb_8bit_arrays(bands_rgb: np.ndarray, out_path, params,
+                          geo=None, mask: Optional[np.ndarray] = None) -> Path:
+    """Array-first variant of write_rgb_8bit: same output file contract,
+    but from an in-memory (3,H,W) stack (the sweep runner already holds the
+    cubes in RAM/HBM — re-reading the TIFFs per rate point like the
+    reference does, quicklooks.py:76-109, would be pure IO overhead)."""
+    rgb = rgb8_from_arrays(bands_rgb, params)
+    return tiff.write_geotiff(
+        Path(out_path), rgb, photometric="RGB", compress="DEFLATE",
+        blockxsize=512, blockysize=512, geo=geo, mask=mask)
+
+
+def write_error_max8_arrays(a: np.ndarray, b: np.ndarray,
+                            valid: Optional[np.ndarray], out_path_base,
+                            err_max_global: int = 255,
+                            err_max_zoom: Optional[int] = None,
+                            geo=None, pct=(2, 98)):
+    """Array-first variant of write_error_max8 (same filenames/tags)."""
+    out_base = Path(out_path_base)
+    out_base.parent.mkdir(parents=True, exist_ok=True)
+    err8_g, cap_g = error_max8_from_arrays(a, b, valid, err_max_global, pct)
+    out_g = out_base.with_name(out_base.stem + f"_ERR8_0_{cap_g}.tif")
+    _write_err_tif(out_g, err8_g, valid, geo)
+    out_z = None
+    if err_max_zoom is not None:
+        err8_z, cap_z = error_max8_from_arrays(a, b, valid, err_max_zoom, pct)
+        out_z = out_base.with_name(out_base.stem + f"_ERR8_0_{cap_z}.tif")
+        _write_err_tif(out_z, err8_z, valid, geo)
+    return out_g, out_z
+
+
 def write_error_max8(a_path, b_path, out_path_base, err_max_global: int = 255,
                      err_max_zoom: Optional[int] = None, pct=(2, 98)):
     """<base>_ERR8_0_<cap>.tif (+ optional zoom variant), reference :115-207."""
