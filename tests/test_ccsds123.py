@@ -43,8 +43,80 @@ def test_uint16_and_random(rng):
 def test_keep_bitstream_and_decode_from_stream(spectral_cube):
     res = CCSDS123Codec().run(spectral_cube, "int16", RateSpec.none(),
                               keep_bitstream=True)
-    bs = res.bitstreams["cube.tk123"]
+    bs = res.bitstreams["t_x00000_y00000.bit"]
     assert len(bs) == res.bitstream_bytes
     B, H, W = spectral_cube.shape
     out = CCSDS123Codec._decode(bs, B, H, W)
     np.testing.assert_array_equal(out.view(np.int16), spectral_cube)
+
+
+def test_tiled_roundtrip_matches_whole(spectral_cube):
+    """Real 512^2-style tiling (here 16^2 on a 32^2 cube): lossless and
+    tile-independent (reference ccsds123_wrap.py:212-276 tile loop)."""
+    whole = CCSDS123Codec(tile=0 or 64).run(spectral_cube, "int16",
+                                            RateSpec.none())
+    tiled = CCSDS123Codec(tile=16).run(spectral_cube, "int16",
+                                       RateSpec.none(), keep_bitstream=True)
+    np.testing.assert_array_equal(tiled.recon, spectral_cube)
+    assert len(tiled.bitstreams) == 4  # 2x2 tile grid
+    assert set(tiled.bitstreams) == {
+        "t_x00000_y00000.bit", "t_x00016_y00000.bit",
+        "t_x00000_y00016.bit", "t_x00016_y00016.bit"}
+    assert tiled.bitstream_bytes == sum(len(b)
+                                        for b in tiled.bitstreams.values())
+    assert whole.bitstream_bytes > 0
+
+
+def test_crop_nodata_skips_all_nodata_tiles(spectral_cube):
+    """All-NoData tiles are excluded from the bitstream and reconstructed
+    as nodata fill (reference ccsds123_wrap.py:191-229)."""
+    cube = spectral_cube.copy()
+    nd = -9999
+    cube[:, :16, :] = nd  # top half: two full 16x16 nodata tiles
+
+    plain = CCSDS123Codec(tile=16).run(cube, "int16", RateSpec.none())
+    cropped = CCSDS123Codec(tile=16, crop_nodata=True).run(
+        cube, "int16", RateSpec.none(), nodata=float(nd),
+        keep_bitstream=True)
+
+    assert cropped.extras["tiles_skipped_nodata"] == 2
+    assert cropped.bitstream_bytes < plain.bitstream_bytes
+    assert len(cropped.bitstreams) == 2  # only the bottom tiles coded
+    np.testing.assert_array_equal(cropped.recon, cube)  # nd fill == source
+
+
+def test_crop_nodata_via_dataset_mask(spectral_cube):
+    """A zero dataset-mask window forces the skip even without a nodata
+    value (reference _tile_is_all_nodata mask branch)."""
+    mask = np.full((32, 32), 255, np.uint8)
+    mask[:16, :16] = 0
+    res = CCSDS123Codec(tile=16, crop_nodata=True).run(
+        spectral_cube, "int16", RateSpec.none(), dataset_mask=mask)
+    assert res.extras["tiles_skipped_nodata"] == 1
+    # skipped tile fills with 0 when no nodata value exists
+    assert (res.recon[:, :16, :16] == 0).all()
+    np.testing.assert_array_equal(res.recon[:, 16:, :],
+                                  spectral_cube[:, 16:, :])
+
+
+def test_mask_passthrough_in_sweep(tmp_path, rng):
+    """run_sweep writes the source validity mask into ccsds123 recons
+    (reference ccsds123_wrap.py:279-283 dst.write_mask)."""
+    from tpukit.io import tiff, write_manifest
+    from tpukit.sweep.runner import SweepConfig, run_sweep
+
+    cube = rng.integers(0, 2048, (4, 32, 32)).astype(np.uint16)
+    cube[:, :8, :] = 0
+    p = tmp_path / "t.tif"
+    mask = (cube[0] != 0).astype(np.uint8) * 255
+    tiff.write_geotiff(p, cube, nodata=0.0, mask=mask)
+    idx = tmp_path / "index.json"
+    write_manifest(idx, "caseB", "tile", [{"tile_id": "T", "path": p}])
+    cfg = SweepConfig(
+        indices=idx, codec=CCSDS123Codec(tile=32), codec_label="ccsds123_ext",
+        outdir=tmp_path / "runs", quicklooks=False)
+    rows = run_sweep(cfg)["rows"]
+    assert rows[0]["lossless"] == 1
+    with tiff.open(tmp_path / "runs" / "T" / "norate" / "rep_01" /
+                   "recon.tif") as ds:
+        np.testing.assert_array_equal(ds.dataset_mask(), mask)

@@ -138,3 +138,30 @@ def test_one_bit_internal_mask(tmp_path):
     with tiff.Dataset(p) as ds:
         got = ds.read(1)
     np.testing.assert_array_equal(got.astype(bool), m.astype(bool))
+
+
+def test_sparse_output_roundtrip(tmp_path, rng):
+    """SPARSE_OK-equivalent writing: all-nodata blocks get offset 0 and
+    read back as nodata fill (reference ccsds123_wrap.py:175-177)."""
+    nd = -7
+    cube = rng.integers(-2000, 2000, (3, 48, 48)).astype(np.int16)
+    cube[:, :16, :] = nd  # top row of 16x16 blocks: all nodata
+    p = tmp_path / "sparse.tif"
+    tiff.write_geotiff(p, cube, nodata=float(nd), blockxsize=16,
+                       blockysize=16, sparse_ok=True)
+    dense = tmp_path / "dense.tif"
+    tiff.write_geotiff(dense, cube, nodata=float(nd), blockxsize=16,
+                       blockysize=16)
+    assert p.stat().st_size < dense.stat().st_size
+    with tiff.open(p) as ds:
+        np.testing.assert_array_equal(ds.read(), cube)
+        assert ds.nodata == nd
+
+
+def test_sparse_output_zero_fill_without_nodata(tmp_path):
+    arr = np.zeros((32, 32), np.uint16)
+    arr[20:25, 20:25] = 77
+    p = tmp_path / "z.tif"
+    tiff.write_geotiff(p, arr, blockxsize=16, blockysize=16, sparse_ok=True)
+    with tiff.open(p) as ds:
+        np.testing.assert_array_equal(ds.read(1), arr)

@@ -45,7 +45,7 @@ def _rate_from_args(args) -> RateSpec:
 
 
 def run_wrapper(codec_name: str, argv=None, codec_opts_fn=None,
-                extra_args_fn=None):
+                extra_args_fn=None, sparse_flag: bool = False):
     ap = argparse.ArgumentParser(description=f"tpukit {codec_name} wrapper")
     _common(ap)
     if extra_args_fn:
@@ -61,16 +61,26 @@ def run_wrapper(codec_name: str, argv=None, codec_opts_fn=None,
         cube = ds.read()
         dtype_name = ds.dtypes[0]
         meta = {"nodata": ds.nodata, "geo": ds.geo,
-                "descriptions": ds.descriptions}
+                "descriptions": ds.descriptions,
+                "dataset_mask": ds.dataset_mask()}
 
     with MemorySampler() as ms:
-        result = codec.run(cube, dtype_name, rate, keep_bitstream=keep)
+        result = codec.run(cube, dtype_name, rate, keep_bitstream=keep,
+                           nodata=meta["nodata"],
+                           dataset_mask=meta["dataset_mask"])
     if result.mem_comp_peak_bytes is None:
-        result.mem_comp_peak_bytes = ms.peak_bytes
-        result.mem_dec_peak_bytes = ms.peak_bytes
+        result.mem_comp_peak_bytes = ms.phase_peak_bytes("comp")
+        result.mem_dec_peak_bytes = ms.phase_peak_bytes("dec")
 
-    tiff.write_geotiff(Path(args.out), result.recon, nodata=meta["nodata"],
-                       geo=meta["geo"], descriptions=meta["descriptions"])
+    tiff.write_geotiff(
+        Path(args.out), result.recon, nodata=meta["nodata"],
+        geo=meta["geo"], descriptions=meta["descriptions"],
+        # validity-mask passthrough (reference ccsds123_wrap.py:279-283)
+        mask=(meta["dataset_mask"]
+              if getattr(codec, "mask_passthrough", False) else None),
+        # GDAL SPARSE_OK equivalent (reference ccsds123_wrap.py:175-177)
+        sparse_ok=bool(sparse_flag and getattr(args, "sparse_output",
+                                               False)))
     if keep and result.bitstreams:
         bit_dir = Path(args.keep_bitstream)
         bit_dir.mkdir(parents=True, exist_ok=True)
@@ -116,9 +126,18 @@ def png_main(argv=None):
 
 def j2k_main(argv=None):
     def extra(ap):
-        ap.add_argument("--tilex", type=int, default=None)  # accepted, unused
-        ap.add_argument("--tiley", type=int, default=None)
-    return run_wrapper("j2k", argv, None, extra)
+        ap.add_argument("--tilex", type=int, default=None,
+                        help="independent-tile width (TILEXSIZE, "
+                             "j2k_wrap.py:81)")
+        ap.add_argument("--tiley", type=int, default=None,
+                        help="independent-tile height (TILEYSIZE)")
+        ap.add_argument("--rate-fit", dest="rate_fit", action="store_true",
+                        help="hit bpp/cr targets via device bisection over "
+                             "the exact coder size model")
+
+    def opts(a):
+        return dict(tilex=a.tilex, tiley=a.tiley, rate_fit=a.rate_fit)
+    return run_wrapper("j2k", argv, opts, extra)
 
 
 def ccsds122_main(argv=None):
@@ -129,7 +148,16 @@ def ccsds123_main(argv=None):
     def extra(ap):
         ap.add_argument("--tile", type=int, default=512)
         ap.add_argument("--interleave", choices=["bip", "bil", "bsq"], default="bsq")
+        ap.add_argument("--crop-nodata", dest="crop_nodata",
+                        action="store_true",
+                        help="skip coding of 100%% NoData tiles "
+                             "(reference ccsds123_wrap.py:191-229)")
+        ap.add_argument("--sparse-output", dest="sparse_output",
+                        action="store_true",
+                        help="write the recon GeoTIFF with sparse blocks "
+                             "(GDAL SPARSE_OK equivalent)")
 
     def opts(a):
-        return dict(tile=a.tile, interleave=a.interleave)
-    return run_wrapper("ccsds123", argv, opts, extra)
+        return dict(tile=a.tile, interleave=a.interleave,
+                    crop_nodata=a.crop_nodata)
+    return run_wrapper("ccsds123", argv, opts, extra, sparse_flag=True)

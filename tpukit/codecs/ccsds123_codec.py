@@ -37,6 +37,7 @@ import numpy as np
 
 from tpukit.codecs.base import Codec, CodecResult, RateSpec
 from tpukit.native import ccsds121_host
+from tpukit.sweep.proc import mem_phase
 
 P = 3              # previous bands used by the spectral predictor
 FRAC_BITS = 12     # 4.12 fixed-point weights
@@ -150,51 +151,103 @@ class CCSDS123Codec(Codec):
     encoder_desc = ("tpukit CCSDS-123-class (LS-adaptive inter-band predictor "
                     "+ block-adaptive Golomb)")
     supports_lossy = False
+    # the reference wrapper copies the source's validity mask into the
+    # reconstruction (ccsds123_wrap.py:279-283 dst.write_mask)
+    mask_passthrough = True
 
-    def __init__(self, tile: int = 512, interleave: str = "bsq"):
-        self.tile = tile          # kept for CLI-surface parity
+    def __init__(self, tile: int = 512, interleave: str = "bsq",
+                 crop_nodata: bool = False):
+        self.tile = tile
         self.interleave = interleave
+        self.crop_nodata = crop_nodata
+
+    @staticmethod
+    def _tile_all_nodata(tile_bsq: np.ndarray, nd, mask_win) -> bool:
+        """Reference _tile_is_all_nodata (ccsds123_wrap.py:191-205):
+        dataset-mask window all zero wins; else every band == nodata."""
+        if mask_win is not None and (np.asarray(mask_win) == 0).all():
+            return True
+        if nd is not None:
+            return bool((tile_bsq == np.asarray(nd, tile_bsq.dtype)).all())
+        return False
 
     def run(self, cube: np.ndarray, dtype_name: str, rate: RateSpec,
-            keep_bitstream: bool = False, **opts) -> CodecResult:
+            keep_bitstream: bool = False, nodata=None, dataset_mask=None,
+            **opts) -> CodecResult:
         B, H, W = cube.shape
-        xu = cube.view(np.uint16) if cube.dtype == np.int16 else cube.astype(np.uint16)
+        tile = int(self.tile) if self.tile else max(H, W)
+        crop = self.crop_nodata or bool(opts.get("crop_nodata", False))
+        nd = None
+        if nodata is not None and np.isfinite(nodata):
+            nd = nodata
 
-        t0 = time.perf_counter()
-        mapped, wq = encode_model(jnp.asarray(xu))
-        mapped_np = np.asarray(mapped)
-        wq_np = np.asarray(wq)
-        stream = ccsds121_host.encode(mapped_np.ravel(), **_ENTROPY)
-        header = (_MAGIC + struct.pack("<HIII", P, B, H, W) +
-                  wq_np.astype("<i2").tobytes())
-        bs = header + stream
-        t_comp = time.perf_counter() - t0
-
-        t0 = time.perf_counter()
-        recon_u = self._decode(bs, B, H, W)
-        recon = recon_u.view(np.int16) if cube.dtype == np.int16 \
-            else recon_u.astype(cube.dtype)
-        t_dec = time.perf_counter() - t0
-
+        recon = np.empty_like(cube)
         streams: Dict[str, bytes] = {}
-        if keep_bitstream:
-            streams["cube.tk123"] = bs
+        sum_bytes = 0
+        t_comp = t_dec = 0.0
+        skipped = 0
+
+        for y0 in range(0, H, tile):
+            for x0 in range(0, W, tile):
+                th = min(tile, H - y0)
+                tw = min(tile, W - x0)
+                tile_bsq = cube[:, y0:y0 + th, x0:x0 + tw]
+
+                if crop and self._tile_all_nodata(
+                        tile_bsq, nd,
+                        None if dataset_mask is None
+                        else dataset_mask[y0:y0 + th, x0:x0 + tw]):
+                    # fast path: nothing coded, recon block filled with
+                    # nodata (reference ccsds123_wrap.py:218-229)
+                    fill = nd if nd is not None else 0
+                    recon[:, y0:y0 + th, x0:x0 + tw] = np.asarray(
+                        fill, cube.dtype)
+                    skipped += 1
+                    continue
+
+                xu = (tile_bsq.view(np.uint16) if cube.dtype == np.int16
+                      else tile_bsq.astype(np.uint16))
+                t0 = time.perf_counter()
+                with mem_phase("comp"):
+                    mapped, wq = encode_model(
+                        jnp.asarray(np.ascontiguousarray(xu)))
+                    mapped_np = np.asarray(mapped)
+                    wq_np = np.asarray(wq)
+                    stream = ccsds121_host.encode(mapped_np.ravel(),
+                                                  **_ENTROPY)
+                    header = (_MAGIC + struct.pack("<HIII", P, B, th, tw) +
+                              wq_np.astype("<i2").tobytes())
+                    bs = header + stream
+                t_comp += time.perf_counter() - t0
+                sum_bytes += len(bs)
+                if keep_bitstream:
+                    streams[f"t_x{x0:05d}_y{y0:05d}.bit"] = bs
+
+                t0 = time.perf_counter()
+                with mem_phase("dec"):
+                    rec_u = self._decode(bs, B, th, tw)
+                    rec = rec_u.view(np.int16) if cube.dtype == np.int16 \
+                        else rec_u.astype(cube.dtype)
+                    recon[:, y0:y0 + th, x0:x0 + tw] = rec
+                t_dec += time.perf_counter() - t0
+
         total_pixels = H * W
-        bpp_total = len(bs) * 8.0 / max(total_pixels, 1)
+        bpp_total = sum_bytes * 8.0 / max(total_pixels, 1)
         return CodecResult(
             codec="ccsds123_ext",
             encoder=self.encoder_desc,
-            bitstream_bytes=len(bs),
+            bitstream_bytes=sum_bytes,
             recon=recon,
             t_comp_s=t_comp,
             t_dec_s=t_dec,
             bitstreams=streams if keep_bitstream else None,
             extras={
                 "mode": "lossless_only",
-                "bands": int(B), "dtype": dtype_name, "tile": int(self.tile),
+                "bands": int(B), "dtype": dtype_name, "tile": int(tile),
                 "bpp_effective_total": float(bpp_total),
                 "bpp_effective_per_band": float(bpp_total / max(B, 1)),
                 "interleave": self.interleave,
+                "tiles_skipped_nodata": int(skipped),
             },
         )
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import time
 from functools import partial
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +32,7 @@ import numpy as np
 from tpukit.codecs.base import Codec, CodecResult, RateSpec
 from tpukit.codecs import wavelet_common as wc
 from tpukit.kernels import dwt as dwtk
+from tpukit.sweep.proc import mem_phase
 
 LEVELS = 5
 
@@ -80,6 +81,38 @@ def _subband_steps(H: int, W: int, base: float) -> np.ndarray:
     return steps
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def _fit_base_device(perm_coefs: jax.Array, perm_scale: jax.Array,
+                     target_bytes: jax.Array, iters: int = 24) -> jax.Array:
+    """Rate targeting on device: geometric bisection over the base
+    quantization step, pricing every candidate with the EXACT embedded-coder
+    size model (codecs/bitplane_model.py) — no trial encodes. Returns the
+    smallest probed step whose total stream size is <= target (meet-or-beat
+    rate control; the reference can only map bpp->QUALITY heuristically,
+    j2k_wrap.py:38-47).
+
+    perm_coefs: (B, N) float32 DWT coefficients already in scan order;
+    perm_scale: (N,) base=1 step map in the same order (so the loop body is
+    pure elementwise math + reductions — the scan-order gather happens once,
+    outside the loop)."""
+    from tpukit.codecs.bitplane_model import bpc_size_bytes
+
+    def size_of(base):
+        qc = jnp.trunc(perm_coefs / (perm_scale[None] * base)).astype(jnp.int32)
+        return jnp.sum(bpc_size_bytes(qc))
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = jnp.sqrt(lo * hi)
+        too_big = size_of(mid) > target_bytes
+        return jnp.where(too_big, mid, lo), jnp.where(too_big, hi, mid)
+
+    lo = jnp.float32(1e-3)
+    hi = jnp.float32(1e7)
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return hi
+
+
 @partial(jax.jit, static_argnames=("levels", "H0", "W0", "lo", "hi", "dtype"))
 def _device_recon(qc: jax.Array, scale_map: jax.Array, base: jax.Array,
                   levels: int, H0: int, W0: int, lo: int, hi: int,
@@ -102,8 +135,102 @@ class J2KCodec(Codec):
     encoder_desc = "tpukit J2K-class (device 5/3 & 9/7 DWT + embedded bit-plane coder)"
     supports_lossy = True
 
+    def __init__(self, tilex: Optional[int] = None,
+                 tiley: Optional[int] = None, rate_fit: bool = False):
+        """tilex/tiley: JP2-style independent spatial tiles (the reference
+        passes TILEXSIZE/TILEYSIZE creation options, j2k_wrap.py:81). Each
+        tile is transformed and coded on its own, so truncation/decoding of
+        one tile never touches another.
+
+        rate_fit: for --rate-key bpp/cr, bisect the base quantization step
+        on device against the exact coder size model instead of the
+        reference's heuristic bpp/cr -> QUALITY tables (j2k_wrap.py:32-47),
+        landing the stream at (just under) the requested size."""
+        self.tilex = tilex
+        self.tiley = tiley
+        self.rate_fit = rate_fit
+
+    def quality_for(self, rate: RateSpec) -> Optional[int]:
+        """RateSpec → QUALITY 1..100 via the reference heuristics
+        (j2k_wrap.py:32-47, :94); None for lossless/reversible."""
+        if rate.lossless or rate.key is None:
+            return None
+        if rate.key == "quality":
+            return int(rate.value)
+        if rate.key == "cr":
+            return quality_from_cr(rate.value)
+        if rate.key == "bpp":
+            return quality_from_bpp(rate.value)
+        return 35  # default (j2k_wrap.py:94)
+
+    def _run_tiled(self, cube: np.ndarray, dtype_name: str, rate: RateSpec,
+                   tx: int, ty: int, keep_bitstream: bool) -> CodecResult:
+        """Independent-tile coding (TILEXSIZE/TILEYSIZE, j2k_wrap.py:81):
+        each spatial tile goes through the full transform+code path on its
+        own; streams are per (tile, band)."""
+        B, H, W = cube.shape
+        recon = np.empty_like(cube)
+        streams: Dict[str, bytes] = {}
+        sum_bytes = 0
+        t_comp = t_dec = 0.0
+        q_used = None
+        for y0 in range(0, H, ty):
+            for x0 in range(0, W, tx):
+                th, tw = min(ty, H - y0), min(tx, W - x0)
+                sub = np.ascontiguousarray(cube[:, y0:y0 + th, x0:x0 + tw])
+                res = self.run(sub, dtype_name, rate,
+                               keep_bitstream=keep_bitstream,
+                               tilex=None, tiley=None)
+                recon[:, y0:y0 + th, x0:x0 + tw] = np.asarray(res.recon)
+                sum_bytes += res.bitstream_bytes
+                t_comp += res.t_comp_s
+                t_dec += res.t_dec_s
+                q_used = res.extras.get("quality_used")
+                if keep_bitstream and res.bitstreams:
+                    for name, data in res.bitstreams.items():
+                        streams[f"t_x{x0:05d}_y{y0:05d}_{name}"] = data
+        return CodecResult(
+            codec="j2k_gdal", encoder=self.encoder_desc,
+            bitstream_bytes=sum_bytes, recon=recon,
+            t_comp_s=t_comp, t_dec_s=t_dec,
+            bitstreams=streams if keep_bitstream else None,
+            extras={"quality_used": q_used,
+                    "tilex": int(tx), "tiley": int(ty)})
+
+    def sweep_rates(self, cube: np.ndarray, dtype_name: str, specs,
+                    keep_bitstream: bool = False, **opts) -> list:
+        """Amortized rate ladder: one device DWT feeds every lossy point
+        (the reference re-runs the full codec per point,
+        run_codec.py:472-495). Lossless points fall back to run()."""
+        B, H, W = cube.shape
+        tx = opts.get("tilex") or self.tilex
+        ty = opts.get("tiley") or self.tiley
+        if (tx and tx < W) or (ty and ty < H):
+            # independent-tile mode: per-point path (tiles are coded
+            # separately; no shared whole-image DWT to amortize)
+            return [self.run(cube, dtype_name, s,
+                             keep_bitstream=keep_bitstream) for s in specs]
+        specs = list(specs)
+        # rate-fitted bpp/cr points go through run() (device bisection per
+        # point); quality points share the amortized DWT ladder
+        qmap = [None if (self.rate_fit and s.key in ("bpp", "cr"))
+                else self.quality_for(s) for s in specs]
+        out: list = [None] * len(specs)
+        lossy_ix = [i for i, q in enumerate(qmap) if q is not None]
+        if lossy_ix:
+            res = self.sweep_qualities(cube, dtype_name,
+                                       [qmap[i] for i in lossy_ix],
+                                       keep_bitstream=keep_bitstream)
+            for i, r in zip(lossy_ix, res):
+                out[i] = r
+        for i, s in enumerate(specs):
+            if out[i] is None:
+                out[i] = self.run(cube, dtype_name, s,
+                                  keep_bitstream=keep_bitstream, **opts)
+        return out
+
     def sweep_qualities(self, cube: np.ndarray, dtype_name: str,
-                        qualities) -> list:
+                        qualities, keep_bitstream: bool = False) -> list:
         """Rate sweep with the transform amortized and transfers minimized.
 
         The reference re-runs the full codec per rate point
@@ -141,27 +268,32 @@ class J2KCodec(Codec):
                 # _subband_steps(Hp, Wp, base) without rebuilding it
                 steps = scale_host * np.float32(base)
                 t0 = time.perf_counter()
-                qc = np.trunc(coefs / steps[None]).astype(np.int32)
-                perm = qc.reshape(B, -1)[:, order]
-                encoded = list(pool.map(wc.bpc_encode, perm))
+                with mem_phase("comp"):
+                    qc = np.trunc(coefs / steps[None]).astype(np.int32)
+                    perm = qc.reshape(B, -1)[:, order]
+                    encoded = list(pool.map(wc.bpc_encode, perm))
                 t_comp = time.perf_counter() - t0 + t_dwt
                 t0 = time.perf_counter()
-                decs = list(pool.map(
-                    lambda e: wc.bpc_decode(e, Hp * Wp), encoded))
-                for b in range(B):
-                    if not np.array_equal(decs[b], perm[b]):
-                        raise RuntimeError(
-                            "embedded coder round-trip mismatch")
-                recon = _device_recon(jax.device_put(qc), scale_dev,
-                                      jnp.float32(base), LEVELS, H0, W0,
-                                      int(info.min), int(info.max),
-                                      cube.dtype.name)
-                recon.block_until_ready()
+                with mem_phase("dec"):
+                    decs = list(pool.map(
+                        lambda e: wc.bpc_decode(e, Hp * Wp), encoded))
+                    for b in range(B):
+                        if not np.array_equal(decs[b], perm[b]):
+                            raise RuntimeError(
+                                "embedded coder round-trip mismatch")
+                    recon = _device_recon(jax.device_put(qc), scale_dev,
+                                          jnp.float32(base), LEVELS, H0, W0,
+                                          int(info.min), int(info.max),
+                                          cube.dtype.name)
+                    recon.block_until_ready()
                 t_dec = time.perf_counter() - t0
                 results.append(CodecResult(
                     codec="j2k_gdal", encoder=self.encoder_desc,
                     bitstream_bytes=sum(len(e) for e in encoded),
                     recon=recon, t_comp_s=t_comp, t_dec_s=t_dec,
+                    bitstreams=({f"b{b+1:02d}.j2c": e
+                                 for b, e in enumerate(encoded)}
+                                if keep_bitstream else None),
                     extras={"quality_used": q}))
         return results
 
@@ -196,17 +328,14 @@ class J2KCodec(Codec):
     def run(self, cube: np.ndarray, dtype_name: str, rate: RateSpec,
             keep_bitstream: bool = False, **opts) -> CodecResult:
         B, H, W = cube.shape
-        lossless = rate.lossless or rate.key is None
-        q_used = None
-        if not lossless:
-            if rate.key == "quality":
-                q_used = int(rate.value)
-            elif rate.key == "cr":
-                q_used = quality_from_cr(rate.value)
-            elif rate.key == "bpp":
-                q_used = quality_from_bpp(rate.value)
-            else:
-                q_used = 35  # default (j2k_wrap.py:94)
+        tx = opts.get("tilex") or self.tilex
+        ty = opts.get("tiley") or self.tiley
+        if (tx and tx < W) or (ty and ty < H):
+            return self._run_tiled(cube, dtype_name, rate,
+                                   int(tx or W), int(ty or H),
+                                   keep_bitstream)
+        q_used = self.quality_for(rate)
+        lossless = q_used is None
 
         work, H0, W0 = wc.pad_to_multiple(cube.astype(np.int32), 1 << LEVELS)
         Hp, Wp = work.shape[-2:]
@@ -218,52 +347,83 @@ class J2KCodec(Codec):
 
         if lossless:
             t0 = time.perf_counter()
-            coefs = np.asarray(dwtk.dwt2(jnp.asarray(work), "53", LEVELS))
-            encoded = [wc.bpc_encode(coefs[b].ravel()[order]) for b in range(B)]
+            with mem_phase("comp"):
+                coefs = np.asarray(dwtk.dwt2(jnp.asarray(work), "53", LEVELS))
+                encoded = [wc.bpc_encode(coefs[b].ravel()[order])
+                           for b in range(B)]
             t_comp = time.perf_counter() - t0
             sum_bytes = sum(len(e) for e in encoded)
 
             t0 = time.perf_counter()
-            planes = []
-            for b in range(B):
-                c = np.zeros(Hp * Wp, np.int32)
-                c[order] = wc.bpc_decode(encoded[b], Hp * Wp)
-                planes.append(c.reshape(Hp, Wp))
-            rec = np.asarray(dwtk.idwt2(jnp.asarray(np.stack(planes)), "53", LEVELS))
-            recon[:] = rec[:, :H0, :W0].astype(cube.dtype)
+            with mem_phase("dec"):
+                planes = []
+                for b in range(B):
+                    c = np.zeros(Hp * Wp, np.int32)
+                    c[order] = wc.bpc_decode(encoded[b], Hp * Wp)
+                    planes.append(c.reshape(Hp, Wp))
+                rec = np.asarray(dwtk.idwt2(jnp.asarray(np.stack(planes)),
+                                            "53", LEVELS))
+                recon[:] = rec[:, :H0, :W0].astype(cube.dtype)
             t_dec = time.perf_counter() - t0
         else:
             peak = float(np.abs(cube.astype(np.float64)).max()) or 1.0
-            base = base_step_for_quality(q_used, peak)
-            steps = _subband_steps(Hp, Wp, base)
+            fit_mode = self.rate_fit and rate.key in ("bpp", "cr")
             t0 = time.perf_counter()
-            coefs = np.asarray(dwtk.dwt2(jnp.asarray(work.astype(np.float32)),
-                                         "97", LEVELS))
-            qc = np.trunc(coefs / steps[None]).astype(np.int32)  # deadzone
-            encoded = [wc.bpc_encode(qc[b].ravel()[order]) for b in range(B)]
+            with mem_phase("comp"):
+                coefs_dev = dwtk.dwt2(jnp.asarray(work.astype(np.float32)),
+                                      "97", LEVELS)
+                if fit_mode:
+                    if rate.key == "bpp":       # per-band bpp, as in the
+                        target = rate.value * H * W * B / 8.0  # q tables
+                    else:                        # cr vs raw 16-bit
+                        target = (W * H * B * 2.0) / max(rate.value, 1e-6)
+                    scale_host = _subband_steps(Hp, Wp, 1.0)
+                    perm_scale = jnp.asarray(scale_host.ravel()[order])
+                    perm_coefs = jnp.take(coefs_dev.reshape(B, -1),
+                                          jnp.asarray(order), axis=1)
+                    base = float(_fit_base_device(perm_coefs, perm_scale,
+                                                  jnp.float32(target)))
+                    steps = scale_host * np.float32(base)
+                    q_used = None
+                else:
+                    base = base_step_for_quality(q_used, peak)
+                    steps = _subband_steps(Hp, Wp, base)
+                coefs = np.asarray(coefs_dev)
+                qc = np.trunc(coefs / steps[None]).astype(np.int32)  # deadzone
+                encoded = [wc.bpc_encode(qc[b].ravel()[order])
+                           for b in range(B)]
             t_comp = time.perf_counter() - t0
             sum_bytes = sum(len(e) for e in encoded)
 
             t0 = time.perf_counter()
-            planes = []
-            for b in range(B):
-                c = np.zeros(Hp * Wp, np.int32)
-                c[order] = wc.bpc_decode(encoded[b], Hp * Wp)
-                planes.append(c.reshape(Hp, Wp))
-            deq = np.stack(planes).astype(np.float32)
-            # pure-f32 dequant, bit-identical to the device path (_device_recon)
-            deq = np.where(deq != 0,
-                           (deq + np.sign(deq) * np.float32(0.5)) * steps[None],
-                           np.float32(0.0)).astype(np.float32)
-            rec = np.asarray(dwtk.idwt2(jnp.asarray(deq), "97", LEVELS))
-            info = np.iinfo(cube.dtype)
-            recon[:] = np.clip(np.rint(rec[:, :H0, :W0]),
-                               info.min, info.max).astype(cube.dtype)
+            with mem_phase("dec"):
+                planes = []
+                for b in range(B):
+                    c = np.zeros(Hp * Wp, np.int32)
+                    c[order] = wc.bpc_decode(encoded[b], Hp * Wp)
+                    planes.append(c.reshape(Hp, Wp))
+                deq = np.stack(planes).astype(np.float32)
+                # pure-f32 dequant, bit-identical to the device path
+                # (_device_recon)
+                deq = np.where(
+                    deq != 0,
+                    (deq + np.sign(deq) * np.float32(0.5)) * steps[None],
+                    np.float32(0.0)).astype(np.float32)
+                rec = np.asarray(dwtk.idwt2(jnp.asarray(deq), "97", LEVELS))
+                info = np.iinfo(cube.dtype)
+                recon[:] = np.clip(np.rint(rec[:, :H0, :W0]),
+                                   info.min, info.max).astype(cube.dtype)
             t_dec = time.perf_counter() - t0
 
         if keep_bitstream:
             for b, e in enumerate(encoded):
                 streams[f"b{b+1:02d}.j2c"] = e
+
+        extras = {"quality_used": (int(q_used) if q_used is not None
+                                   else None)}
+        if not lossless and self.rate_fit and rate.key in ("bpp", "cr"):
+            extras.update(rate_fit=1, base_step=float(base),
+                          target_bytes=int(target))
 
         return CodecResult(
             codec="j2k_gdal",
@@ -273,5 +433,5 @@ class J2KCodec(Codec):
             t_comp_s=t_comp,
             t_dec_s=t_dec,
             bitstreams=streams if keep_bitstream else None,
-            extras={"quality_used": (int(q_used) if q_used is not None else None)},
+            extras=extras,
         )

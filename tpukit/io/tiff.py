@@ -394,7 +394,15 @@ class Dataset:
         tiles_x = (W + tw - 1) // tw
         tiles_y = (H + th - 1) // th
         per_plane = tiles_x * tiles_y
-        out = np.zeros((H, W), dtype=dtype)
+        # sparse (SPARSE_OK) chunks read back as nodata, matching GDAL
+        fill = 0
+        nd = self.nodata
+        if nd is not None and np.isfinite(nd) and ifd is self._main:
+            try:
+                fill = np.dtype(dtype).type(nd)
+            except (OverflowError, ValueError):
+                fill = 0
+        out = np.full((H, W), fill, dtype=dtype)
         plane_base = 0 if planar == 1 else band_idx0 * per_plane
 
         for ty in range(tiles_y):
@@ -589,13 +597,17 @@ def write_geotiff(path, data: np.ndarray, *,
                   predictor: int = 1, photometric: Optional[str] = None,
                   mask: Optional[np.ndarray] = None,
                   bigtiff: Union[bool, str] = "IF_SAFER",
-                  tags: Optional[Dict[str, str]] = None) -> Path:
+                  tags: Optional[Dict[str, str]] = None,
+                  sparse_ok: bool = False) -> Path:
     """Write a (bands, H, W) or (H, W) array as a (Big)GeoTIFF.
 
     Matches the creation pattern the reference uses everywhere:
     tiled planar GTiff, optional DEFLATE, nodata + band descriptions +
     optional internal validity mask (reference tools/make_baseline_B.py:251-316,
-    tools/quicklooks.py:88-109).
+    tools/quicklooks.py:88-109). ``sparse_ok`` mirrors GDAL's SPARSE_OK
+    creation option (reference ccsds123_wrap.py:177): blocks whose data is
+    entirely nodata (or 0 when no nodata is set) are not materialized —
+    their offset/bytecount entries are 0 and readers fill them on demand.
     """
     path = Path(path)
     arr = np.asarray(data)
@@ -630,17 +642,30 @@ def write_geotiff(path, data: np.ndarray, *,
     tiles_y = (H + th - 1) // th
     chunks_per_plane = tiles_x * tiles_y
 
-    def encode_plane(plane: np.ndarray) -> List[bytes]:
+    sparse_fill = None
+    if sparse_ok:
+        try:
+            sparse_fill = dt.type(nodata) if nodata is not None else dt.type(0)
+        except (OverflowError, ValueError):
+            sparse_fill = None
+
+    def encode_plane(plane: np.ndarray) -> List[Optional[bytes]]:
         out = []
         for ty in range(tiles_y):
             for tx in range(tiles_x):
                 y0, x0 = ty * th, tx * tw
                 if tiled:
-                    block = np.zeros((th, tw), dtype=dt)
                     sub = plane[y0:y0 + th, x0:x0 + tw]
+                    if sparse_fill is not None and (sub == sparse_fill).all():
+                        out.append(None)   # sparse block: offset/count 0
+                        continue
+                    block = np.zeros((th, tw), dtype=dt)
                     block[:sub.shape[0], :sub.shape[1]] = sub
                 else:
                     block = plane[y0:y0 + th, :]
+                    if sparse_fill is not None and (block == sparse_fill).all():
+                        out.append(None)
+                        continue
                 chunk = block[..., None]
                 if predictor == 2:
                     chunk = _apply_predictor2(chunk)
@@ -668,7 +693,7 @@ def write_geotiff(path, data: np.ndarray, *,
                 mko.append(zlib.compress(block.tobytes(), 6))
         mask_chunks = mko
 
-    total_data = sum(len(c) for c in all_chunks) + (
+    total_data = sum(len(c) for c in all_chunks if c is not None) + (
         sum(len(c) for c in mask_chunks) if mask_chunks else 0)
     if bigtiff is True or str(bigtiff).upper() == "YES":
         big = True
@@ -685,6 +710,9 @@ def write_geotiff(path, data: np.ndarray, *,
     offsets = []
     pos = data_off
     for c in all_chunks:
+        if c is None:
+            offsets.append(0)
+            continue
         if pos % 2:
             pos += 1
         offsets.append(pos)
@@ -722,11 +750,13 @@ def write_geotiff(path, data: np.ndarray, *,
             w.add(TAG_TILE_WIDTH, 3, tw)
             w.add(TAG_TILE_LENGTH, 3, th)
             w.add(TAG_TILE_OFFSETS, otyp, tuple(offsets))
-            w.add(TAG_TILE_BYTE_COUNTS, 4, tuple(len(c) for c in all_chunks))
+            w.add(TAG_TILE_BYTE_COUNTS, 4,
+                  tuple(0 if c is None else len(c) for c in all_chunks))
         else:
             w.add(TAG_ROWS_PER_STRIP, 4, th)
             w.add(TAG_STRIP_OFFSETS, otyp, tuple(offsets))
-            w.add(TAG_STRIP_BYTE_COUNTS, 4, tuple(len(c) for c in all_chunks))
+            w.add(TAG_STRIP_BYTE_COUNTS, 4,
+                  tuple(0 if c is None else len(c) for c in all_chunks))
         w.add(TAG_SOFTWARE, 2, "tpukit")
         if nodata is not None:
             ndv = float(nodata)
@@ -803,6 +833,8 @@ def write_geotiff(path, data: np.ndarray, *,
             f.write(b"II" + struct.pack("<HI", 42, main_ifd_off))
         pos = header_len
         for off, c in zip(offsets, all_chunks):
+            if c is None:
+                continue
             if pos < off:
                 f.write(b"\x00" * (off - pos))
                 pos = off
