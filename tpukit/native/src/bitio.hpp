@@ -77,13 +77,27 @@ struct BitReader {
     BitReader(const uint8_t* b, int64_t n) : buf(b), nbytes(n) {}
 
     inline void refill() {
-        while (avail <= 56 && bytepos < nbytes) {
-            window |= (uint64_t)buf[bytepos++] << (56 - avail);
-            avail += 8;
+        // branchless wide refill: load 8 bytes, OR them below the claimed
+        // bits, and claim whole bytes up to avail in [56, 63]. Unclaimed
+        // look-ahead bits stay in the window's low part; re-ORing the same
+        // bytes on the next refill is idempotent, so consumers may also
+        // advance the window manually (window <<= k; avail -= k).
+        if (bytepos + 8 <= nbytes) {
+            uint64_t chunk;
+            std::memcpy(&chunk, buf + bytepos, 8);
+            window |= __builtin_bswap64(chunk) >> avail;
+            int adv = (63 - avail) >> 3;
+            bytepos += adv;
+            avail += adv << 3;
+        } else {
+            while (avail <= 56 && bytepos < nbytes) {
+                window |= (uint64_t)buf[bytepos++] << (56 - avail);
+                avail += 8;
+            }
         }
     }
 
-    inline uint64_t get_bits(int n) {  // n <= 57
+    inline uint64_t get_bits(int n) {  // n <= 56
         if (n == 0) return 0;
         refill();
         if (avail < n) { error = true; avail = 0; window = 0; return 0; }

@@ -367,7 +367,6 @@ extern "C" int64_t ck121_decode(const uint8_t* in, int64_t nbytes, int bits,
     std::vector<uint32_t> d(J);
     uint32_t prev = 0;
     int64_t b = 0;
-    int zero_pending = 0;  // blocks of zeros still to materialize
 
     auto unpreprocess_block = [&](bool ref) {
         uint16_t* x = out + b * J;
@@ -383,17 +382,6 @@ extern "C" int64_t ck121_decode(const uint8_t* in, int64_t nbytes, int bits,
 
     while (b < nblocks) {
         bool ref = p.preprocess && (b % p.rsi == 0);
-        if (zero_pending > 0) {
-            if (ref) return -4;  // runs never span an RSI boundary
-            // zero residuals decode to a constant run: with preprocessing,
-            // unmap(0, prev) == prev for every sample; without, plain zeros
-            uint16_t* x = out + b * J;
-            const uint16_t fill = p.preprocess ? (uint16_t)prev : 0;
-            for (int i = 0; i < J; ++i) x[i] = fill;
-            --zero_pending;
-            ++b;
-            continue;
-        }
         uint32_t id = (uint32_t)br.get_bits(p.id_len);
         if (br.error) return -5;
         if (id == 0) {
@@ -417,7 +405,16 @@ extern "C" int64_t ck121_decode(const uint8_t* in, int64_t nbytes, int bits,
                 if (ref) d[0] = zref;
                 unpreprocess_block(ref);
                 ++b;
-                zero_pending = run - 1;
+                if (run > 1) {
+                    // zero residuals decode to a constant run: with
+                    // preprocessing unmap(0, prev) == prev for every
+                    // sample; without, plain zeros — fill the whole run
+                    // in one pass (runs never span an RSI boundary: the
+                    // clamp above enforces it)
+                    const uint16_t fill = p.preprocess ? (uint16_t)prev : 0;
+                    std::fill(out + b * J, out + (b + run - 1) * J, fill);
+                    b += run - 1;
+                }
             } else {
                 // second extension (pairing as in emit_block)
                 uint32_t zref = 0;
@@ -453,7 +450,7 @@ extern "C" int64_t ck121_decode(const uint8_t* in, int64_t nbytes, int bits,
             if (k > 0) {
                 const int m = J - start;
                 const int64_t total = (int64_t)m * k;
-                if (total <= 57) {
+                if (total <= 56) {
                     // batch all split LSB fields in one windowed read
                     uint64_t v = br.get_bits((int)total);
                     const uint32_t mk = (1u << k) - 1;
