@@ -51,7 +51,10 @@ class CaseAConfig:
 def write_window_stack(cfg: CaseAConfig, out_path: Path) -> Path:
     """Cut a window from the band sources and stack into one multiband
     GeoTIFF (reference :38-93)."""
-    dss = [tiff.open(p) for p in cfg.band_paths]
+    from tpukit.io.jp2 import open_raster
+    # band sources may be GeoTIFFs or Sentinel-2 .jp2 files (the reference
+    # reads the JP2s via rasterio/GDAL, make_baseline_A.py:13-19)
+    dss = [open_raster(p) for p in cfg.band_paths]
     ref = dss[0]
     W, H = ref.width, ref.height
     for ds, p in zip(dss, cfg.band_paths):
