@@ -79,6 +79,11 @@ def run_codec_main(argv=None):
                          "device mesh: DP-way over lanes, SP-way over the "
                          "band axis (falls back to the virtual CPU mesh "
                          "when fewer real devices exist)")
+    ap.add_argument("--stream-rows", type=int, default=None,
+                    help="scene streaming: process each item in N-row "
+                         "strips with bounded host memory (strip-exact "
+                         "codecs only; aligned up to the codec tile grid). "
+                         "Items over 1 GiB stream automatically.")
     args, _extra = ap.parse_known_args(argv)
 
     from tpukit.codecs.registry import create
@@ -121,7 +126,7 @@ def run_codec_main(argv=None):
         ql_rgb=args.ql_rgb, ql_err_global=args.ql_err_global,
         ql_err_zoom=args.ql_err_zoom, case=args.case, asset=args.asset,
         link_mbps=link_mbps, link_eff=link_eff, csv_decimal=args.csv_decimal,
-        mesh=args.mesh)
+        mesh=args.mesh, stream_rows=args.stream_rows)
     if args.profile:
         import jax
         with jax.profiler.trace(str(args.profile)):

@@ -36,6 +36,10 @@ class CCSDS121Codec(Codec):
     name = "ccsds121"
     encoder_desc = "tpukit CCSDS-121.0-B (Rice/GPO2, libaec bit-compatible)"
     supports_lossy = False
+    # row strips aligned to the tile grid code byte-identically to the
+    # whole image (each 512² tile is an independent stream, and diff1 is a
+    # per-pixel spectral transform) — enables scene streaming
+    strip_exact = True
 
     def __init__(self, tile: int = 512, interleave: str = "bip",
                  preproc: str = "diff1", nbit: int = 16,

@@ -154,6 +154,9 @@ class CCSDS123Codec(Codec):
     # the reference wrapper copies the source's validity mask into the
     # reconstruction (ccsds123_wrap.py:279-283 dst.write_mask)
     mask_passthrough = True
+    # independent 512² tiles: row strips on the tile grid code
+    # byte-identically to the whole image — enables scene streaming
+    strip_exact = True
 
     def __init__(self, tile: int = 512, interleave: str = "bsq",
                  crop_nodata: bool = False):

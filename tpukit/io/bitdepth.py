@@ -93,3 +93,57 @@ def effective_data_range(arr: np.ndarray, dtype_name: str) -> int:
         return int(np.iinfo(np.dtype(dtype_name)).max)
     except Exception:
         return 65535
+
+
+class RangeScan:
+    """Streaming accumulator for effective_data_range over strip windows:
+    tracks min, max, and the OR of low bits so scene-scale sweeps never
+    hold the whole cube (same heuristics as reference run_codec.py:86-117,
+    fed incrementally)."""
+
+    def __init__(self, dtype_name: str):
+        self.dtype_name = dtype_name
+        self.mn = None
+        self.mx = None
+        self.lsb_or = 0
+
+    def update(self, arr: np.ndarray) -> "RangeScan":
+        a = np.asarray(arr)
+        if a.size == 0:
+            return self
+        mn = int(a.min())
+        mx = int(a.max())
+        self.mn = mn if self.mn is None else min(self.mn, mn)
+        self.mx = mx if self.mx is None else max(self.mx, mx)
+        if self.dtype_name == "uint16":
+            self.lsb_or |= int(np.bitwise_or.reduce(
+                a.astype(np.uint16, copy=False).reshape(-1) & np.uint16(0xF)))
+        elif self.dtype_name == "int16":
+            self.lsb_or |= int(np.bitwise_or.reduce(
+                a.view(np.uint16).reshape(-1) & np.uint16(0x3))
+                if a.dtype == np.int16 else
+                np.bitwise_or.reduce(
+                    a.astype(np.int16).view(np.uint16).reshape(-1)
+                    & np.uint16(0x3)))
+        return self
+
+    def result(self) -> int:
+        """effective_data_range from the accumulated scan."""
+        dn = self.dtype_name
+        if dn == "uint8":
+            return 255
+        if dn == "uint16":
+            mx = self.mx if self.mx is not None else 0
+            if self.lsb_or == 0 and mx <= 4095 * 16:
+                return 4095
+            return 65535
+        if dn == "int16":
+            mn = min(0, self.mn if self.mn is not None else 0)
+            mx = max(0, self.mx if self.mx is not None else 0)
+            if self.lsb_or == 0 and mn >= -8192 and mx <= 8191:
+                return 8191
+            return int(max(abs(mn), abs(mx)))
+        try:
+            return int(np.iinfo(np.dtype(dn)).max)
+        except Exception:
+            return 65535

@@ -270,7 +270,10 @@ class Dataset:
 
     def __init__(self, path: Union[str, Path]):
         self.path = Path(path)
-        self._buf = np.fromfile(self.path, dtype=np.uint8)
+        # memory-map the file: windowed reads touch only the pages of the
+        # chunks they decode, keeping RSS bounded for scene-scale inputs
+        # (the pages are clean/file-backed, so the OS can evict them)
+        self._buf = np.memmap(self.path, dtype=np.uint8, mode="r")
         self._mv = memoryview(self._buf)  # zero-copy view of the file buffer
         p = _Parser(self._mv)
         self._parser = p
@@ -448,6 +451,88 @@ class Dataset:
                 out[y0:y0 + hh, x0:x0 + ww] = plane[:hh, :ww]
         return out
 
+    def _decode_window_ifd(self, ifd: IFD, band_idx0: int, dtype, nbands: int,
+                           win: Window) -> np.ndarray:
+        """Decode only the chunks intersecting ``win`` from an IFD — the
+        bounded-RSS path for scene-scale streaming (only the strips/tiles a
+        window touches are decompressed; the memmapped file pages the rest
+        stays on disk)."""
+        W = int(ifd.scalar(TAG_IMAGE_WIDTH))
+        H = int(ifd.scalar(TAG_IMAGE_LENGTH))
+        comp = int(ifd.scalar(TAG_COMPRESSION, 1))
+        planar = int(ifd.scalar(TAG_PLANAR_CONFIG, 1))
+        pred = int(ifd.scalar(TAG_PREDICTOR, 1))
+        tiled, tw, th, offs, cnts = self._chunk_grid(ifd)
+        bo = self._parser.bo
+        dt = np.dtype(dtype).newbyteorder(bo)
+        spp = nbands if planar == 1 else 1
+        bits_ps = int(ifd.scalar(TAG_BITS_PER_SAMPLE, 1) or 1)
+
+        tiles_x = (W + tw - 1) // tw
+        tiles_y = (H + th - 1) // th
+        per_plane = tiles_x * tiles_y
+        fill = 0
+        nd = self.nodata
+        if nd is not None and np.isfinite(nd) and ifd is self._main:
+            try:
+                fill = np.dtype(dtype).type(nd)
+            except (OverflowError, ValueError):
+                fill = 0
+        out = np.full((win.height, win.width), fill, dtype=dtype)
+        plane_base = 0 if planar == 1 else band_idx0 * per_plane
+
+        ty0 = win.row_off // th
+        ty1 = (win.row_off + win.height - 1) // th
+        tx0 = win.col_off // tw
+        tx1 = (win.col_off + win.width - 1) // tw
+        for ty in range(ty0, min(ty1, tiles_y - 1) + 1):
+            for tx in range(tx0, min(tx1, tiles_x - 1) + 1):
+                ci = plane_base + ty * tiles_x + tx
+                if ci >= len(offs):
+                    continue
+                off, cnt = int(offs[ci]), int(cnts[ci])
+                y0, x0 = ty * th, tx * tw
+                if tiled:
+                    rows, cols = th, tw
+                else:
+                    rows = min(th, H - y0)
+                    cols = W
+                sy0 = max(win.row_off, y0)
+                sy1 = min(win.row_off + win.height, y0 + min(rows, H - y0))
+                sx0 = max(win.col_off, x0)
+                sx1 = min(win.col_off + win.width, x0 + min(cols, W - x0))
+                if sy1 <= sy0 or sx1 <= sx0:
+                    continue
+                if off == 0 or cnt == 0:   # sparse chunk reads back as fill
+                    continue
+                raw = _decompress(bytes(self._mv[off:off + cnt]), comp)
+                if bits_ps == 1:
+                    rowbytes = (cols * spp + 7) // 8
+                    need = rows * rowbytes
+                    rawb = np.frombuffer(raw, np.uint8,
+                                         count=min(need, len(raw)))
+                    if rawb.size < need:
+                        rawb = np.concatenate(
+                            [rawb, np.zeros(need - rawb.size, np.uint8)])
+                    arr = np.unpackbits(rawb.reshape(rows, rowbytes),
+                                        axis=1)[:, :cols * spp]
+                    arr = arr.reshape(rows, cols, spp).astype(dtype)
+                else:
+                    n_expected = rows * cols * spp
+                    arr = np.frombuffer(raw, dtype=dt,
+                                        count=min(n_expected, len(raw) // dt.itemsize))
+                    if arr.size < n_expected:
+                        arr = np.concatenate(
+                            [arr, np.zeros(n_expected - arr.size, dtype=dt)])
+                    arr = arr.reshape(rows, cols, spp).astype(dtype)
+                if pred == 2:
+                    arr = _undo_predictor2(arr)
+                plane = arr[..., band_idx0] if planar == 1 else arr[..., 0]
+                out[sy0 - win.row_off:sy1 - win.row_off,
+                    sx0 - win.col_off:sx1 - win.col_off] = \
+                    plane[sy0 - y0:sy1 - y0, sx0 - x0:sx1 - x0]
+        return out
+
     def _band(self, i: int) -> np.ndarray:
         """1-based band read, cached full plane."""
         if i not in self._cache:
@@ -455,7 +540,11 @@ class Dataset:
         return self._cache[i]
 
     def read(self, indexes=None, window=None, out_dtype=None) -> np.ndarray:
-        """rasterio-style read: indexes int -> (H,W); list/None -> (B,H,W)."""
+        """rasterio-style read: indexes int -> (H,W); list/None -> (B,H,W).
+
+        Windowed reads decode only the intersecting chunks (unless the full
+        plane is already cached), so strip-streaming a scene never
+        materializes whole planes."""
         single = isinstance(indexes, (int, np.integer))
         if indexes is None:
             idx = list(range(1, self.count + 1))
@@ -463,11 +552,17 @@ class Dataset:
             idx = [int(indexes)]
         else:
             idx = [int(i) for i in indexes]
-        planes = [self._band(i) for i in idx]
         if window is not None:
             w = Window.coerce(window)
-            planes = [p[w.row_off:w.row_off + w.height, w.col_off:w.col_off + w.width]
-                      for p in planes]
+            planes = [
+                (self._cache[i][w.row_off:w.row_off + w.height,
+                                w.col_off:w.col_off + w.width]
+                 if i in self._cache else
+                 self._decode_window_ifd(self._main, i - 1, self._dtype,
+                                         self.count, w))
+                for i in idx]
+        else:
+            planes = [self._band(i) for i in idx]
         arr = planes[0][None] if len(planes) == 1 else np.stack(planes, axis=0)
         if out_dtype is not None:
             arr = arr.astype(out_dtype)
@@ -477,6 +572,17 @@ class Dataset:
         """0/255 validity mask: internal mask IFD if present, else nodata on
         any band, else all-valid (mirrors rasterio.DatasetReader.dataset_mask
         as consumed at reference tools/quicklooks.py:35-45)."""
+        if window is not None:
+            w = Window.coerce(window)
+            if self._mask_ifd is not None:
+                m = self._decode_window_ifd(self._mask_ifd, 0, np.uint8, 1, w)
+                return np.where(m > 0, 255, 0).astype(np.uint8)
+            if self.nodata is not None and np.isfinite(self.nodata):
+                valid = np.ones((w.height, w.width), dtype=bool)
+                for i in range(1, self.count + 1):
+                    valid &= (self.read(i, window=w) != self.nodata)
+                return np.where(valid, 255, 0).astype(np.uint8)
+            return np.full((w.height, w.width), 255, dtype=np.uint8)
         if self._mask_ifd is not None:
             m = self._decode_plane_ifd(self._mask_ifd, 0, np.uint8, 1)
             m = np.where(m > 0, 255, 0).astype(np.uint8)
@@ -487,9 +593,6 @@ class Dataset:
             m = np.where(valid, 255, 0).astype(np.uint8)
         else:
             m = np.full((self.height, self.width), 255, dtype=np.uint8)
-        if window is not None:
-            w = Window.coerce(window)
-            m = m[w.row_off:w.row_off + w.height, w.col_off:w.col_off + w.width]
         return m
 
     def set_band_description(self, i: int, desc: str):
@@ -857,6 +960,230 @@ def write_geotiff(path, data: np.ndarray, *,
                 f.write(b"\x00" * (mask_ifd_off - pos))
             f.write(mask_ifd + mask_over)
     return path
+
+
+class StripWriter:
+    """Sequential strip-streaming GeoTIFF writer for scene-scale outputs.
+
+    ``write_geotiff`` materializes every chunk in memory before writing;
+    this writer accepts row blocks in ascending order and appends their
+    strips to the file immediately, emitting the IFD only at ``close()`` —
+    host RSS stays O(strip) no matter how large the scene (the bounded-RSS
+    counterpart of the reference's rasterio windowed writes, reference
+    tools/make_baseline_B.py:296-316).
+
+    Layout: header | strip data in arrival order | main IFD | mask IFD.
+    Strips are uncompressed, planar (BSQ), fixed RowsPerStrip; the result
+    reads back identically through ``Dataset`` (windowed or whole) and GDAL.
+    """
+
+    def __init__(self, path, *, count: int, height: int, width: int, dtype,
+                 rows_per_strip: int = 512, nodata=None, descriptions=None,
+                 band_metadata=None, geo: Optional[dict] = None,
+                 transform=None, tags: Optional[Dict[str, str]] = None,
+                 with_mask: bool = False,
+                 bigtiff: Union[bool, str] = "IF_SAFER"):
+        self.path = Path(path)
+        self.B, self.H, self.W = int(count), int(height), int(width)
+        self.dt = np.dtype(dtype)
+        if self.dt.kind == "u":
+            self._sf = _SF_UINT
+        elif self.dt.kind == "i":
+            self._sf = _SF_INT
+        elif self.dt.kind == "f":
+            self._sf = _SF_FLOAT
+        else:
+            raise ValueError(f"Unsupported dtype {self.dt}")
+        self.rps = int(rows_per_strip)
+        self.strips_y = (self.H + self.rps - 1) // self.rps
+        n_chunks = self.B * self.strips_y
+        self._offsets = [0] * n_chunks
+        self._counts = [0] * n_chunks
+        self._nodata = nodata
+        self._descriptions = descriptions
+        self._band_metadata = band_metadata
+        self._geo = geo
+        self._transform = transform
+        self._tags = tags
+        self._with_mask = bool(with_mask)
+        self._mask_chunks: Dict[int, bytes] = {}
+        total = self.B * self.H * self.W * self.dt.itemsize
+        if bigtiff is True or str(bigtiff).upper() == "YES":
+            self._big = True
+        elif bigtiff is False or str(bigtiff).upper() == "NO":
+            self._big = False
+        else:
+            self._big = total > (1 << 32) - (1 << 26)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._f = open_file(self.path, "wb")
+        if self._big:
+            self._f.write(b"II" + struct.pack("<HHHQ", 43, 8, 0, 0))
+            self._pos = 16
+        else:
+            self._f.write(b"II" + struct.pack("<HI", 42, 0))
+            self._pos = 8
+        self._closed = False
+
+    def _append(self, data: bytes) -> int:
+        if self._pos % 2:
+            self._f.write(b"\x00")
+            self._pos += 1
+        off = self._pos
+        self._f.write(data)
+        self._pos += len(data)
+        return off
+
+    def write(self, y0: int, block: np.ndarray) -> None:
+        """Write rows [y0, y0+rows) for all bands. ``block`` is (B, rows, W)
+        (or (rows, W) for single-band files); ``y0`` must be a multiple of
+        rows_per_strip and rows a multiple of it too (except the last)."""
+        if self._closed:
+            raise IOError("StripWriter is closed")
+        blk = np.asarray(block)
+        if blk.ndim == 2:
+            blk = blk[None]
+        if blk.dtype != self.dt:
+            blk = blk.astype(self.dt)
+        B, rows, W = blk.shape
+        if B != self.B or W != self.W:
+            raise ValueError(f"block {blk.shape} != ({self.B}, rows, {self.W})")
+        if y0 % self.rps != 0:
+            raise ValueError(f"y0={y0} not aligned to rows_per_strip={self.rps}")
+        if y0 + rows > self.H:
+            raise ValueError(f"rows beyond image: {y0}+{rows} > {self.H}")
+        if rows % self.rps != 0 and y0 + rows != self.H:
+            raise ValueError(f"rows={rows} not a strip multiple")
+        le = self.dt.newbyteorder("<")
+        for s0 in range(0, rows, self.rps):
+            sy = (y0 + s0) // self.rps
+            srows = min(self.rps, rows - s0)
+            for b in range(B):
+                raw = np.ascontiguousarray(
+                    blk[b, s0:s0 + srows].astype(le)).tobytes()
+                ci = b * self.strips_y + sy
+                self._offsets[ci] = self._append(raw)
+                self._counts[ci] = len(raw)
+
+    def write_mask(self, y0: int, mask_rows: np.ndarray) -> None:
+        """Buffer validity-mask rows (deflate-compressed, tiny) for the
+        internal mask IFD written at close()."""
+        if not self._with_mask:
+            raise ValueError("writer created without with_mask=True")
+        mk = np.where(np.asarray(mask_rows) > 0, 255, 0).astype(np.uint8)
+        rows = mk.shape[0]
+        if y0 % self.rps != 0 or (rows % self.rps != 0 and y0 + rows != self.H):
+            raise ValueError("mask rows must align to rows_per_strip")
+        for s0 in range(0, rows, self.rps):
+            sy = (y0 + s0) // self.rps
+            srows = min(self.rps, rows - s0)
+            self._mask_chunks[sy] = zlib.compress(
+                mk[s0:s0 + srows].tobytes(), 6)
+
+    def close(self) -> Path:
+        if self._closed:
+            return self.path
+        bo = "<"
+        big = self._big
+        mask_offsets = []
+        mask_counts = []
+        if self._with_mask:
+            for sy in range(self.strips_y):
+                c = self._mask_chunks.get(sy)
+                if c is None:   # unwritten mask rows read back as invalid
+                    c = zlib.compress(
+                        b"\x00" * (min(self.rps, self.H - sy * self.rps)
+                                   * self.W), 6)
+                mask_offsets.append(self._append(c))
+                mask_counts.append(len(c))
+        if self._pos % 2:
+            self._f.write(b"\x00")
+            self._pos += 1
+        main_ifd_off = self._pos
+
+        def build_main(off: int, next_off: int):
+            w = _TagWriter(bo, big)
+            w.add(TAG_IMAGE_WIDTH, 4, self.W)
+            w.add(TAG_IMAGE_LENGTH, 4, self.H)
+            w.add(TAG_BITS_PER_SAMPLE, 3, (self.dt.itemsize * 8,) * self.B)
+            w.add(TAG_COMPRESSION, 3, COMPRESSION_NONE)
+            w.add(TAG_PHOTOMETRIC, 3, 1)
+            w.add(TAG_SAMPLES_PER_PIXEL, 3, self.B)
+            w.add(TAG_PLANAR_CONFIG, 3, 2)
+            if self.B > 1:
+                w.add(TAG_EXTRA_SAMPLES, 3, (0,) * (self.B - 1))
+            w.add(TAG_SAMPLE_FORMAT, 3, (self._sf,) * self.B)
+            w.add(TAG_ROWS_PER_STRIP, 4, self.rps)
+            w.add(TAG_STRIP_OFFSETS, 16 if big else 4, tuple(self._offsets))
+            w.add(TAG_STRIP_BYTE_COUNTS, 4, tuple(self._counts))
+            w.add(TAG_SOFTWARE, 2, "tpukit")
+            if self._nodata is not None:
+                ndv = float(self._nodata)
+                txt = str(int(ndv)) if ndv.is_integer() else repr(ndv)
+                w.add(TAG_GDAL_NODATA, 2, txt)
+            md = dict(self._band_metadata or {})
+            if self._tags:
+                md.setdefault(0, {}).update(self._tags)
+            xml = _gdal_metadata_xml(self._descriptions, md)
+            if xml:
+                w.add(TAG_GDAL_METADATA, 2, xml)
+            if self._geo:
+                for t, entry in self._geo.items():
+                    if isinstance(entry, IFDEntry):
+                        w.add(t, entry.type, entry.value)
+            elif self._transform is not None:
+                a, b_, c, d, e, f = self._transform
+                if b_ == 0 and d == 0 and a > 0:
+                    w.add(TAG_MODEL_PIXEL_SCALE, 12, (a, abs(e), 0.0))
+                    w.add(TAG_MODEL_TIEPOINT, 12, (0.0, 0.0, 0.0, c, f, 0.0))
+                else:
+                    w.add(TAG_MODEL_TRANSFORMATION, 12,
+                          (a, b_, 0.0, c, d, e, 0.0, f, 0, 0, 0, 0, 0, 0, 0, 1))
+            return w.serialize(off, next_off)
+
+        def build_mask(off: int):
+            w = _TagWriter(bo, big)
+            w.add(TAG_NEW_SUBFILE_TYPE, 4, 4)
+            w.add(TAG_IMAGE_WIDTH, 4, self.W)
+            w.add(TAG_IMAGE_LENGTH, 4, self.H)
+            w.add(TAG_BITS_PER_SAMPLE, 3, 8)
+            w.add(TAG_COMPRESSION, 3, COMPRESSION_DEFLATE)
+            w.add(TAG_PHOTOMETRIC, 3, 4)
+            w.add(TAG_SAMPLES_PER_PIXEL, 3, 1)
+            w.add(TAG_PLANAR_CONFIG, 3, 1)
+            w.add(TAG_ROWS_PER_STRIP, 4, self.rps)
+            w.add(TAG_STRIP_OFFSETS, 16 if big else 4, tuple(mask_offsets))
+            w.add(TAG_STRIP_BYTE_COUNTS, 4, tuple(mask_counts))
+            return w.serialize(off, 0)
+
+        if self._with_mask:
+            _, _, main_len = build_main(main_ifd_off, 0)
+            mask_ifd_off = main_ifd_off + main_len
+            if mask_ifd_off % 2:
+                mask_ifd_off += 1
+            main_ifd, main_over, main_len2 = build_main(main_ifd_off,
+                                                        mask_ifd_off)
+            assert main_len2 == main_len
+            self._f.write(main_ifd + main_over)
+            self._pos += len(main_ifd) + len(main_over)
+            if self._pos < mask_ifd_off:
+                self._f.write(b"\x00" * (mask_ifd_off - self._pos))
+            mask_ifd, mask_over, _ = build_mask(mask_ifd_off)
+            self._f.write(mask_ifd + mask_over)
+        else:
+            main_ifd, main_over, _ = build_main(main_ifd_off, 0)
+            self._f.write(main_ifd + main_over)
+        # patch the header's first-IFD offset
+        self._f.seek(8 if big else 4)
+        self._f.write(struct.pack(bo + ("Q" if big else "I"), main_ifd_off))
+        self._f.close()
+        self._closed = True
+        return self.path
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def open_file(path, mode):

@@ -245,3 +245,121 @@ def assemble_quality_many(stacked: Dict[str, np.ndarray],
     n = len(np.asarray(stacked["maxerr"]))
     return [assemble_quality({k: np.asarray(v)[i] for k, v in stacked.items()},
                              data_range) for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# Strip streaming: per-strip stats + exact float64 merge (scene-scale sweeps)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def quality_stats_dual(ref: jax.Array, tst: jax.Array, valid: jax.Array):
+    """quality_stats twice for one strip: under the strip's validity mask
+    (NO empty-mask fallback — a strip with zero valid pixels contributes
+    nothing) and under an all-ones mask. The merge layer picks the all-ones
+    accumulation only when the GLOBAL mask is empty, reproducing the
+    reference's whole-image fallback (run_codec.py:264-266) without a
+    second pass over the scene.
+
+    Bands are processed SEQUENTIALLY (lax.map): the streaming path's peak
+    working set must stay O(rows × W), not O(B × rows × W) — a strip of a
+    wide many-band scene would otherwise materialize GBs of f32
+    temporaries in one launch."""
+    is_float = jnp.issubdtype(ref.dtype, jnp.floating) or \
+        jnp.issubdtype(tst.dtype, jnp.floating)
+    work_dt = jnp.float32 if is_float else jnp.int32
+    wi_m = valid.astype(jnp.int32)
+    any_valid = jnp.any(wi_m > 0)
+    wf_m = wi_m.astype(jnp.float32)
+    n_m = jnp.sum(wf_m)
+    n_u = jnp.float32(ref.shape[1] * ref.shape[2])
+
+    def band_stats(a2, r2, wf, wi, n):
+        a = a2.astype(work_dt)
+        r = r2.astype(work_dt)
+        af = a.astype(jnp.float32)
+        rf = r.astype(jnp.float32)
+        c_a = jnp.sum(af * wf) / jnp.maximum(n, 1.0)
+        c_r = jnp.sum(rf * wf) / jnp.maximum(n, 1.0)
+        ac = (af - c_a) * wf
+        rc = (rf - c_r) * wf
+        d = (a - r) * wi.astype(work_dt)
+        df = d.astype(jnp.float32)
+        return (c_a, c_r, jnp.sum(ac), jnp.sum(rc), jnp.sum(ac * ac),
+                jnp.sum(rc * rc), jnp.sum(ac * rc), jnp.sum(df * df),
+                jnp.max(jnp.abs(d)),
+                jnp.max(jnp.maximum(jnp.abs(a), jnp.abs(r))
+                        * wi.astype(work_dt)))
+
+    def per_band(ar):
+        a2, r2 = ar
+        m = band_stats(a2, r2, wf_m, wi_m, n_m)
+        u = band_stats(a2, r2, jnp.ones_like(wf_m), jnp.ones_like(wi_m),
+                       n_u)
+        return m, u
+
+    keys = ("c_a", "c_r", "sum_ac", "sum_rc", "sum_ac2", "sum_rc2",
+            "sum_acrc", "sse", "maxerr", "max_abs_obs")
+    m_leaves, u_leaves = jax.lax.map(per_band, (ref, tst))
+    masked = dict(zip(keys, m_leaves))
+    masked["n"] = n_m
+    # empty strip mask -> identically-zero masked contribution
+    masked = {k: jnp.where(any_valid, v, jnp.zeros_like(v))
+              for k, v in masked.items()}
+    unmasked = dict(zip(keys, u_leaves))
+    unmasked["n"] = n_u
+    return masked, unmasked
+
+
+def merge_quality_stats(parts: list) -> Dict[str, np.ndarray]:
+    """Combine per-strip quality_stats into whole-image stats, exactly
+    (float64 pairwise/streamed Chan-Golub-LeVeque moment combination).
+
+    Output feeds assemble_quality unchanged: the merged dict uses the
+    combined means as the centers (sum_ac == sum_rc == 0), centered second
+    moments as sum_*2, and the centered cross moment as sum_acrc."""
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        raise ValueError("no stats to merge")
+    first = parts[0]
+    Bn = len(np.asarray(first["c_a"]))
+    n = 0.0
+    mu_a = np.zeros(Bn)
+    mu_r = np.zeros(Bn)
+    m2_a = np.zeros(Bn)
+    m2_r = np.zeros(Bn)
+    cov = np.zeros(Bn)
+    sse = np.zeros(Bn)
+    maxerr = np.zeros(Bn)
+    maxobs = np.zeros(Bn)
+    for p in parts:
+        nj = float(np.asarray(p["n"], np.float64))
+        if nj <= 0:
+            continue
+        c_a = np.asarray(p["c_a"], np.float64)
+        c_r = np.asarray(p["c_r"], np.float64)
+        s_a = np.asarray(p["sum_ac"], np.float64)
+        s_r = np.asarray(p["sum_rc"], np.float64)
+        mj_a = c_a + s_a / nj
+        mj_r = c_r + s_r / nj
+        M2j_a = np.asarray(p["sum_ac2"], np.float64) - s_a * s_a / nj
+        M2j_r = np.asarray(p["sum_rc2"], np.float64) - s_r * s_r / nj
+        Cj = np.asarray(p["sum_acrc"], np.float64) - s_a * s_r / nj
+        nt = n + nj
+        da = mj_a - mu_a
+        dr = mj_r - mu_r
+        w = n * nj / nt
+        m2_a += M2j_a + da * da * w
+        m2_r += M2j_r + dr * dr * w
+        cov += Cj + da * dr * w
+        mu_a += da * nj / nt
+        mu_r += dr * nj / nt
+        n = nt
+        sse += np.asarray(p["sse"], np.float64)
+        maxerr = np.maximum(maxerr, np.asarray(p["maxerr"], np.float64))
+        maxobs = np.maximum(maxobs, np.asarray(p["max_abs_obs"], np.float64))
+    return {
+        "n": np.float64(n), "c_a": mu_a, "c_r": mu_r,
+        "sum_ac": np.zeros(Bn), "sum_rc": np.zeros(Bn),
+        "sum_ac2": m2_a, "sum_rc2": m2_r, "sum_acrc": cov,
+        "sse": sse, "maxerr": maxerr, "max_abs_obs": maxobs,
+    }

@@ -42,12 +42,9 @@ def sobel_mag(img: jax.Array) -> jax.Array:
     return jnp.sqrt(gx * gx + gy * gy)
 
 
-@jax.jit
-def spectral_stats(ref: jax.Array, tst: jax.Array, valid: jax.Array) -> Dict[str, jax.Array]:
-    """Device sums for SAM/SID/LMSE. ref/tst: (B,H,W); valid: (H,W) bool."""
-    A = ref.astype(jnp.float32)
-    R = tst.astype(jnp.float32)
-    w = valid.astype(jnp.float32)
+def _sam_sid_sums(A: jax.Array, R: jax.Array, w: jax.Array):
+    """Masked SAM/SID pixel sums (the per-pixel spectral reductions of
+    spectral_stats, shared with the strip-streaming path)."""
     n = jnp.sum(w)
 
     # --- SAM (reference run_codec.py:328-332) ---
@@ -73,6 +70,16 @@ def spectral_stats(ref: jax.Array, tst: jax.Array, valid: jax.Array) -> Dict[str
     log_ratio = jnp.log((Ap + 1e-15) / (Rp + 1e-15))
     sid_pix = jnp.sum(Ap * log_ratio, axis=0) - jnp.sum(Rp * log_ratio, axis=0)
     sid_sum = jnp.sum(sid_pix * w)
+    return n, sam_sum, sid_sum
+
+
+@jax.jit
+def spectral_stats(ref: jax.Array, tst: jax.Array, valid: jax.Array) -> Dict[str, jax.Array]:
+    """Device sums for SAM/SID/LMSE. ref/tst: (B,H,W); valid: (H,W) bool."""
+    A = ref.astype(jnp.float32)
+    R = tst.astype(jnp.float32)
+    w = valid.astype(jnp.float32)
+    n, sam_sum, sid_sum = _sam_sid_sums(A, R, w)
 
     # --- LMSE (reference run_codec.py:341-346 — unmasked by design) ---
     ea = sobel_mag(A)
@@ -109,6 +116,62 @@ def assemble_spectral_many(stacked) -> list:
                 "lmse": float(np.asarray(stacked["lmse"])[i]),
             })
     return out
+
+
+# ---------------------------------------------------------------------------
+# Strip streaming: per-strip sums + merge (scene-scale sweeps)
+# ---------------------------------------------------------------------------
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("top", "bot", "left", "right"))
+def spectral_stats_strip(ref: jax.Array, tst: jax.Array, valid: jax.Array,
+                         top: int, bot: int, left: int = 0,
+                         right: int = 0) -> Dict[str, jax.Array]:
+    """Per-strip(-chunk) SAM/SID/LMSE sums for streamed merging.
+
+    ref/tst are (B, rows+top+bot, cols+left+right) — the chunk plus halo
+    rows/columns from the neighbouring chunks so the Sobel stencil sees the
+    same neighbourhood it would in a whole-image pass (at true image edges
+    the halo is 0 and edge padding applies, as in sobel_mag). ``valid``
+    covers the interior only. SAM/SID are per-pixel spectral reductions,
+    computed on the interior slice directly; LMSE returns a SUM plus count
+    (the reference's mean over all pixels, run_codec.py:341-346, is
+    reassembled by merge_spectral_stats)."""
+    rows = ref.shape[1] - top - bot
+    cols = ref.shape[2] - left - right
+
+    def interior(x):
+        x = jax.lax.dynamic_slice_in_dim(x, top, rows, axis=1)
+        return jax.lax.dynamic_slice_in_dim(x, left, cols, axis=2)
+
+    A = ref.astype(jnp.float32)
+    R = tst.astype(jnp.float32)
+    n, sam_sum, sid_sum = _sam_sid_sums(interior(A), interior(R),
+                                        valid.astype(jnp.float32))
+    d = interior(sobel_mag(A) - sobel_mag(R))
+    return {"n": n, "sam_sum": sam_sum, "sid_sum": sid_sum,
+            "lmse_sum": jnp.sum(d * d),
+            "lmse_n": jnp.float32(d.size)}
+
+
+def merge_spectral_stats(parts: list) -> Dict[str, float]:
+    """Combine per-strip spectral sums into the reference metric dict."""
+    n = sam = sid = lsum = ln = 0.0
+    for p in parts:
+        if p is None:
+            continue
+        n += float(np.asarray(p["n"], np.float64))
+        sam += float(np.asarray(p["sam_sum"], np.float64))
+        sid += float(np.asarray(p["sid_sum"], np.float64))
+        lsum += float(np.asarray(p["lmse_sum"], np.float64))
+        ln += float(np.asarray(p["lmse_n"], np.float64))
+    if n == 0:
+        return {"sam_deg": float("nan"), "sid": float("nan"),
+                "lmse": (lsum / ln) if ln else float("nan")}
+    return {"sam_deg": float(np.degrees(sam / n)), "sid": sid / n,
+            "lmse": (lsum / ln) if ln else float("nan")}
 
 
 def compute_sam_sid_lmse(ref_cube: np.ndarray, tst_cube: np.ndarray,

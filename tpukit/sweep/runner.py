@@ -84,6 +84,11 @@ class SweepConfig:
     # device mesh (tpukit/parallel/mesh.py). Falls back to the virtual CPU
     # mesh when fewer real devices exist (SURVEY §2.3 item 3).
     mesh: Optional[str] = None
+    # scene streaming: explicit rows-per-strip, or None for automatic
+    # (items over stream_auto_bytes stream when the codec is strip-exact);
+    # see sweep/streaming.py
+    stream_rows: Optional[int] = None
+    stream_auto_bytes: int = 1 << 30
 
 
 def _build_mesh(spec: str):
@@ -229,6 +234,22 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
         ds = tiff.open(src_path)
         W, H, B = ds.width, ds.height, ds.count
         dtype_name = ds.dtypes[0]
+
+        # scene-scale items stream in bounded host memory (strip-exact
+        # codecs only; reference wrappers window scenes into 512² tiles,
+        # ccsds121_wrap.py:170-219)
+        from tpukit.sweep.streaming import stream_plan, sweep_item_streaming
+        itemsize = 2 if dtype_name in ("uint16", "int16") else 1
+        rows_blk = stream_plan(cfg.codec, H, W, B, itemsize,
+                               cfg.stream_rows, cfg.stream_auto_bytes)
+        if rows_blk is not None:
+            log(f"[STREAM] {tile_id}: {H}x{W}x{B} in {rows_blk}-row strips")
+            rows.extend(sweep_item_streaming(
+                cfg, ds, item, rates, rk, is_caseb, link, rows_blk,
+                case_name=case_name, asset_name=asset_name))
+            ds.close()
+            continue
+
         cube = ds.read()
         src_mask = ds.dataset_mask()
         nodata = ds.nodata

@@ -1,0 +1,404 @@
+# -*- coding: utf-8 -*-
+"""Scene-scale strip streaming for the sweep runner.
+
+The batched runner (``runner.run_sweep``) uploads each tile cube to HBM
+once — right for 1024²/512² tiles, impossible for full scenes (an EnMAP
+scene is ~180×2000×10000 int16 ≈ 7 GB; the reference streams scenes in
+two-pass 512-row windows, reference tools/make_baseline_B.py:324-419, and
+its codec wrappers window scenes into 512² tiles,
+ccsds121_wrap.py:170-219, ccsds123_wrap.py:212-276).
+
+This module runs one sweep item in bounded host memory:
+
+  * the source is read in row strips (windowed chunk decode — only the
+    touched TIFF chunks are ever decompressed, tiff.Dataset.read);
+  * the codec runs per strip; strip heights align to the codec's internal
+    tile grid, so for the tiled lossless codecs (CCSDS-121/123 —
+    ``strip_exact``) the concatenated bitstream is byte-identical to the
+    whole-image run;
+  * reconstructions stream to disk through ``tiff.StripWriter``
+    (O(strip) RSS) and bitstreams flush per strip;
+  * metrics accumulate as per-strip device stats merged exactly on host
+    (metrics.quality.merge_quality_stats — CGL moment combination;
+    metrics.spectral.merge_spectral_stats with 1-row halos so the Sobel
+    in LMSE sees whole-image neighbourhoods).
+
+Quicklooks are skipped for streamed items (they would need whole-scene
+percentile stretches; run ``tpukit quicklooks`` on the artifacts instead).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from tpukit.codecs.base import RateSpec
+from tpukit.io import tiff
+from tpukit.io.bitdepth import RangeScan
+from tpukit.io.manifest import guess_mask_path
+
+
+def log(s: str):
+    print(s, flush=True, file=sys.stderr)
+
+
+def stream_plan(codec, H: int, W: int, B: int, itemsize: int,
+                stream_rows: Optional[int],
+                auto_bytes: int) -> Optional[int]:
+    """Rows per strip, or None when the item should run whole-cube.
+
+    Explicit ``stream_rows`` forces streaming (aligned up to the codec's
+    tile grid); otherwise streaming turns on automatically when the cube
+    exceeds ``auto_bytes`` and the codec is strip-exact."""
+    cube_bytes = H * W * B * itemsize
+    if stream_rows is None and cube_bytes <= auto_bytes:
+        return None
+    if not getattr(codec, "strip_exact", False):
+        if stream_rows is not None:
+            log(f"[WARN] --stream-rows ignored: codec "
+                f"{getattr(codec, 'name', '?')} is not strip-exact "
+                f"(whole-image transform); running whole-cube")
+        return None
+    tile = int(getattr(codec, "tile", 512) or 512)
+    rows = int(stream_rows) if stream_rows else 1024
+    rows = max(tile, (rows + tile - 1) // tile * tile)
+    if rows >= H:
+        return None
+    return rows
+
+
+class _LaneAcc:
+    """Per-metric-lane accumulator across strips."""
+
+    def __init__(self):
+        self.q_masked: List[dict] = []
+        self.q_ones: List[dict] = []
+        self.s_parts: List[dict] = []
+        # deferred spectral pipeline (needs the next strip's first recon row)
+        self.pend: Optional[dict] = None
+        self.tail_ref: Optional[np.ndarray] = None   # (B,1,W) prev last row
+        self.tail_rec: Optional[np.ndarray] = None
+
+
+# target sample count per spectral launch: bounds the f32 working set to
+# ~8M samples x a few temporaries regardless of band count or scene width
+_SPECTRAL_CHUNK_SAMPLES = 8 << 20
+
+
+def _spectral_flush(jnp, spectral_stats_strip, acc: _LaneAcc,
+                    bot_ref: Optional[np.ndarray],
+                    bot_rec: Optional[np.ndarray]):
+    """Run the deferred strip's spectral stats once its bottom halo row is
+    known (None at the last strip: true image edge, Sobel edge-pads).
+    Wide/many-band strips split into column chunks with 1-px halos so each
+    launch stays small (same merged sums — SAM/SID are per-pixel and the
+    Sobel halo makes LMSE chunk-exact)."""
+    p = acc.pend
+    if p is None:
+        return
+    top = 0 if p["top_ref"] is None else 1
+    bot = 0 if bot_ref is None else 1
+    ref_parts = ([p["top_ref"]] if top else []) + [p["ref"]] + \
+        ([bot_ref] if bot else [])
+    rec_parts = ([p["top_rec"]] if top else []) + [p["rec"]] + \
+        ([bot_rec] if bot else [])
+    ref_h = np.concatenate(ref_parts, axis=1)
+    rec_h = np.concatenate(rec_parts, axis=1)
+    B, Hh, W = ref_h.shape
+    wc = max(64, _SPECTRAL_CHUNK_SAMPLES // max(B * Hh, 1))
+    for x0 in range(0, W, wc):
+        cols = min(wc, W - x0)
+        left = 1 if x0 > 0 else 0
+        right = 1 if x0 + cols < W else 0
+        sl = slice(x0 - left, x0 + cols + right)
+        s = spectral_stats_strip(
+            jnp.asarray(ref_h[:, :, sl]), jnp.asarray(rec_h[:, :, sl]),
+            jnp.asarray(p["vm"][:, x0:x0 + cols]), top, bot, left, right)
+        acc.s_parts.append({k: np.asarray(v) for k, v in s.items()})
+    acc.tail_ref = p["ref"][:, -1:].copy()
+    acc.tail_rec = p["rec"][:, -1:].copy()
+    acc.pend = None
+
+
+def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
+                         rk: Optional[str], is_caseb: bool, link,
+                         rows_blk: int, case_name=None,
+                         asset_name=None) -> List[dict]:
+    """Run one index item through the strip-streaming path; returns the
+    CSV rows (same schema as the batched path, reference
+    run_codec.py:568-585)."""
+    import jax.numpy as jnp
+    from tpukit.metrics.quality import (assemble_quality,
+                                        merge_quality_stats,
+                                        quality_stats_dual)
+    from tpukit.metrics.spectral import (merge_spectral_stats,
+                                         spectral_stats_strip)
+    from tpukit.sweep.proc import MemorySampler
+    from tpukit.sweep.runner import rate_slug
+
+    outdir = Path(cfg.outdir).resolve()
+    tile_id = item["tile_id"]
+    W, H, B = ds.width, ds.height, ds.count
+    dtype_name = ds.dtypes[0]
+    nodata = ds.nodata
+    geo = ds.geo
+    has_nodata = nodata is not None and math.isfinite(nodata)
+    bytes_per_sample = 2 if dtype_name in ("uint16", "int16") else 1
+    container_bytes = int(W * H * B * bytes_per_sample)
+    raw16_bytes = int(W * H * B * 16 // 8)
+    if cfg.mesh:
+        log("[WARN] --mesh is not supported with strip streaming; "
+            "running on the default device")
+    if cfg.quicklooks and cfg.write_artifacts:
+        log(f"[NOTE] quicklooks skipped for streamed item {tile_id}; "
+            f"generate them from the artifacts with `tpukit quicklooks`")
+
+    mask_path = item.get("mask") or guess_mask_path(item["path"])
+    mask_ds = None
+    if mask_path and Path(mask_path).exists():
+        try:
+            mask_ds = tiff.open(mask_path)
+            if (mask_ds.height, mask_ds.width) != (H, W):
+                log(f"[WARN] Mask {mask_path} shape mismatch; ignored.")
+                mask_ds.close()
+                mask_ds = None
+        except Exception:
+            log(f"[WARN] Failed to read mask {mask_path}; ignored.")
+            mask_ds = None
+
+    strips = []
+    y0 = 0
+    while y0 < H:
+        strips.append((y0, min(rows_blk, H - y0)))
+        y0 += rows_blk
+
+    # lane plan: fresh lanes shared across reps (deterministic codecs);
+    # resumed (ri, rep) recons get their own lanes, read windowed from disk
+    jobs: Dict[tuple, dict] = {}
+    lanes: Dict[object, dict] = {}
+    for rep in range(cfg.reps):
+        for ri, r in enumerate(rates):
+            run_dir = outdir / tile_id / rate_slug(rk, r) / f"rep_{rep+1:02d}"
+            recon_path = run_dir / "recon.tif"
+            reused = cfg.write_artifacts and recon_path.exists()
+            key = ("reused", ri, rep) if reused else ("fresh", ri)
+            job = {"ri": ri, "rep": rep, "run_dir": run_dir,
+                   "reused": reused, "meta": {}, "t_wrap": 0.0,
+                   "bs_bytes": None, "lane": key}
+            if reused:
+                log(f"[SKIP] Reusing reconstruction: {recon_path}")
+                bit_dir = run_dir / "bit"
+                if bit_dir.exists():
+                    job["bs_bytes"] = sum(p.stat().st_size
+                                          for p in bit_dir.rglob("*")
+                                          if p.is_file())
+            if key not in lanes:
+                lanes[key] = {"acc": _LaneAcc(),
+                              "src": (recon_path if reused else None)}
+            jobs[(ri, rep)] = job
+
+    fresh_ri = sorted({job["ri"] for job in jobs.values()
+                       if not job["reused"]})
+    specs = [RateSpec.of(rk, rates[ri]) for ri in fresh_ri]
+    rscan = RangeScan(dtype_name)
+
+    # per-rep codec execution (timing fidelity: the codec re-runs per rep,
+    # reference run_codec.py:472-495); metrics accumulate on one pass — the
+    # last rep that runs the codec (or the last rep if everything resumed)
+    per_ri_meta: Dict[int, dict] = {}
+    descriptions = ds.descriptions
+    fresh_reps = [rep for rep in range(cfg.reps)
+                  if any(not jobs[(ri, rep)]["reused"] for ri in fresh_ri)]
+    metric_rep = fresh_reps[-1] if fresh_reps else cfg.reps - 1
+
+    for rep in range(cfg.reps):
+        rep_jobs = [jobs[(ri, rep)] for ri in fresh_ri
+                    if (ri, rep) in jobs and not jobs[(ri, rep)]["reused"]]
+        if not rep_jobs and rep != metric_rep:
+            continue
+        is_metric_rep = rep == metric_rep
+        writers: Dict[int, tiff.StripWriter] = {}
+        if cfg.write_artifacts:
+            for job in rep_jobs:
+                job["run_dir"].mkdir(parents=True, exist_ok=True)
+                writers[job["ri"]] = tiff.StripWriter(
+                    job["run_dir"] / "recon.tif", count=B, height=H,
+                    width=W, dtype=np.dtype(dtype_name),
+                    rows_per_strip=min(512, rows_blk), nodata=nodata,
+                    descriptions=descriptions, geo=geo,
+                    with_mask=getattr(cfg.codec, "mask_passthrough", False))
+        sum_b: Dict[int, int] = {ri: 0 for ri in fresh_ri}
+        sum_t: Dict[int, List[float]] = {ri: [0.0, 0.0] for ri in fresh_ri}
+        sum_skip: Dict[int, int] = {ri: 0 for ri in fresh_ri}
+        with MemorySampler() as ms:
+            for si, (y0, rows) in enumerate(strips):
+                win = tiff.Window(col_off=0, row_off=y0, width=W,
+                                  height=rows)
+                block = ds.read(window=win)
+                src_mask_w = ds.dataset_mask(window=win)
+                if is_metric_rep:
+                    rscan.update(block)
+                ctx = dict(cfg.codec_opts)
+                ctx.setdefault("nodata", nodata)
+                ctx.setdefault("dataset_mask", src_mask_w)
+                if rep_jobs:
+                    results = cfg.codec.sweep_rates(
+                        block, dtype_name, specs,
+                        keep_bitstream=cfg.keep_bitstream, **ctx)
+                else:
+                    results = []
+                # strip-local masks (reference run_codec.py:249-263)
+                if is_metric_rep:
+                    vm_base = src_mask_w > 0
+                    if has_nodata:
+                        vm_base = vm_base & np.all(block != nodata, axis=0)
+                    user_w = None
+                    if mask_ds is not None:
+                        user_w = mask_ds.read(1, window=win) > 0
+                        vm_base = vm_base & user_w
+                    sam_vm = user_w if user_w is not None else (src_mask_w > 0)
+                    block_dev = jnp.asarray(block)
+
+                for ri, res in zip(fresh_ri, results):
+                    sum_b[ri] += res.bitstream_bytes
+                    sum_t[ri][0] += res.t_comp_s
+                    sum_t[ri][1] += res.t_dec_s
+                    sum_skip[ri] += int(
+                        res.extras.get("tiles_skipped_nodata", 0) or 0)
+                    if ri not in per_ri_meta:
+                        per_ri_meta[ri] = res.to_meta()
+                    recon = np.asarray(res.recon)
+                    if cfg.write_artifacts and ri in writers:
+                        writers[ri].write(y0, recon)
+                        if getattr(cfg.codec, "mask_passthrough", False):
+                            writers[ri].write_mask(y0, src_mask_w)
+                    if cfg.keep_bitstream and res.bitstreams:
+                        bit_dir = jobs[(ri, rep)]["run_dir"] / "bit"
+                        bit_dir.mkdir(parents=True, exist_ok=True)
+                        for name, data in res.bitstreams.items():
+                            (bit_dir / f"s{y0:06d}_{name}").write_bytes(data)
+                    if is_metric_rep:
+                        _acc_lane_strip(
+                            jnp, quality_stats_dual, spectral_stats_strip,
+                            lanes[("fresh", ri)]["acc"], block_dev, block,
+                            recon, vm_base, sam_vm, nodata, has_nodata,
+                            is_caseb)
+                # resumed lanes: metric-only windowed read of their recons
+                if is_metric_rep:
+                    for key, lane in lanes.items():
+                        if lane["src"] is None:
+                            continue
+                        with tiff.open(lane["src"]) as rds:
+                            recon = rds.read(window=win)
+                        _acc_lane_strip(
+                            jnp, quality_stats_dual, spectral_stats_strip,
+                            lane["acc"], block_dev, block, recon, vm_base,
+                            sam_vm, nodata, has_nodata, is_caseb)
+            if is_metric_rep and is_caseb:
+                for lane in lanes.values():
+                    _spectral_flush(jnp, spectral_stats_strip,
+                                    lane["acc"], None, None)
+        for ri in fresh_ri:
+            if not rep_jobs:
+                continue
+            job = jobs.get((ri, rep))
+            if job is not None and not job["reused"]:
+                meta = dict(per_ri_meta[ri])
+                meta["bitstream_bytes"] = sum_b[ri]
+                meta["t_comp_s"] = sum_t[ri][0]
+                meta["t_dec_s"] = sum_t[ri][1]
+                meta["mem_comp_peak_bytes"] = ms.phase_peak_bytes("comp")
+                meta["mem_dec_peak_bytes"] = ms.phase_peak_bytes("dec")
+                mib = lambda x: None if not x else round(x / (1 << 20), 2)
+                meta["mem_comp_peak_mb"] = mib(meta["mem_comp_peak_bytes"])
+                meta["mem_dec_peak_mb"] = mib(meta["mem_dec_peak_bytes"])
+                if "bpp_effective_total" in meta:
+                    bpp = sum_b[ri] * 8.0 / max(W * H, 1)
+                    meta["bpp_effective_total"] = float(bpp)
+                    meta["bpp_effective_per_band"] = float(bpp / max(B, 1))
+                if "tiles_skipped_nodata" in meta:
+                    meta["tiles_skipped_nodata"] = sum_skip[ri]
+                job["meta"] = meta
+                job["t_wrap"] = sum_t[ri][0] + sum_t[ri][1]
+                job["bs_bytes"] = sum_b[ri]
+        for w in writers.values():
+            w.close()
+
+    if mask_ds is not None:
+        mask_ds.close()
+    data_range = rscan.result()
+
+    # assemble merged metrics per lane
+    lane_met: Dict[object, dict] = {}
+    for key, lane in lanes.items():
+        acc: _LaneAcc = lane["acc"]
+        mq = merge_quality_stats(acc.q_masked) if acc.q_masked else None
+        if mq is None or float(mq["n"]) == 0.0:
+            mq = merge_quality_stats(acc.q_ones)
+        met = assemble_quality(mq, float(data_range))
+        if is_caseb:
+            met.update(merge_spectral_stats(acc.s_parts))
+        else:
+            met.update({"sam_deg": float("nan"), "sid": float("nan"),
+                        "lmse": float("nan")})
+        lane_met[key] = met
+
+    rows_out: List[dict] = []
+    for ri, r in enumerate(rates):
+        for rep in range(cfg.reps):
+            job = jobs[(ri, rep)]
+            meta = job["meta"]
+            row: Dict[str, object] = {
+                "case": case_name, "asset": asset_name,
+                "codec": cfg.codec_label,
+                "rate_key": (rk or ""),
+                "rate_value": ("" if rk is None else r),
+                "tile_id": tile_id,
+                "width": W, "height": H, "bands": B,
+                "in_bytes": container_bytes,
+                "link_mbps": link.mbps, "link_eff": link.eff,
+                "t_wrap_s": job["t_wrap"],
+            }
+            for k in ("bitstream_bytes", "cr", "bpp", "t_comp_s",
+                      "t_dec_s", "mem_comp_peak_mb", "mem_dec_peak_mb",
+                      "encoder", "nearlossless_eps", "near",
+                      "mem_comp_peak_bytes", "mem_dec_peak_bytes"):
+                if k in meta and meta[k] is not None:
+                    row[k] = meta[k]
+            bs_bytes = job["bs_bytes"]
+            if bs_bytes and bs_bytes > 0:
+                row["bitstream_bytes"] = int(bs_bytes)
+                row["bpp"] = (bs_bytes * 8.0) / (W * H * B)
+                row["cr"] = raw16_bytes / bs_bytes
+                row["t_link_tile_s"] = link.t_link_s(bs_bytes)
+                row["t_e2e_tile_s"] = link.t_e2e_s(
+                    bs_bytes, meta.get("t_comp_s"), meta.get("t_dec_s"),
+                    job["t_wrap"])
+            row.update(lane_met[job["lane"]])
+            rows_out.append(row)
+    return rows_out
+
+
+def _acc_lane_strip(jnp, quality_stats_dual, spectral_stats_strip,
+                    acc: _LaneAcc, block_dev, block: np.ndarray,
+                    recon: np.ndarray, vm_base: np.ndarray,
+                    sam_vm: np.ndarray, nodata, has_nodata: bool,
+                    is_caseb: bool):
+    """Accumulate one (lane, strip) contribution: quality now, spectral
+    deferred until the next strip's halo row exists."""
+    vm = vm_base
+    if has_nodata:
+        vm = vm & np.all(recon != nodata, axis=0)
+    rec_dev = jnp.asarray(recon)
+    qm, qu = quality_stats_dual(block_dev, rec_dev, jnp.asarray(vm))
+    acc.q_masked.append({k: np.asarray(v) for k, v in qm.items()})
+    acc.q_ones.append({k: np.asarray(v) for k, v in qu.items()})
+    if is_caseb:
+        _spectral_flush(jnp, spectral_stats_strip, acc,
+                        block[:, :1], recon[:, :1])
+        acc.pend = {"ref": block, "rec": recon, "vm": sam_vm,
+                    "top_ref": acc.tail_ref, "top_rec": acc.tail_rec}
