@@ -98,7 +98,9 @@ def _fit_base_device(perm_coefs: jax.Array, perm_scale: jax.Array,
     from tpukit.codecs.bitplane_model import bpc_size_bytes
 
     def size_of(base):
-        qc = jnp.trunc(perm_coefs / (perm_scale[None] * base)).astype(jnp.int32)
+        # same multiply-quantizer as the coding path: trunc(c * inv_step)
+        inv = (jnp.float32(1.0) / perm_scale)[None] * (jnp.float32(1.0) / base)
+        qc = jnp.trunc(perm_coefs * inv).astype(jnp.int32)
         return jnp.sum(bpc_size_bytes(qc))
 
     def body(_, lohi):
@@ -128,6 +130,35 @@ def _device_recon(qc: jax.Array, scale_map: jax.Array, base: jax.Array,
     deq = jnp.where(qc != 0, (qf + jnp.sign(qf) * 0.5) * steps[None], 0.0)
     rec = dwtk.idwt2(deq, "97", levels)
     return jnp.clip(jnp.rint(rec[:, :H0, :W0]), lo, hi).astype(dtype)
+
+
+@partial(jax.jit, static_argnames=("levels", "H0", "W0", "lo", "hi", "dtype"))
+def _device_requant_recon(coefs: jax.Array, inv_scale_map: jax.Array,
+                          scale_map: jax.Array, inv_base: jax.Array,
+                          base: jax.Array, levels: int, H0: int, W0: int,
+                          lo: int, hi: int, dtype: str):
+    """Quantize + dequantize + inverse 9/7 DWT from the DEVICE-resident
+    coefficients — the sweep's per-quality path with ZERO host↔device
+    coefficient traffic (the reference reruns the whole codec per rate
+    point through files, run_codec.py:472-495; round-1 tpukit still
+    uploaded the quantized cube per point).
+
+    The quantizer is ``trunc(c * inv_step)`` — a single IEEE f32 multiply,
+    bit-identical between host numpy and XLA on any IEEE-compliant backend
+    (f32 *division* is not guaranteed correctly-rounded on TPU, so the
+    steps are inverted once on host and multiplied here). Two wraparound
+    int32 checksums of the quantized cube come back with the recon so the
+    caller can assert the host coder saw EXACTLY these coefficients."""
+    inv_steps = inv_scale_map * inv_base
+    qc = jnp.trunc(coefs * inv_steps[None]).astype(jnp.int32)
+    s1 = jnp.sum(qc, dtype=jnp.int32)
+    s2 = jnp.sum(qc * qc, dtype=jnp.int32)
+    steps = scale_map * base
+    qf = qc.astype(jnp.float32)
+    deq = jnp.where(qc != 0, (qf + jnp.sign(qf) * 0.5) * steps[None], 0.0)
+    rec = dwtk.idwt2(deq, "97", levels)
+    recon = jnp.clip(jnp.rint(rec[:, :H0, :W0]), lo, hi).astype(dtype)
+    return recon, s1, s2
 
 
 class J2KCodec(Codec):
@@ -236,14 +267,14 @@ class J2KCodec(Codec):
         The reference re-runs the full codec per rate point
         (run_codec.py:472-495). Here: one device 9/7 DWT per tile with a
         single coefficient fetch, per-quality deadzone quantization on host
-        (cheap — 17 MB of f32 math), the embedded bit-plane coder threaded
-        across bands (the C++ calls release the GIL), and the reconstruction
-        (dequant + inverse DWT + clip) dispatched back to the device, where
-        it STAYS: ``CodecResult.recon`` is a device array, so downstream
-        device metrics cost no host round-trip. The coder round-trip is
-        verified exactly on host before the device recon is trusted."""
-        from concurrent.futures import ThreadPoolExecutor
-
+        for the embedded bit-plane coder, and the reconstruction requantized
+        from the DEVICE-RESIDENT coefficients (_device_requant_recon) — no
+        per-quality coefficient upload at all. The quantizer is the same
+        IEEE f32 multiply on both sides; wraparound-int32 checksums assert
+        the device coded exactly the host's coefficients, so recon ==
+        decode(bitstream) stays guaranteed (plus the host coder round-trip
+        check). ``CodecResult.recon`` is a device array: downstream device
+        metrics cost no host round-trip."""
         B, H, W = cube.shape
         work, H0, W0 = wc.pad_to_multiple(cube.astype(np.int32), 1 << LEVELS)
         Hp, Wp = work.shape[-2:]
@@ -252,49 +283,81 @@ class J2KCodec(Codec):
         info = np.iinfo(cube.dtype)
 
         t0 = time.perf_counter()
-        coefs = np.asarray(dwtk.dwt2(jnp.asarray(work.astype(np.float32)),
-                                     "97", LEVELS))
+        coefs_dev = dwtk.dwt2(jnp.asarray(work.astype(np.float32)),
+                              "97", LEVELS)
+        # one fetch feeds every quality, ALREADY in coder scan order (the
+        # gather runs on device; per-quality host work is then one fused
+        # elementwise pass)
+        perm_coefs = np.asarray(jnp.take(coefs_dev.reshape(B, -1),
+                                         jnp.asarray(order), axis=1))
         t_dwt = time.perf_counter() - t0
 
         scale_host = _subband_steps(Hp, Wp, 1.0)
+        inv_scale_host = np.float32(1.0) / scale_host
+        inv_scale_perm = inv_scale_host.ravel()[order]
         scale_dev = jnp.asarray(scale_host)
+        inv_scale_dev = jnp.asarray(inv_scale_host)
         results = []
-        with ThreadPoolExecutor(max_workers=min(8, B)) as pool:
-            for q in qualities:
-                q = int(q)
-                base = base_step_for_quality(q, peak)
-                # bit-exact per-quality step map: the per-level factors are
-                # exact powers of two, so scaling the base=1 map reproduces
-                # _subband_steps(Hp, Wp, base) without rebuilding it
-                steps = scale_host * np.float32(base)
-                t0 = time.perf_counter()
-                with mem_phase("comp"):
-                    qc = np.trunc(coefs / steps[None]).astype(np.int32)
-                    perm = qc.reshape(B, -1)[:, order]
-                    encoded = list(pool.map(wc.bpc_encode, perm))
-                t_comp = time.perf_counter() - t0 + t_dwt
-                t0 = time.perf_counter()
-                with mem_phase("dec"):
-                    decs = list(pool.map(
-                        lambda e: wc.bpc_decode(e, Hp * Wp), encoded))
-                    for b in range(B):
-                        if not np.array_equal(decs[b], perm[b]):
-                            raise RuntimeError(
-                                "embedded coder round-trip mismatch")
-                    recon = _device_recon(jax.device_put(qc), scale_dev,
-                                          jnp.float32(base), LEVELS, H0, W0,
-                                          int(info.min), int(info.max),
-                                          cube.dtype.name)
-                    recon.block_until_ready()
-                t_dec = time.perf_counter() - t0
-                results.append(CodecResult(
-                    codec="j2k_gdal", encoder=self.encoder_desc,
-                    bitstream_bytes=sum(len(e) for e in encoded),
-                    recon=recon, t_comp_s=t_comp, t_dec_s=t_dec,
-                    bitstreams=({f"b{b+1:02d}.j2c": e
-                                 for b, e in enumerate(encoded)}
-                                if keep_bitstream else None),
-                    extras={"quality_used": q}))
+        pend = []   # (index, base, host checksums, device checksums)
+        for q in qualities:
+            q = int(q)
+            base = np.float32(base_step_for_quality(q, peak))
+            inv_base = np.float32(1.0) / base
+            t0 = time.perf_counter()
+            with mem_phase("comp"):
+                # deadzone quantizer in coder order: one IEEE f32 multiply
+                # + C-cast (truncation toward zero == trunc), the same two
+                # ops the device performs in _device_requant_recon
+                perm = (perm_coefs * (inv_scale_perm * inv_base)[None]) \
+                    .astype(np.int32)
+                encoded = [wc.bpc_encode(perm[b]) for b in range(B)]
+            t_comp = time.perf_counter() - t0 + t_dwt
+            t0 = time.perf_counter()
+            with mem_phase("dec"):
+                recon, s1d, s2d = _device_requant_recon(
+                    coefs_dev, inv_scale_dev, scale_dev,
+                    jnp.float32(inv_base), jnp.float32(base), LEVELS,
+                    H0, W0, int(info.min), int(info.max), cube.dtype.name)
+                for b in range(B):
+                    dec = wc.bpc_decode(encoded[b], Hp * Wp)
+                    if not np.array_equal(dec, perm[b]):
+                        raise RuntimeError(
+                            "embedded coder round-trip mismatch")
+                recon.block_until_ready()
+            t_dec = time.perf_counter() - t0
+            # permutation-invariant host checksums; the device pair is
+            # fetched for the whole ladder in ONE transfer below (each
+            # ready-scalar fetch costs a tunnel round-trip)
+            pend.append((len(results), base,
+                         int(np.sum(perm, dtype=np.int32)),
+                         int(np.sum(perm * perm, dtype=np.int32)),
+                         s1d, s2d))
+            results.append(CodecResult(
+                codec="j2k_gdal", encoder=self.encoder_desc,
+                bitstream_bytes=sum(len(e) for e in encoded),
+                recon=recon, t_comp_s=t_comp, t_dec_s=t_dec,
+                bitstreams=({f"b{b+1:02d}.j2c": e
+                             for b, e in enumerate(encoded)}
+                            if keep_bitstream else None),
+                extras={"quality_used": q}))
+        got = jax.device_get([(p[4], p[5]) for p in pend])
+        for (idx, base, s1h, s2h, _, _), (s1d, s2d) in zip(pend, got):
+            if (int(s1d), int(s2d)) != (s1h, s2h):
+                # device f32 multiply disagreed with host (non-IEEE
+                # backend?) — rebuild this point's recon from the host
+                # coefficients so recon == decode(bitstream) stays exact
+                import warnings
+                warnings.warn("device requantization checksum mismatch; "
+                              "uploading host coefficients")
+                inv_base = np.float32(1.0) / base
+                perm = (perm_coefs * (inv_scale_perm * inv_base)[None]) \
+                    .astype(np.int32)
+                qc = np.empty((B, Hp * Wp), np.int32)
+                qc[:, order] = perm        # undo the coder scan order
+                results[idx].recon = _device_recon(
+                    jax.device_put(qc.reshape(B, Hp, Wp)), scale_dev,
+                    jnp.float32(base), LEVELS, H0, W0,
+                    int(info.min), int(info.max), cube.dtype.name)
         return results
 
     def sweep_rd(self, cube: np.ndarray, dtype_name: str, qualities,
@@ -383,13 +446,18 @@ class J2KCodec(Codec):
                                           jnp.asarray(order), axis=1)
                     base = float(_fit_base_device(perm_coefs, perm_scale,
                                                   jnp.float32(target)))
-                    steps = scale_host * np.float32(base)
                     q_used = None
                 else:
+                    scale_host = _subband_steps(Hp, Wp, 1.0)
                     base = base_step_for_quality(q_used, peak)
-                    steps = _subband_steps(Hp, Wp, base)
+                steps = scale_host * np.float32(base)
+                # deadzone quantizer: trunc(c * inv_step) — one IEEE f32
+                # multiply, identical on host and device (see
+                # _device_requant_recon)
+                inv_steps = (np.float32(1.0) / scale_host) * \
+                    (np.float32(1.0) / np.float32(base))
                 coefs = np.asarray(coefs_dev)
-                qc = np.trunc(coefs / steps[None]).astype(np.int32)  # deadzone
+                qc = np.trunc(coefs * inv_steps[None]).astype(np.int32)
                 encoded = [wc.bpc_encode(qc[b].ravel()[order])
                            for b in range(B)]
             t_comp = time.perf_counter() - t0

@@ -51,6 +51,27 @@ struct BitWriter {
         raw(1, (int)value + 1);
     }
 
+    inline void put_zeros(int64_t n) {
+        // bulk zero emission. REQUIRES a pre-zeroed buffer: whole zero
+        // bytes are skipped (bytepos advances) instead of being shifted
+        // through the accumulator.
+        int k = (8 - (nacc & 7)) & 7;          // align acc to a byte edge
+        if (k && n >= k) { raw(0, k); n -= k; }
+        if ((nacc & 7) == 0 && n >= 64) {
+            while (nacc > 0) {                 // drain acc whole bytes
+                nacc -= 8;
+                if (bytepos < cap) buf[bytepos++] = (uint8_t)(acc >> nacc);
+                else { overflow = true; nacc = 0; }
+            }
+            acc = 0;
+            int64_t nb = n >> 3;
+            if (bytepos + nb <= cap) bytepos += nb;
+            else { bytepos = cap; overflow = true; }
+            n &= 7;
+        }
+        while (n > 0) { int t = n < 32 ? (int)n : 32; raw(0, t); n -= t; }
+    }
+
     inline int64_t bitpos_now() const { return bytepos * 8 + nacc; }
 
     inline int64_t bytes() {

@@ -16,18 +16,29 @@
 // both sides maintain identically), so refinement cost scales with the
 // number of significant coefficients, not with n.
 //
-// Throughput notes: groups carry a 16-bit insignificance mask so passes
-// visit only still-insignificant members (ctz iteration), and each group's
-// bits are assembled in a register and emitted/parsed in one batched
-// writer/reader operation (≤ 33 bits per group per plane). The decoder's
-// batched path runs only when the reader window provably holds the group's
-// worst case, falling back to the bit-by-bit path near the end of the
-// stream so truncated-budget semantics are bit-identical to the
-// straightforward coder.
+// Throughput design (the two hot loops):
+//   * significance pass — per-coefficient MSB indices live in 16-byte
+//     group lanes; one SSE2 compare+movemask per (group, plane) yields the
+//     "becomes significant here" mask, so the common nothing-happens group
+//     costs a handful of instructions and its bits join a bulk zero run
+//     (put_zeros skips pre-zeroed output bytes; the decoder tests the
+//     group's significance bits against zero as one window word).
+//   * refinement pass — significant coefficients are kept DENSE in
+//     acquisition order (magnitudes copied aside), so refinement reads and
+//     writes stream linearly and vectorizes: AVX2 extracts/applies 8
+//     refinement bits per step instead of gathering through an index list.
+//   * decoder bookkeeping for still-insignificant members is skipped
+//     entirely (they reconstruct to 0 regardless), and truncation midpoint
+//     planes are recovered from three scalars (lowest fully-refined plane,
+//     partial-plane cursor) + per-entry acquisition planes instead of a
+//     per-coefficient "known plane" array.
+// Both sides keep bit-by-bit tail paths near the end of the stream so
+// truncated-budget semantics stay bit-identical to the plain coder.
 
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#include <immintrin.h>
 #include "bitio.hpp"
 
 using namespace tpukit;
@@ -38,6 +49,20 @@ constexpr int GROUP = 16;
 inline int msb_index(uint32_t v) {  // -1 for 0
     return v ? 31 - __builtin_clz(v) : -1;
 }
+
+// 8-bit reverse LUT: movemask packs lane 0 into bit 0, the stream wants
+// the first (lowest-index) entry most-significant
+struct Rev8 {
+    uint8_t t[256];
+    Rev8() {
+        for (int i = 0; i < 256; ++i) {
+            uint8_t r = 0;
+            for (int b = 0; b < 8; ++b) r |= ((i >> b) & 1) << (7 - b);
+            t[i] = r;
+        }
+    }
+};
+const Rev8 REV8;
 }
 
 extern "C" int64_t bpc_encode(const int32_t* coef, int64_t n, uint8_t* out,
@@ -61,51 +86,89 @@ extern "C" int64_t bpc_encode(const int32_t* coef, int64_t n, uint8_t* out,
     int64_t ngroups = (n + GROUP - 1) / GROUP;
     std::vector<int8_t> topg((size_t)ngroups, -1);   // msb plane per group
     std::vector<uint16_t> rem((size_t)ngroups);      // insignificant members
+    // per-member MSB planes, one 16-byte lane per group (pad = -1)
+    std::vector<int8_t> msb8((size_t)ngroups * GROUP, -1);
     for (int64_t g = 0; g < ngroups; ++g) {
         int64_t lo = g * GROUP, hi = lo + GROUP < n ? lo + GROUP : n;
         int t = -1;
         for (int64_t i = lo; i < hi; ++i) {
             int c = msb_index(mag[i]);
+            msb8[(size_t)(g * GROUP + (i - lo))] = (int8_t)c;
             t = c > t ? c : t;
         }
         topg[g] = (int8_t)t;
         rem[g] = (uint16_t)((hi - lo == GROUP) ? 0xFFFF
                                                : ((1u << (hi - lo)) - 1u));
     }
-    std::vector<int64_t> sig_list;           // refinement order
-    sig_list.reserve((size_t)n / 4);
+    // significant magnitudes, dense, in acquisition order (refinement
+    // source — no index gather in the hot loop)
+    std::vector<uint32_t> sig_mag;
+    sig_mag.reserve((size_t)n / 4);
 
     for (int p = nplanes - 1; p >= 0 && !bw.overflow; --p) {
-        size_t n_sig_before = sig_list.size();
-        // significance pass (group-gated)
-        for (int64_t g = 0; g < ngroups && !bw.overflow; ++g) {
-            if (topg[g] < p) { bw.raw(0, 1); continue; }
+        size_t n_sig_before = sig_mag.size();
+        const __m128i pv = _mm_set1_epi8((char)p);
+        int64_t zrun = 0;                    // pending zero bits
+        // significance pass (group-gated, SIMD member test)
+        for (int64_t g = 0; g < ngroups; ++g) {
+            if (topg[g] < p) { ++zrun; continue; }   // inactive gate: 0
+            const uint16_t mask = rem[g];
+            const __m128i mv = _mm_loadu_si128(
+                (const __m128i*)&msb8[(size_t)g * GROUP]);
+            const uint32_t hit =
+                (uint32_t)_mm_movemask_epi8(_mm_cmpeq_epi8(mv, pv)) & mask;
+            if (hit == 0) {
+                // active group, nothing becomes significant on this plane
+                // (gate 1 never coincides with hit==0: the max member hits
+                // exactly at topg)
+                zrun += __builtin_popcount(mask);
+                continue;
+            }
+            if (zrun) { bw.put_zeros(zrun); zrun = 0; }
+            if (bw.overflow) break;
             uint64_t acc = 0;
             int nb = 0;
-            if (topg[g] == p) { acc = 1; nb = 1; }  // gate: activates here
+            if (topg[g] == p) { acc = 1; nb = 1; }   // gate: activates here
             const int64_t lo = g * GROUP;
-            uint16_t mask = rem[g];
             for (uint16_t mm = mask; mm; mm &= (uint16_t)(mm - 1)) {
                 int j = __builtin_ctz(mm);
-                int64_t i = lo + j;
-                uint32_t b = (mag[i] >> p) & 1u;
+                uint32_t b = (hit >> j) & 1u;
                 acc = (acc << 1) | b;
                 ++nb;
                 if (b) {
+                    int64_t i = lo + j;
                     acc = (acc << 1) | (uint64_t)(coef[i] < 0);
                     ++nb;
                     rem[g] = (uint16_t)(rem[g] & ~(1u << j));
-                    sig_list.push_back(i);
+                    sig_mag.push_back(mag[i]);
                 }
             }
-            if (nb) bw.put_bits(acc, nb);    // ≤ 33 bits
+            bw.put_bits(acc, nb);            // ≤ 33 bits
+            if (bw.overflow) break;
         }
-        // refinement pass: previously-significant only, acquisition order
+        if (zrun && !bw.overflow) bw.put_zeros(zrun);
+        // refinement pass: previously-significant only, acquisition order,
+        // AVX2-extracted 8 bits per step from the dense magnitude array
         {
+            const uint32_t* sm = sig_mag.data();
+            size_t s = 0;
+            const int sh = 31 - p;
+            while (s + 48 <= n_sig_before && !bw.overflow) {
+                uint64_t acc = 0;
+                for (int k = 0; k < 6; ++k) {
+                    __m256i v = _mm256_loadu_si256(
+                        (const __m256i*)(sm + s + (size_t)k * 8));
+                    uint32_t m8 = (uint32_t)_mm256_movemask_ps(
+                        _mm256_castsi256_ps(_mm256_slli_epi32(v, sh)));
+                    acc = (acc << 8) | REV8.t[m8];
+                }
+                bw.put_bits(acc, 48);
+                s += 48;
+            }
             uint64_t acc = 0;
             int nb = 0;
-            for (size_t s = 0; s < n_sig_before && !bw.overflow; ++s) {
-                acc = (acc << 1) | ((mag[sig_list[s]] >> p) & 1u);
+            for (; s < n_sig_before && !bw.overflow; ++s) {
+                acc = (acc << 1) | ((sm[s] >> p) & 1u);
                 if (++nb == 48) { bw.put_bits(acc, nb); acc = 0; nb = 0; }
             }
             if (nb) bw.put_bits(acc, nb);
@@ -125,20 +188,28 @@ extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
     int64_t ngroups = (n + GROUP - 1) / GROUP;
     std::vector<uint8_t> active((size_t)ngroups, 0);
     std::vector<uint16_t> rem((size_t)ngroups);
-    std::vector<uint8_t> neg((size_t)n, 0);
-    std::vector<int8_t> known((size_t)n);
-    std::vector<uint32_t> mag((size_t)n, 0);
-    std::vector<int64_t> sig_list;
-    sig_list.reserve((size_t)n / 4);
-    for (int64_t i = 0; i < n; ++i) known[i] = (int8_t)nplanes;
+    // dense significant-entry state, acquisition order
+    std::vector<uint32_t> sig_mag;
+    std::vector<int64_t> sig_pos;
+    std::vector<int8_t> sig_pa;     // acquisition plane per entry
+    std::vector<uint8_t> sig_neg;
+    sig_mag.reserve((size_t)n / 4);
+    sig_pos.reserve((size_t)n / 4);
+    sig_pa.reserve((size_t)n / 4);
+    sig_neg.reserve((size_t)n / 4);
     for (int64_t g = 0; g < ngroups; ++g) {
         int64_t lo = g * GROUP, hi = lo + GROUP < n ? lo + GROUP : n;
         rem[g] = (uint16_t)((hi - lo == GROUP) ? 0xFFFF
                                                : ((1u << (hi - lo)) - 1u));
     }
+    // truncation midpoint bookkeeping: the lowest plane whose refinement
+    // pass completed, and the cursor of the one partially-completed pass
+    int p_done_ref = nplanes;
+    int p_part = -1;
+    size_t s_part = 0;
 
     for (int p = nplanes - 1; p >= 0 && !br.error; --p) {
-        size_t n_sig_before = sig_list.size();
+        size_t n_sig_before = sig_mag.size();
         for (int64_t g = 0; g < ngroups && !br.error; ++g) {
             const int64_t lo = g * GROUP;
             br.refill();
@@ -151,31 +222,32 @@ extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
                     uint32_t any = (uint32_t)(w >> 63);
                     w <<= 1; --av;
                     if (!any) {
-                        uint16_t mm = rem[g];
-                        while (mm) {
-                            int j = __builtin_ctz(mm);
-                            mm &= (uint16_t)(mm - 1);
-                            known[lo + j] = (int8_t)p;
-                        }
+                        // bookkeeping-free skip: members stay 0
                         br.window = w; br.avail = av;
                         continue;
                     }
                     active[g] = 1;
                 }
+                const int nb = __builtin_popcount(rem[g]);
+                if (nb && (w >> (64 - nb)) == 0) {
+                    // no member becomes significant on this plane
+                    br.window = w << nb; br.avail = av - nb;
+                    continue;
+                }
                 uint16_t mm = rem[g];
                 while (mm) {
                     int j = __builtin_ctz(mm);
                     mm &= (uint16_t)(mm - 1);
-                    int64_t i = lo + j;
                     uint32_t b = (uint32_t)(w >> 63);
                     w <<= 1; --av;
-                    known[i] = (int8_t)p;
                     if (b) {
-                        neg[i] = (uint8_t)(w >> 63);
+                        uint8_t s = (uint8_t)(w >> 63);
                         w <<= 1; --av;
-                        mag[i] = 1u << p;
                         rem[g] = (uint16_t)(rem[g] & ~(1u << j));
-                        sig_list.push_back(i);
+                        sig_mag.push_back(1u << p);
+                        sig_pos.push_back(lo + j);
+                        sig_pa.push_back((int8_t)p);
+                        sig_neg.push_back(s);
                     }
                 }
                 br.window = w; br.avail = av;
@@ -186,36 +258,32 @@ extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
             if (!active[g]) {
                 int any = (int)br.get_bits(1);
                 if (br.error) break;
-                if (!any) {
-                    uint16_t mm = rem[g];
-                    while (mm) {
-                        int j = __builtin_ctz(mm);
-                        mm &= (uint16_t)(mm - 1);
-                        known[lo + j] = (int8_t)p;
-                    }
-                    continue;
-                }
+                if (!any) continue;
                 active[g] = 1;
             }
             uint16_t mm = rem[g];
             while (mm && !br.error) {
                 int j = __builtin_ctz(mm);
                 mm &= (uint16_t)(mm - 1);
-                int64_t i = lo + j;
                 int b = (int)br.get_bits(1);
                 if (br.error) break;
-                known[i] = (int8_t)p;
                 if (b) {
-                    int s = (int)br.get_bits(1);
+                    int sg = (int)br.get_bits(1);
                     if (br.error) break;
-                    neg[i] = (uint8_t)s;
-                    mag[i] = 1u << p;
                     rem[g] = (uint16_t)(rem[g] & ~(1u << j));
-                    sig_list.push_back(i);
+                    sig_mag.push_back(1u << p);
+                    sig_pos.push_back(lo + j);
+                    sig_pa.push_back((int8_t)p);
+                    sig_neg.push_back((uint8_t)sg);
                 }
             }
         }
-        // refinement pass, batched where the window allows
+        // refinement pass: linear over the dense magnitudes, AVX2-applied
+        // 8 bits per step where the window allows
+        uint32_t* sm = sig_mag.data();
+        const __m256i sel = _mm256_setr_epi32(0x80, 0x40, 0x20, 0x10,
+                                              8, 4, 2, 1);
+        const __m256i bitp = _mm256_set1_epi32((int)(1u << p));
         size_t s = 0;
         while (s < n_sig_before && !br.error) {
             br.refill();
@@ -224,11 +292,20 @@ extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
             if ((size_t)take > left) take = (int)left;
             if (take >= 8 || (size_t)take == left) {
                 uint64_t w = br.window;
-                for (int t = 0; t < take; ++t, ++s) {
-                    int64_t i = sig_list[s];
-                    if (w >> 63) mag[i] |= 1u << p;
+                int t = 0;
+                for (; t + 8 <= take; t += 8, s += 8) {
+                    __m256i bits = _mm256_set1_epi32((int)(w >> 56));
+                    w <<= 8;
+                    __m256i on = _mm256_cmpeq_epi32(
+                        _mm256_and_si256(bits, sel), sel);
+                    __m256i cur = _mm256_loadu_si256((__m256i*)(sm + s));
+                    _mm256_storeu_si256(
+                        (__m256i*)(sm + s),
+                        _mm256_or_si256(cur, _mm256_and_si256(on, bitp)));
+                }
+                for (; t < take; ++t, ++s) {
+                    if (w >> 63) sm[s] |= 1u << p;
                     w <<= 1;
-                    known[i] = (int8_t)p;
                 }
                 br.window = w;
                 br.avail -= take;
@@ -236,18 +313,38 @@ extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
             } else {
                 int b = (int)br.get_bits(1);
                 if (br.error) break;
-                int64_t i = sig_list[s];
-                if (b) mag[i] |= 1u << p;
-                known[i] = (int8_t)p;
+                if (b) sm[s] |= 1u << p;
                 ++s;
             }
         }
+        if (!br.error) {
+            p_done_ref = p;
+        } else if (s > 0 || n_sig_before > 0) {
+            p_part = p;
+            s_part = s;
+        }
     }
 
-    for (int64_t i = 0; i < n; ++i) {
-        uint32_t m = mag[i];
-        if (m && known[i] > 0) m += 1u << (known[i] - 1);  // midpoint
-        coef[i] = neg[i] ? -(int32_t)m : (int32_t)m;
+    // scatter: insignificant coefficients are 0; significant ones get the
+    // truncation midpoint of their last-incorporated plane (known):
+    //   known(s) = p_part        if the partial pass reached s
+    //            = p_done_ref    if s existed before that pass (pa > done)
+    //            = pa(s)         otherwise (acquired at/after the lowest
+    //                            completed refinement plane)
+    std::memset(coef, 0, (size_t)n * sizeof(int32_t));
+    const size_t nsig = sig_mag.size();
+    for (size_t s = 0; s < nsig; ++s) {
+        uint32_t m = sig_mag[s];
+        int known;
+        if (p_part >= 0 && s < s_part) {
+            known = p_part;
+        } else {
+            int pa = sig_pa[s];
+            known = pa > p_done_ref ? p_done_ref : pa;
+        }
+        if (known > 0) m += 1u << (known - 1);
+        int64_t i = sig_pos[s];
+        coef[i] = sig_neg[s] ? -(int32_t)m : (int32_t)m;
     }
     return n;
 }

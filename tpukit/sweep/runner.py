@@ -342,15 +342,45 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
                     job.bs_bytes = res.bitstream_bytes
                     job.bitstreams = res.bitstreams
 
+        # ---- lane plan ---------------------------------------------------
+        # Deterministic codecs produce identical recons across reps, so
+        # fresh reps share one lane per rate (metrics AND artifacts); each
+        # resumed recon (arbitrary on-disk content) gets its own lane.
+        lane_of: Dict[tuple, int] = {}
+        lanes: List[object] = []
+        for (ri, rep), job in sorted(jobs.items()):
+            key = ("reused", ri, rep) if job.reused else ("fresh", ri)
+            if key not in lane_of:
+                lane_of[key] = len(lanes)
+                lanes.append(job.recon)
+            job.met_index = lane_of[key]
+
         # ---- phase 2: artifacts + quicklooks (host IO, from memory) -----
+        # One device fetch + quicklook render per lane; identical rep
+        # artifacts are file copies of the first rep's (the content is a
+        # pure function of (cube, recon) — only the phase-1 timings differ
+        # per rep, and those live in the CSV, not in the artifacts).
         if cfg.write_artifacts:
+            import shutil
             ql_params = None
             rgb_ix = [i - 1 for i in rgb_order]
-            for job in jobs.values():
+            lane_dir_done: Dict[int, Path] = {}
+            for (ri, rep), job in sorted(jobs.items()):
                 run_dir = job.run_dir
+                if not job.reused and job.met_index in lane_dir_done:
+                    src_dir = lane_dir_done[job.met_index]
+                    run_dir.mkdir(parents=True, exist_ok=True)
+                    for p in src_dir.iterdir():
+                        if p.is_dir():
+                            shutil.copytree(p, run_dir / p.name,
+                                            dirs_exist_ok=True)
+                        else:
+                            shutil.copyfile(p, run_dir / p.name)
+                    job.bitstreams = None
+                    job.recon = None   # lanes[met_index] holds the content
+                    continue
                 recon_host = np.asarray(job.recon)
                 if not job.reused:
-                    job.recon = recon_host  # free the device copy
                     run_dir.mkdir(parents=True, exist_ok=True)
                     tiff.write_geotiff(
                         run_dir / "recon.tif", recon_host,
@@ -400,19 +430,10 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
                             err_max_zoom=cfg.ql_err_zoom, geo=geo)
                     except Exception as e:
                         log(f"[WARN] Quicklooks failed in {run_dir}: {e}")
+                if not job.reused:
+                    lane_dir_done[job.met_index] = run_dir
 
         # ---- phase 3: metrics — one vmapped device pass per tile --------
-        # Deterministic codecs produce identical recons across reps, so
-        # fresh reps share one metric lane per rate; each resumed recon
-        # (arbitrary on-disk content) gets its own lane.
-        lane_of: Dict[tuple, int] = {}
-        lanes: List[object] = []
-        for (ri, rep), job in sorted(jobs.items()):
-            key = ("reused", ri, rep) if job.reused else ("fresh", ri)
-            if key not in lane_of:
-                lane_of[key] = len(lanes)
-                lanes.append(job.recon)
-            job.met_index = lane_of[key]
 
         chunk = _metric_chunk(B, H, W)
         met_rows: List[Dict[str, float]] = []
