@@ -96,6 +96,10 @@ def main():
     from tpukit.native import libaec_oracle as ae
 
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    # the first device->host fetch of a process can stall for minutes on a
+    # tunneled attachment — start it now so it overlaps input preparation
+    from tpukit.sweep.runner import _warm_transfer_channel
+    _warm_transfer_channel()
     rng = np.random.default_rng(2026)
     work = Path(tempfile.mkdtemp(prefix="tpukit_bench_"))
 

@@ -87,3 +87,22 @@ def test_zeros_and_edge_patterns():
         bs = ck.encode(pattern, 16)
         assert bs == ae.encode(pattern, 16)
         np.testing.assert_array_equal(ck.decode(bs, pattern.size), pattern)
+
+
+def test_parallel_decode_matches_serial(rng):
+    """decode_parallel reconstructs exactly from the plan's chunk bit
+    offsets (ck121_decode_seg), across content regimes: noise, constant
+    runs (ROS), zero runs, and a non-chunk-aligned remainder chunk."""
+    from tpukit.codecs import ccsds121 as dev
+    import jax.numpy as jnp
+
+    n = (1 << 20) + 4096   # forces a remainder chunk at chunk=1<<18
+    x = rng.integers(0, 1 << 14, n).astype(np.uint16)
+    x[100000:220000] = 7
+    x[400000:450000] = 0
+    x[800000:800512] = 65535
+    bs = ck.encode(x, 16)
+    plan = dev.encode_plan(jnp.asarray(x), bits=16, chunk=1 << 18)
+    assert plan is not None
+    assert ck.encode_parallel(x, plan) == bs
+    np.testing.assert_array_equal(ck.decode_parallel(bs, plan), x)

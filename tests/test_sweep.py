@@ -117,3 +117,45 @@ def test_sweep_matches_reference_bitstream_sizes(tmp_path, caseb_setup):
         flat = np.moveaxis(cube.view(np.uint16), 0, -1).ravel()
         expected = len(ae.encode(flat, 16))
         assert row["bitstream_bytes"] == expected
+
+
+def test_err8_lut_matches_host_formula(rng):
+    """The device error-map LUT reproduces error_max8_from_arrays'
+    fixed-cap uint8 scaling bit-exactly for every integer error value."""
+    from tpukit.viz.quicklooks import err8_lut, error_max8_from_arrays
+    a = rng.integers(0, 65535, (3, 17, 23)).astype(np.uint16)
+    b = rng.integers(0, 65535, (3, 17, 23)).astype(np.uint16)
+    valid = rng.random((17, 23)) > 0.2
+    err = np.max(np.abs(a.astype(np.int32) - b.astype(np.int32)), axis=0)
+    err = np.where(valid, err, 0)
+    for cap in (1, 100, 255, 4095, 65535):
+        e8_host, cap_used = error_max8_from_arrays(a, b, valid, cap)
+        assert cap_used == cap
+        lut = err8_lut(cap)
+        np.testing.assert_array_equal(lut[np.clip(err, 0, 65535)], e8_host)
+
+
+def test_sweep_rep_artifacts_are_shared_replicas(tmp_path, caseb_setup):
+    """Reps of a deterministic codec carry identical artifact content
+    (rep_02+ are hardlink replicas of rep_01's render)."""
+    idx, tiles = caseb_setup
+    cfg = SweepConfig(
+        indices=idx,
+        codec=create("ccsds121", tile=32, interleave="bip", preproc="none"),
+        codec_label="ccsds121_ext",
+        outdir=tmp_path / "runs3",
+        rate_key="none",
+        reps=3,
+        keep_bitstream=True,
+    )
+    run_sweep(cfg)
+    d1 = tmp_path / "runs3" / "LC" / "norate" / "rep_01"
+    d3 = tmp_path / "runs3" / "LC" / "norate" / "rep_03"
+    files1 = sorted(p.relative_to(d1) for p in d1.rglob("*") if p.is_file())
+    files3 = sorted(p.relative_to(d3) for p in d3.rglob("*") if p.is_file())
+    assert files1 == files3 and files1
+    for rel in files1:
+        assert (d1 / rel).read_bytes() == (d3 / rel).read_bytes()
+    # the replica recon is a valid reconstruction
+    with tiff.open(d3 / "recon.tif") as ds:
+        np.testing.assert_array_equal(ds.read(), tiles["LC"])

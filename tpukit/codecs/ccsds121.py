@@ -454,8 +454,13 @@ def encode_device(x, bits: int = 16, J: int = 8, rsi: int = 2,
         parts.append((words, tb))
         k = jnp.clip(k, lo, hi)
         start += sz
-    host = jax.device_get(parts)
-    seg_bits = [int(tb) for _, tb in host]
+    # two-phase fetch: the bit lengths first (scalars, one tiny transfer),
+    # then the word buffers TRIMMED on device to the used prefix (+2 words
+    # of zero slack for the splicer) — roughly halves the download vs the
+    # padded capacity buffers
+    seg_bits = [int(t) for t in jax.device_get([tb for _, tb in parts])]
+    host_words = jax.device_get(
+        [w[:(t + 31) // 32 + 2] for (w, _), t in zip(parts, seg_bits)])
     off = 0
     bit_off = []
     for tb in seg_bits:
@@ -463,8 +468,8 @@ def encode_device(x, bits: int = 16, J: int = 8, rsi: int = 2,
         off += tb
     plan = {"seg_bits": seg_bits, "bit_off": bit_off, "total_bits": off}
     return splice_segments(
-        [(words.astype(">u4").view(np.uint8), tb) for (words, _), tb
-         in zip(host, seg_bits)], plan)
+        [(words.astype(">u4").view(np.uint8), tb) for words, tb
+         in zip(host_words, seg_bits)], plan)
 
 
 # ---------------------------------------------------------------------------
@@ -520,6 +525,11 @@ def encode_plan(x, bits: int = 16, J: int = 8, rsi: int = 2,
         return None
     main = (n // chunk) * chunk
     rem = n - main
+    # fixed-shape per-chunk dispatches reuse ONE cached program regardless
+    # of chunk count (a vmapped variant would recompile per count and the
+    # vmapped associative_scan compiles pathologically on TPU); dispatch is
+    # async, so the serial launches overlap, and the tables come down in
+    # one device_get below
     results = [chunk_stats(x[i * chunk:(i + 1) * chunk], bits=bits, J=J,
                            rsi=rsi) for i in range(n // chunk)]
     sizes = [chunk] * (n // chunk)

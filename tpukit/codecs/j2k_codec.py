@@ -299,6 +299,8 @@ class J2KCodec(Codec):
         inv_scale_dev = jnp.asarray(inv_scale_host)
         results = []
         pend = []   # (index, base, host checksums, device checksums)
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=min(8, B))
         for q in qualities:
             q = int(q)
             base = np.float32(base_step_for_quality(q, peak))
@@ -310,7 +312,8 @@ class J2KCodec(Codec):
                 # ops the device performs in _device_requant_recon
                 perm = (perm_coefs * (inv_scale_perm * inv_base)[None]) \
                     .astype(np.int32)
-                encoded = [wc.bpc_encode(perm[b]) for b in range(B)]
+                # band fan-out: the native coder releases the GIL
+                encoded = list(pool.map(wc.bpc_encode, perm))
             t_comp = time.perf_counter() - t0 + t_dwt
             t0 = time.perf_counter()
             with mem_phase("dec"):
@@ -318,9 +321,10 @@ class J2KCodec(Codec):
                     coefs_dev, inv_scale_dev, scale_dev,
                     jnp.float32(inv_base), jnp.float32(base), LEVELS,
                     H0, W0, int(info.min), int(info.max), cube.dtype.name)
+                decs = list(pool.map(
+                    lambda e: wc.bpc_decode(e, Hp * Wp), encoded))
                 for b in range(B):
-                    dec = wc.bpc_decode(encoded[b], Hp * Wp)
-                    if not np.array_equal(dec, perm[b]):
+                    if not np.array_equal(decs[b], perm[b]):
                         raise RuntimeError(
                             "embedded coder round-trip mismatch")
                 recon.block_until_ready()
@@ -340,6 +344,7 @@ class J2KCodec(Codec):
                              for b, e in enumerate(encoded)}
                             if keep_bitstream else None),
                 extras={"quality_used": q}))
+        pool.shutdown(wait=True)
         got = jax.device_get([(p[4], p[5]) for p in pend])
         for (idx, base, s1h, s2h, _, _), (s1d, s2d) in zip(pend, got):
             if (int(s1d), int(s2d)) != (s1h, s2h):

@@ -51,22 +51,38 @@ def pad_to_multiple(img: np.ndarray, m: int):
     return np.pad(img, pads, mode="edge"), H, W
 
 
+_TLS = __import__("threading").local()
+
+
 def bpc_encode(coef: np.ndarray, max_bytes: int = 0) -> bytes:
+    """Native embedded bit-plane encode. The output buffer must be
+    pre-zeroed (the coder's bulk zero-run path skips whole zero bytes), so
+    a thread-local buffer is reused and only the bytes the previous call
+    produced are re-zeroed — allocating+zeroing 8n bytes per call would
+    dominate small-band encodes. Thread-local because the J2K/122 codecs
+    fan encode calls across bands (the C call releases the GIL)."""
     lib = native.load()
     c = np.ascontiguousarray(coef.ravel(), np.int32)
-    out = np.zeros(c.size * 8 + 1024, np.uint8)
+    need = c.size * 8 + 1024
+    buf = getattr(_TLS, "buf", None)
+    if buf is None or buf.size < need:
+        buf = np.zeros(need, np.uint8)
+        _TLS.buf = buf
     n = lib.bpc_encode(c.ctypes.data_as(ct.POINTER(ct.c_uint32)), c.size,
-                       out.ctypes.data_as(ct.POINTER(ct.c_uint8)), out.size,
+                       buf.ctypes.data_as(ct.POINTER(ct.c_uint8)), buf.size,
                        int(max_bytes))
     if n <= 0:
+        buf[:] = 0   # unknown write extent on failure
         raise RuntimeError(f"bpc_encode failed: {n}")
-    return out[:n].tobytes()
+    out = buf[:n].tobytes()
+    buf[:n] = 0      # restore the pre-zeroed invariant
+    return out
 
 
 def bpc_decode(bitstream: bytes, n: int) -> np.ndarray:
     lib = native.load()
-    b = np.frombuffer(bitstream, np.uint8).copy()
-    c = np.zeros(n, np.int32)
+    b = np.frombuffer(bitstream, np.uint8)   # decoder reads only
+    c = np.empty(n, np.int32)                # decoder fully overwrites
     r = lib.bpc_decode(b.ctypes.data_as(ct.POINTER(ct.c_uint8)), b.size,
                        c.ctypes.data_as(ct.POINTER(ct.c_uint32)), n)
     if r != n:

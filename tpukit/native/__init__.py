@@ -86,6 +86,8 @@ def _declare(lib: ctypes.CDLL) -> None:
         ("ck121_encode_seg", i64, [u16p, i64, i32, i32, i32, i32, i32, u8p, i64]),
         ("ck121_splice", None, [u8p, i64, u8p, i64]),
         ("ck121_decode", i64, [u8p, i64, i32, i32, i32, i32, u16p, i64]),
+        ("ck121_decode_seg", i64, [u8p, i64, i64, i32, i32, i32, i32,
+                                   u16p, i64]),
         ("bitpack_concat", i64, [u32p, u8p, i64, i64, u8p, i64]),
         ("jls_encode", i64, [u16p, i32, i32, i32, i32, u8p, i64]),
         ("jls_decode", i64, [u8p, i64, u16p, i32, i32, ct.POINTER(i32), ct.POINTER(i32)]),

@@ -96,6 +96,42 @@ def encode_parallel(samples: np.ndarray, plan: dict,
     return splice_segments(parts, plan)
 
 
+def decode_parallel(bitstream: bytes, plan: dict,
+                    threads: int | None = None) -> np.ndarray:
+    """Parallel decode using a device encode plan's chunk bit offsets.
+
+    Chunks begin at reference-sample intervals, so every chunk decodes
+    independently (the stream is self-describing on the decode side; see
+    ck121_decode_seg) — each thread writes its slice of the output
+    directly. The stream itself stays byte-identical to libaec's serial
+    `aec` output; only the in-framework runtime knows the offsets."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    lib = native.load()
+    b = np.frombuffer(bitstream, np.uint8)
+    bits, J, rsi = plan["bits"], plan["J"], plan["rsi"]
+    sizes = plan["sizes"]
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+    out = np.empty(int(plan["n"]), np.uint16)
+
+    def dec_one(i: int):
+        cnt = int(sizes[i])
+        seg = out[starts[i]:starts[i] + cnt]
+        r = lib.ck121_decode_seg(
+            b.ctypes.data_as(_u8p), b.size, int(plan["bit_off"][i]),
+            bits, J, rsi, FLAG_PREPROCESS,
+            seg.ctypes.data_as(_u16p), cnt)
+        if r != cnt:
+            raise RuntimeError(f"ck121_decode_seg chunk {i} failed: {r}")
+
+    nseg = len(sizes)
+    with ThreadPoolExecutor(max_workers=threads or min(8, os.cpu_count() or 1,
+                                                       nseg)) as pool:
+        list(pool.map(dec_one, range(nseg)))
+    return out
+
+
 def decode(bitstream: bytes, n_samples: int, bits: int = 16,
            block_size: int = DEFAULT_BLOCK_SIZE, rsi: int = DEFAULT_RSI,
            flags: int = FLAG_PREPROCESS) -> np.ndarray:

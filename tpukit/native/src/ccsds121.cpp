@@ -354,15 +354,11 @@ extern "C" void ck121_splice(uint8_t* dst, int64_t bit_off,
     }
 }
 
-extern "C" int64_t ck121_decode(const uint8_t* in, int64_t nbytes, int bits,
-                                int block_size, int rsi, int flags,
-                                uint16_t* out, int64_t n) {
-    if (bits < 5 || bits > 16 || n <= 0) return -1;
-    Params p = make_params(bits, block_size, rsi, flags);
+static int64_t decode_stream(BitReader& br, const Params& p,
+                             uint16_t* out, int64_t n) {
     const int J = p.J;
     if (n % J != 0) return -2;
     int64_t nblocks = n / J;
-    BitReader br(in, nbytes);
 
     std::vector<uint32_t> d(J);
     uint32_t prev = 0;
@@ -392,7 +388,7 @@ extern "C" int64_t ck121_decode(const uint8_t* in, int64_t nbytes, int bits,
                 if (ref) zref = (uint32_t)br.get_bits(p.bits);
                 uint32_t fs = br.get_fs();
                 int run;
-                int seg_pos = (int)((b % rsi) % SEGMENT_BLOCKS);
+                int seg_pos = (int)((b % p.rsi) % SEGMENT_BLOCKS);
                 if (fs == 4) run = SEGMENT_BLOCKS - seg_pos;  // ROS
                 else if (fs < 4) run = (int)fs + 1;
                 else run = (int)fs;
@@ -448,17 +444,16 @@ extern "C" int64_t ck121_decode(const uint8_t* in, int64_t nbytes, int bits,
             int start = ref ? 1 : 0;
             for (int i = start; i < J; ++i) d[i] = br.get_fs() << k;
             if (k > 0) {
-                const int m = J - start;
-                const int64_t total = (int64_t)m * k;
-                if (total <= 56) {
-                    // batch all split LSB fields in one windowed read
-                    uint64_t v = br.get_bits((int)total);
-                    const uint32_t mk = (1u << k) - 1;
-                    for (int i = start, j = m - 1; i < J; ++i, --j)
+                // batch the split LSB fields into as few windowed reads as
+                // fit (≤ 56 bits each): 3 reads instead of 16 for J=16
+                const uint32_t mk = (1u << k) - 1;
+                const int per = 56 / k;          // samples per read (k<=16)
+                int i = start;
+                while (i < J) {
+                    int g = J - i < per ? J - i : per;
+                    uint64_t v = br.get_bits(g * k);
+                    for (int j = g - 1; j >= 0; --j, ++i)
                         d[i] |= (uint32_t)(v >> (j * k)) & mk;
-                } else {
-                    for (int i = start; i < J; ++i)
-                        d[i] |= (uint32_t)br.get_bits(k);
                 }
             }
             if (ref) d[0] = zref;
@@ -468,4 +463,35 @@ extern "C" int64_t ck121_decode(const uint8_t* in, int64_t nbytes, int bits,
         if (br.error) return -6;
     }
     return b * J;
+}
+
+extern "C" int64_t ck121_decode(const uint8_t* in, int64_t nbytes, int bits,
+                                int block_size, int rsi, int flags,
+                                uint16_t* out, int64_t n) {
+    if (bits < 5 || bits > 16 || n <= 0) return -1;
+    Params p = make_params(bits, block_size, rsi, flags);
+    BitReader br(in, nbytes);
+    return decode_stream(br, p, out, n);
+}
+
+// Decode a chunk starting at an arbitrary BIT offset. Valid whenever the
+// offset is an encode_plan chunk boundary: chunks begin at reference-sample
+// intervals, so the first sample is absolute and the block/RSI phase is
+// zero — no cross-chunk state exists on the decode side (the split-k
+// search state is an encoder-only concern; every block id is in-stream).
+// This is what makes PARALLEL decode possible for a stream that stays
+// byte-identical to libaec's (reference ccsds121_wrap.py:129-136 shells
+// out to the strictly serial `aec` for both directions).
+extern "C" int64_t ck121_decode_seg(const uint8_t* in, int64_t nbytes,
+                                    int64_t bit_off, int bits,
+                                    int block_size, int rsi, int flags,
+                                    uint16_t* out, int64_t n) {
+    if (bits < 5 || bits > 16 || n <= 0 || bit_off < 0) return -1;
+    Params p = make_params(bits, block_size, rsi, flags);
+    int64_t byte0 = bit_off >> 3;
+    if (byte0 >= nbytes) return -7;
+    BitReader br(in + byte0, nbytes - byte0);
+    int skip = (int)(bit_off & 7);
+    if (skip) (void)br.get_bits(skip);
+    return decode_stream(br, p, out, n);
 }

@@ -162,47 +162,264 @@ def _metric_chunk(B: int, H: int, W: int) -> int:
     return max(1, int((2 << 30) // max(per_lane, 1)))
 
 
-def _metric_pass_single(jax, jnp, ref_dev, vm_dev, sam_vm_dev, lanes, chunk,
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _ql_ladder_fn():
+    """Device quicklook-error-map ladder: per lane, recon-side validity +
+    max|Δ|-across-bands + uint8 transfer via a host-built LUT (bit-exact to
+    viz.quicklooks.error_max8_from_arrays at fixed caps). Fetch cost per
+    lane is two (H, W) bool masks + C (H, W) uint8 maps instead of the full
+    recon for host-side error math."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("has_nodata",))
+    def ql_ladder(ref, recons, src_valid, nodata, lut, has_nodata: bool):
+        def one(t):
+            if has_nodata:
+                rec_ok = jnp.all(t != nodata, axis=0)
+            else:
+                rec_ok = jnp.ones(t.shape[-2:], bool)
+            v = src_valid & rec_ok
+            err = jnp.max(jnp.abs(t.astype(jnp.int32) - ref.astype(jnp.int32)),
+                          axis=0)
+            err = jnp.where(v, err, 0)
+            e8 = lut[:, jnp.clip(err, 0, lut.shape[1] - 1)]   # (C, H, W)
+            return e8, v, rec_ok
+        return jax.vmap(one)(recons)
+
+    return ql_ladder
+
+
+def _device_pass_single(jax, jnp, ref_dev, vm_dev, sam_vm_dev, lanes, chunk,
                         nod_val, has_nodata, is_caseb, data_range,
                         quality_stats_ladder, spectral_stats_ladder,
-                        assemble_quality_many, assemble_spectral_many):
-    """Single-device metric ladder: one vmapped launch per chunk, one
-    stacked fetch (the reference computes each pair serially on host,
-    run_codec.py:472-529)."""
+                        assemble_quality_many, assemble_spectral_many,
+                        src_valid=None, ql_caps=(), want_recon=False):
+    """Single-device ladder: metrics (+ quicklook error maps + recon
+    stacks when artifacts are requested) with one vmapped launch set and
+    ONE stacked device_get per chunk (the reference computes each pair
+    serially on host and re-reads files per rep, run_codec.py:472-529).
+
+    Returns (met_rows, lane_art) where lane_art[i] is a per-lane dict with
+    host 'recon', 'e8' (C,H,W uint8), 'ql_valid', 'rec_ok' (entries None
+    when not requested)."""
     nod = jnp.asarray(nod_val)
+    want_ql = bool(ql_caps) and bool(lanes) and not jnp.issubdtype(
+        lanes[0].dtype, jnp.floating)
+    if want_ql:
+        from tpukit.viz.quicklooks import err8_lut
+        lut_dev = jnp.asarray(np.stack([err8_lut(c) for c in ql_caps]))
+        sv_dev = jnp.asarray(src_valid)
+        ql_fn = _ql_ladder_fn()
     met_rows: List[Dict[str, float]] = []
+    lane_art: List[Dict[str, object]] = []
     for c0 in range(0, len(lanes), chunk):
         batch = lanes[c0:c0 + chunk]
         stack = jnp.stack([jnp.asarray(x) for x in batch])
         qs = quality_stats_ladder(ref_dev, stack, vm_dev, nod, has_nodata)
+        payload = {"qs": qs}
+        if want_ql:
+            payload["ql"] = ql_fn(ref_dev, stack, sv_dev, nod, lut_dev,
+                                  has_nodata)
+        # fetch only DEVICE-resident recons; host-array lanes (in-place
+        # codecs) must not round-trip their cubes through the tunnel
+        fetch_ix = ([i for i, x in enumerate(batch)
+                     if not isinstance(x, np.ndarray)]
+                    if want_recon else [])
+        if fetch_ix:
+            payload["recon"] = [batch[i] for i in fetch_ix]
+        sams = None
         if is_caseb:
             # warn-and-continue on SAM/SID/LMSE failure (§5.3 policy,
             # reference run_codec.py:523-531)
             try:
-                ss = spectral_stats_ladder(ref_dev, stack, sam_vm_dev)
-                qs_h, ss_h = jax.device_get((qs, ss))
-                sams = assemble_spectral_many(ss_h)
+                host = jax.device_get(
+                    {**payload,
+                     "ss": spectral_stats_ladder(ref_dev, stack, sam_vm_dev)})
+                sams = assemble_spectral_many(host["ss"])
             except Exception as e:
                 log(f"[WARN] SAM/SID/LMSE failed: {e}")
-                qs_h = jax.device_get(qs)
-                sams = [{"sam_deg": float("nan"), "sid": float("nan"),
-                         "lmse": float("nan")} for _ in batch]
-            mets = assemble_quality_many(qs_h, float(data_range))
-            for m, s in zip(mets, sams):
-                m.update(s)
+                host = jax.device_get(payload)
         else:
-            qs_h = jax.device_get(qs)
-            mets = assemble_quality_many(qs_h, float(data_range))
-            for m in mets:
-                m.update({"sam_deg": float("nan"), "sid": float("nan"),
-                          "lmse": float("nan")})
+            host = jax.device_get(payload)
+        if sams is None:
+            sams = [{"sam_deg": float("nan"), "sid": float("nan"),
+                     "lmse": float("nan")} for _ in batch]
+        mets = assemble_quality_many(host["qs"], float(data_range))
+        for m, s in zip(mets, sams):
+            m.update(s)
         met_rows.extend(mets)
-    return met_rows
+        fetched = dict(zip(fetch_ix, host.get("recon", [])))
+        for i in range(len(batch)):
+            recon_h = fetched.get(i, batch[i]) if want_recon else None
+            lane_art.append({
+                "recon": recon_h,
+                "e8": host["ql"][0][i] if want_ql else None,
+                "ql_valid": host["ql"][1][i] if want_ql else None,
+                "rec_ok": host["ql"][2][i] if want_ql else None,
+            })
+    return met_rows, lane_art
+
+
+def _link_tree(src: Path, dst: Path):
+    """Replicate a finished run_dir as hardlinks (artifact content is
+    identical across reps of a deterministic codec; a byte copy per rep
+    would triple the sweep's disk traffic)."""
+    import os
+    import shutil
+    dst.mkdir(parents=True, exist_ok=True)
+    for p in src.iterdir():
+        q = dst / p.name
+        if p.is_dir():
+            _link_tree(p, q)
+        else:
+            q.unlink(missing_ok=True)
+            try:
+                os.link(p, q)
+            except OSError:
+                shutil.copyfile(p, q)
+
+
+def _write_artifacts_phase(cfg: "SweepConfig", jobs: Dict[tuple, "_Job"],
+                           lanes: List[object], lane_art, ql_caps: List[int],
+                           *, cube: np.ndarray, geo, nodata, has_nodata: bool,
+                           src_mask: np.ndarray, src_valid: np.ndarray,
+                           rgb_order: List[int], descriptions,
+                           mask_passthrough: bool):
+    """Artifacts + quicklooks from in-memory data: one threaded render per
+    lane, hardlinked replicas for the other reps (a deterministic codec's
+    artifact content is a pure function of (cube, recon) — only the phase-1
+    timings differ per rep, and those live in the CSV, not in artifacts).
+    Same file contract as the reference's path-based flow
+    (run_codec.py:474-520, quicklooks.py:76-207)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+    from tpukit.viz import quicklooks as ql
+
+    B, H, W = cube.shape
+    rgb_ix = [i - 1 for i in rgb_order]
+    ql_params = None
+    if cfg.quicklooks and cfg.ql_rgb and B >= 3:
+        ql_params = ql.stretch_params_from_arrays(
+            cube[rgb_ix].astype(np.float32), src_valid)
+
+    def lane_host(idx: int) -> Dict[str, object]:
+        """Host-side artifact inputs for one lane; fills anything the
+        device pass didn't provide (mesh mode, float cubes)."""
+        art = lane_art[idx] if lane_art is not None else None
+        if art is None or art.get("recon") is None:
+            art = {"recon": np.asarray(lanes[idx]), "e8": None,
+                   "ql_valid": None, "rec_ok": None}
+        if cfg.quicklooks and ql_caps and art.get("e8") is None:
+            recon_host = art["recon"]
+            rec_ok = (np.all(recon_host != nodata, axis=0) if has_nodata
+                      else np.ones((H, W), bool))
+            v = src_valid & rec_ok
+            e8s = [ql.error_max8_from_arrays(cube, recon_host, v, cap)[0]
+                   for cap in ql_caps]
+            art.update({"e8": np.stack(e8s), "ql_valid": v, "rec_ok": rec_ok})
+        return art
+
+    # group jobs by lane: one render + N-1 hardlink replicas
+    by_lane: Dict[int, List[_Job]] = {}
+    for (_ri, _rep), job in sorted(jobs.items()):
+        by_lane.setdefault(job.met_index, []).append(job)
+
+    def render(job: "_Job"):
+        art = lane_host(job.met_index)
+        recon_host = np.asarray(art["recon"])
+        run_dir = job.run_dir
+        run_dir.mkdir(parents=True, exist_ok=True)
+        if not job.reused:
+            tiff.write_geotiff(
+                run_dir / "recon.tif", recon_host, nodata=nodata, geo=geo,
+                descriptions=descriptions,
+                # validity-mask passthrough (ccsds123_wrap.py:279-283)
+                mask=(src_mask if mask_passthrough else None))
+            if cfg.keep_bitstream and job.bitstreams:
+                bit_dir = run_dir / "bit"
+                bit_dir.mkdir(parents=True, exist_ok=True)
+                for name, data in job.bitstreams.items():
+                    (bit_dir / name).write_bytes(data)
+                job.bitstreams = None
+        # quicklooks (reference run_codec.py:511-520 — regenerated on every
+        # pass, including resumed reconstructions)
+        if cfg.quicklooks:
+            try:
+                if ql_params is not None:
+                    rec_ok = art.get("rec_ok")
+                    if rec_ok is None:
+                        rec_ok = (np.all(recon_host != nodata, axis=0)
+                                  if has_nodata else np.ones((H, W), bool))
+                    ql.write_rgb_8bit_arrays(
+                        cube[rgb_ix], run_dir / "baseline_RGB8.tif",
+                        ql_params, geo=geo, mask=src_mask)
+                    ql.write_rgb_8bit_arrays(
+                        recon_host[rgb_ix], run_dir / "recon_RGB8.tif",
+                        ql_params, geo=geo,
+                        mask=np.asarray(rec_ok, np.uint8) * 255)
+                if art.get("e8") is not None:
+                    v = np.asarray(art["ql_valid"])
+                    for cap, e8 in zip(ql_caps, np.asarray(art["e8"])):
+                        ql._write_err_tif(
+                            run_dir / f"recon_ERR8_0_{int(cap)}.tif",
+                            np.asarray(e8), v, geo)
+            except Exception as e:
+                log(f"[WARN] Quicklooks failed in {run_dir}: {e}")
+        job.recon = None
+
+    primaries = [js[0] for js in by_lane.values()]
+    replicas = [(js[0], j) for js in by_lane.values() for j in js[1:]]
+    nthread = min(8, os.cpu_count() or 1, max(1, len(primaries)))
+    if nthread > 1:
+        with ThreadPoolExecutor(max_workers=nthread) as pool:
+            list(pool.map(render, primaries))
+    else:
+        for j in primaries:
+            render(j)
+    for src_job, dst_job in replicas:
+        _link_tree(src_job.run_dir, dst_job.run_dir)
+        dst_job.bitstreams = None
+        dst_job.recon = None
+
+
+_WARMED = False
+
+
+def _warm_transfer_channel():
+    """Trigger the first device->host fetch in a background thread.
+
+    On remote/tunneled TPU attachments the first fetch of a process pays a
+    one-time transfer-channel warmup that can stall for tens of seconds;
+    overlapping it with host-side IO and codec work keeps it off the
+    sweep's critical path (no-op cost on co-located hosts)."""
+    global _WARMED
+    if _WARMED:
+        return
+    _WARMED = True
+    import threading
+
+    def _warm():
+        try:
+            import jax.numpy as jnp
+            np.asarray(jnp.zeros(8, jnp.uint8))
+        except Exception:
+            pass
+
+    threading.Thread(target=_warm, daemon=True).start()
 
 
 def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
+    import os
+    import time as _time
     import jax
     import jax.numpy as jnp
+    _warm_transfer_channel()
+    _timing = bool(os.environ.get("TPUKIT_TIMING"))
     from tpukit.metrics.quality import (assemble_quality_many,
                                         quality_stats_ladder)
     from tpukit.metrics.spectral import (assemble_spectral_many,
@@ -295,7 +512,11 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
             sam_vm_dev = jnp.asarray(sam_vm) if is_caseb else None
 
         # ---- phase 1: execute the ladder (codec work) -------------------
+        _t1 = _time.perf_counter()
         jobs: Dict[tuple, _Job] = {}
+        # per-tile scratch shared across reps (e.g. ccsds121's device
+        # encode plan — identical for identical input, so reps reuse it)
+        tile_plan_cache: Dict[tuple, object] = {}
         for rep in range(cfg.reps):
             fresh_ix: List[int] = []
             for ri, r in enumerate(rates):
@@ -326,10 +547,21 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
                 ctx = dict(cfg.codec_opts)
                 ctx.setdefault("nodata", nodata)
                 ctx.setdefault("dataset_mask", src_mask)
+                if mesh_obj is None:
+                    # HBM-resident cube: codecs with device fast paths
+                    # (ccsds121's parallel plan) reuse the metric upload
+                    ctx.setdefault("device_cube", ref_dev)
+                    ctx.setdefault("device_plan_cache", tile_plan_cache)
+                _tr = _time.perf_counter()
                 with MemorySampler() as ms:
                     results = cfg.codec.sweep_rates(
                         cube, dtype_name, specs,
                         keep_bitstream=cfg.keep_bitstream, **ctx)
+                if _timing:
+                    log(f"[TIMING] {tile_id} rep {rep}: sweep_rates "
+                        f"{_time.perf_counter() - _tr:.2f}s "
+                        f"(codec t_comp+t_dec "
+                        f"{sum(r.t_comp_s + r.t_dec_s for r in results):.2f}s)")
                 for ri, res in zip(fresh_ix, results):
                     if res.mem_comp_peak_bytes is None:
                         res.mem_comp_peak_bytes = ms.phase_peak_bytes("comp")
@@ -355,89 +587,21 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
                 lanes.append(job.recon)
             job.met_index = lane_of[key]
 
-        # ---- phase 2: artifacts + quicklooks (host IO, from memory) -----
-        # One device fetch + quicklook render per lane; identical rep
-        # artifacts are file copies of the first rep's (the content is a
-        # pure function of (cube, recon) — only the phase-1 timings differ
-        # per rep, and those live in the CSV, not in the artifacts).
-        if cfg.write_artifacts:
-            import shutil
-            ql_params = None
-            rgb_ix = [i - 1 for i in rgb_order]
-            lane_dir_done: Dict[int, Path] = {}
-            for (ri, rep), job in sorted(jobs.items()):
-                run_dir = job.run_dir
-                if not job.reused and job.met_index in lane_dir_done:
-                    src_dir = lane_dir_done[job.met_index]
-                    run_dir.mkdir(parents=True, exist_ok=True)
-                    for p in src_dir.iterdir():
-                        if p.is_dir():
-                            shutil.copytree(p, run_dir / p.name,
-                                            dirs_exist_ok=True)
-                        else:
-                            shutil.copyfile(p, run_dir / p.name)
-                    job.bitstreams = None
-                    job.recon = None   # lanes[met_index] holds the content
-                    continue
-                recon_host = np.asarray(job.recon)
-                if not job.reused:
-                    run_dir.mkdir(parents=True, exist_ok=True)
-                    tiff.write_geotiff(
-                        run_dir / "recon.tif", recon_host,
-                        nodata=nodata, geo=geo,
-                        descriptions=ds.descriptions,
-                        # validity-mask passthrough (ccsds123_wrap.py:279-283)
-                        mask=(src_mask if getattr(cfg.codec,
-                                                  "mask_passthrough", False)
-                              else None))
-                    if cfg.keep_bitstream and job.bitstreams:
-                        bit_dir = run_dir / "bit"
-                        bit_dir.mkdir(parents=True, exist_ok=True)
-                        for name, data in job.bitstreams.items():
-                            (bit_dir / name).write_bytes(data)
-                        job.bitstreams = None
-                # quicklooks (reference run_codec.py:511-520 — regenerated
-                # on every pass, including resumed reconstructions)
-                if cfg.quicklooks:
-                    try:
-                        from tpukit.viz import quicklooks as ql
-                        run_dir.mkdir(parents=True, exist_ok=True)
-                        src_valid = src_mask > 0
-                        if has_nodata:
-                            src_valid = src_valid & (cube[0] != nodata)
-                        rec_mask_all = (np.all(recon_host != nodata, axis=0)
-                                        if has_nodata
-                                        else np.ones((H, W), bool))
-                        if cfg.ql_rgb and B >= 3:
-                            if ql_params is None:
-                                ql_params = ql.stretch_params_from_arrays(
-                                    cube[rgb_ix].astype(np.float32),
-                                    src_valid)
-                            ql.write_rgb_8bit_arrays(
-                                cube[rgb_ix], run_dir / "baseline_RGB8.tif",
-                                ql_params, geo=geo, mask=src_mask)
-                            ql.write_rgb_8bit_arrays(
-                                recon_host[rgb_ix],
-                                run_dir / "recon_RGB8.tif", ql_params,
-                                geo=geo,
-                                mask=(rec_mask_all.astype(np.uint8) * 255))
-                        ql_valid = src_valid & rec_mask_all
-                        if has_nodata:
-                            ql_valid = ql_valid & (recon_host[0] != nodata)
-                        ql.write_error_max8_arrays(
-                            cube, recon_host, ql_valid, run_dir / "recon",
-                            err_max_global=cfg.ql_err_global,
-                            err_max_zoom=cfg.ql_err_zoom, geo=geo)
-                    except Exception as e:
-                        log(f"[WARN] Quicklooks failed in {run_dir}: {e}")
-                if not job.reused:
-                    lane_dir_done[job.met_index] = run_dir
-
-        # ---- phase 3: metrics — one vmapped device pass per tile --------
-
+        _t2 = _time.perf_counter()
+        # ---- phase 2: device ladder — metrics + quicklook error maps +
+        # batched recon fetch, ONE stacked transfer per chunk -------------
         chunk = _metric_chunk(B, H, W)
         met_rows: List[Dict[str, float]] = []
         nod_val = np.float32(nodata if has_nodata else 0.0)
+        src_valid = src_mask > 0
+        if has_nodata:
+            src_valid = src_valid & (cube[0] != nodata)
+        ql_caps: List[int] = []
+        if cfg.write_artifacts and cfg.quicklooks:
+            ql_caps.append(int(cfg.ql_err_global))
+            if cfg.ql_err_zoom is not None:
+                ql_caps.append(int(cfg.ql_err_zoom))
+        lane_art = None
 
         if mesh_obj is not None:
             # sharded ladder: lanes over dp, bands over sp (falls back to
@@ -488,12 +652,29 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
                                    "lmse": float("nan")})
                 met_rows.extend(mets[:n_real])
         else:
-            met_rows.extend(_metric_pass_single(
+            met_rows, lane_art = _device_pass_single(
                 jax, jnp, ref_dev, vm_dev, sam_vm_dev, lanes, chunk,
                 nod_val, has_nodata, is_caseb, data_range,
                 quality_stats_ladder, spectral_stats_ladder,
-                assemble_quality_many, assemble_spectral_many))
+                assemble_quality_many, assemble_spectral_many,
+                src_valid=src_valid, ql_caps=tuple(ql_caps),
+                want_recon=cfg.write_artifacts)
 
+        _t3 = _time.perf_counter()
+        # ---- phase 3: artifacts + quicklooks (host IO, threaded) --------
+        if cfg.write_artifacts:
+            _write_artifacts_phase(
+                cfg, jobs, lanes, lane_art, ql_caps, cube=cube, geo=geo,
+                nodata=nodata, has_nodata=has_nodata, src_mask=src_mask,
+                src_valid=src_valid, rgb_order=rgb_order,
+                descriptions=ds.descriptions,
+                mask_passthrough=getattr(cfg.codec, "mask_passthrough",
+                                         False))
+
+        _t4 = _time.perf_counter()
+        if _timing:
+            log(f"[TIMING] {tile_id}: codec {_t2-_t1:.2f}s device "
+                f"{_t3-_t2:.2f}s artifacts {_t4-_t3:.2f}s")
         # ---- phase 4: rows in canonical (rate outer, rep inner) order ---
         for ri, r in enumerate(rates):
             for rep in range(cfg.reps):

@@ -107,6 +107,17 @@ def error_max8_from_arrays(a: np.ndarray, b: np.ndarray,
     return e8, int(round(hi))
 
 
+def err8_lut(cap: int, nvals: int = 65536) -> np.ndarray:
+    """uint8 transfer table for integer max|Δ| errors: ``err8_lut(cap)[err]``
+    reproduces the fixed-cap scaling of :func:`error_max8_from_arrays`
+    bit-exactly (same f32 ops, evaluated once per possible error value).
+    The sweep runner uses it to render error maps ON DEVICE as a masked
+    int reduction + table lookup, fetching only (H, W) uint8 maps."""
+    x = np.arange(nvals, dtype=np.float32)
+    lo, hi = 0.0, float(cap)
+    return (np.clip((x - lo) / (hi - lo + 1e-9), 0, 1) * 255.0).astype(np.uint8)
+
+
 def _write_err_tif(path, err8: np.ndarray, valid: Optional[np.ndarray], geo):
     tags = {
         "STATISTICS_MINIMUM": "0",
