@@ -54,29 +54,54 @@ def pad_to_multiple(img: np.ndarray, m: int):
 _TLS = __import__("threading").local()
 
 
+def _tls_buf(name: str, need: int, dtype) -> np.ndarray:
+    """Reusable thread-local scratch buffer (the J2K/122 codecs fan coder
+    calls across bands; the C calls release the GIL)."""
+    buf = getattr(_TLS, name, None)
+    if buf is None or buf.size < need:
+        buf = np.empty(need, dtype)
+        setattr(_TLS, name, buf)
+    return buf
+
+
 def bpc_encode(coef: np.ndarray, max_bytes: int = 0) -> bytes:
-    """Native embedded bit-plane encode. The output buffer must be
-    pre-zeroed (the coder's bulk zero-run path skips whole zero bytes), so
-    a thread-local buffer is reused and only the bytes the previous call
-    produced are re-zeroed — allocating+zeroing 8n bytes per call would
-    dominate small-band encodes. Thread-local because the J2K/122 codecs
-    fan encode calls across bands (the C call releases the GIL)."""
+    """Native embedded bit-plane encode from int32 coefficients."""
     lib = native.load()
     c = np.ascontiguousarray(coef.ravel(), np.int32)
-    need = c.size * 8 + 1024
-    buf = getattr(_TLS, "buf", None)
-    if buf is None or buf.size < need:
-        buf = np.zeros(need, np.uint8)
-        _TLS.buf = buf
+    buf = _tls_buf("buf", c.size * 8 + 1024, np.uint8)
     n = lib.bpc_encode(c.ctypes.data_as(ct.POINTER(ct.c_uint32)), c.size,
                        buf.ctypes.data_as(ct.POINTER(ct.c_uint8)), buf.size,
                        int(max_bytes))
     if n <= 0:
-        buf[:] = 0   # unknown write extent on failure
         raise RuntimeError(f"bpc_encode failed: {n}")
-    out = buf[:n].tobytes()
-    buf[:n] = 0      # restore the pre-zeroed invariant
-    return out
+    return buf[:n].tobytes()
+
+
+def bpc_encode_quant(coefs: np.ndarray, inv_steps: np.ndarray,
+                     inv_base: float, max_bytes: int = 0):
+    """Fused deadzone quantize + embedded encode (one native pass).
+
+    qc = trunc(coefs * (inv_steps * inv_base)) with the same f32
+    association order as the numpy path and the device requantizer, so all
+    three agree bit-for-bit. Returns (bitstream bytes, qc int32 array) —
+    qc feeds the round-trip verify and checksums."""
+    lib = native.load()
+    c = np.ascontiguousarray(coefs.ravel(), np.float32)
+    s = np.ascontiguousarray(inv_steps.ravel(), np.float32)
+    if s.size != c.size:
+        raise ValueError("inv_steps size mismatch")
+    qc = np.empty(c.size, np.int32)
+    buf = _tls_buf("buf", c.size * 8 + 1024, np.uint8)
+    fp = ct.POINTER(ct.c_float)
+    n = lib.bpc_encode_quant(c.ctypes.data_as(fp), s.ctypes.data_as(fp),
+                             ct.c_float(inv_base),
+                             qc.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+                             c.size,
+                             buf.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+                             buf.size, int(max_bytes))
+    if n <= 0:
+        raise RuntimeError(f"bpc_encode_quant failed: {n}")
+    return buf[:n].tobytes(), qc
 
 
 def bpc_decode(bitstream: bytes, n: int) -> np.ndarray:

@@ -92,6 +92,9 @@ def _declare(lib: ctypes.CDLL) -> None:
         ("jls_encode", i64, [u16p, i32, i32, i32, i32, u8p, i64]),
         ("jls_decode", i64, [u8p, i64, u16p, i32, i32, ct.POINTER(i32), ct.POINTER(i32)]),
         ("bpc_encode", i64, [u32p, i64, u8p, i64, i64]),
+        ("bpc_encode_quant", i64, [ct.POINTER(ct.c_float),
+                                   ct.POINTER(ct.c_float), ct.c_float,
+                                   u32p, i64, u8p, i64, i64]),
         ("bpc_decode", i64, [u8p, i64, u32p, i64]),
         ("ck123_code", i64, [u32p, i64, i32, i32, u8p, i64]),
         ("ck123_decode", i64, [u8p, i64, i32, i32, u32p, i64]),

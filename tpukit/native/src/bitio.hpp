@@ -52,9 +52,9 @@ struct BitWriter {
     }
 
     inline void put_zeros(int64_t n) {
-        // bulk zero emission. REQUIRES a pre-zeroed buffer: whole zero
-        // bytes are skipped (bytepos advances) instead of being shifted
-        // through the accumulator.
+        // bulk zero emission: whole zero bytes are memset in one shot
+        // instead of being shifted through the accumulator (no pre-zeroed
+        // buffer required).
         int k = (8 - (nacc & 7)) & 7;          // align acc to a byte edge
         if (k && n >= k) { raw(0, k); n -= k; }
         if ((nacc & 7) == 0 && n >= 64) {
@@ -65,8 +65,15 @@ struct BitWriter {
             }
             acc = 0;
             int64_t nb = n >> 3;
-            if (bytepos + nb <= cap) bytepos += nb;
-            else { bytepos = cap; overflow = true; }
+            if (bytepos + nb <= cap) {
+                std::memset(buf + bytepos, 0, (size_t)nb);
+                bytepos += nb;
+            } else {
+                if (bytepos < cap)
+                    std::memset(buf + bytepos, 0, (size_t)(cap - bytepos));
+                bytepos = cap;
+                overflow = true;
+            }
             n &= 7;
         }
         while (n > 0) { int t = n < 32 ? (int)n : 32; raw(0, t); n -= t; }

@@ -65,8 +65,8 @@ struct Rev8 {
 const Rev8 REV8;
 }
 
-extern "C" int64_t bpc_encode(const int32_t* coef, int64_t n, uint8_t* out,
-                              int64_t out_cap, int64_t max_bytes) {
+static int64_t encode_body(const int32_t* coef, int64_t n, uint8_t* out,
+                           int64_t out_cap, int64_t max_bytes) {
     if (n <= 0 || out_cap < 2) return -1;
     std::vector<uint32_t> mag((size_t)n);
     uint32_t maxmag = 0;
@@ -80,8 +80,7 @@ extern "C" int64_t bpc_encode(const int32_t* coef, int64_t n, uint8_t* out,
 
     int64_t budget = max_bytes > 0 ? (max_bytes < out_cap ? max_bytes : out_cap)
                                    : out_cap;
-    std::memset(out + 1, 0, (size_t)(budget - 1));
-    BitWriter bw(out + 1, budget - 1);
+    BitWriter bw(out + 1, budget - 1);   // put_zeros memsets its own runs
 
     int64_t ngroups = (n + GROUP - 1) / GROUP;
     std::vector<int8_t> topg((size_t)ngroups, -1);   // msb plane per group
@@ -175,6 +174,36 @@ extern "C" int64_t bpc_encode(const int32_t* coef, int64_t n, uint8_t* out,
         }
     }
     return 1 + bw.bytes();
+}
+
+extern "C" int64_t bpc_encode(const int32_t* coef, int64_t n, uint8_t* out,
+                              int64_t out_cap, int64_t max_bytes) {
+    return encode_body(coef, n, out, out_cap, max_bytes);
+}
+
+// Fused deadzone quantize + encode: qc[i] = (int32)(coefs[i] *
+// (inv_steps[i] * inv_base)), the exact operation (and association order,
+// hence rounding) of the host numpy path and the device requantizer
+// (j2k_codec._device_requant_recon_ladder) — then the regular embedded
+// coder over qc. Saves a full numpy pass + temporaries per rate point;
+// the quantized coefficients land in caller-provided qc for round-trip
+// verification and checksums.
+extern "C" int64_t bpc_encode_quant(const float* coefs,
+                                    const float* inv_steps, float inv_base,
+                                    int32_t* qc, int64_t n, uint8_t* out,
+                                    int64_t out_cap, int64_t max_bytes) {
+    const __m256 ib = _mm256_set1_ps(inv_base);
+    int64_t i = 0;
+    for (; i + 8 <= n; i += 8) {
+        __m256 s = _mm256_mul_ps(_mm256_loadu_ps(inv_steps + i), ib);
+        __m256 c = _mm256_mul_ps(_mm256_loadu_ps(coefs + i), s);
+        _mm256_storeu_si256((__m256i*)(qc + i), _mm256_cvttps_epi32(c));
+    }
+    for (; i < n; ++i) {
+        float s = inv_steps[i] * inv_base;
+        qc[i] = (int32_t)(coefs[i] * s);
+    }
+    return encode_body(qc, n, out, out_cap, max_bytes);
 }
 
 extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
