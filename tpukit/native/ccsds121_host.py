@@ -28,7 +28,9 @@ def encode(samples: np.ndarray, bits: int = 16,
     lib = native.load()
     x = np.ascontiguousarray(np.asarray(samples).ravel(), dtype=np.uint16)
     # worst case ≈ no-compression + IDs + refs; 4x + slack is generous
-    out = np.zeros(x.size * 4 + 4096, np.uint8)
+    # (np.empty: the coder writes every byte it uses and zeroes its own
+    # splice slack)
+    out = np.empty(x.size * 4 + 4096, np.uint8)
     n = lib.ck121_encode(x.ctypes.data_as(_u16p), x.size, bits, block_size,
                          rsi, flags, out.ctypes.data_as(_u8p), out.size)
     if n < 0:
@@ -81,7 +83,7 @@ def encode_parallel(samples: np.ndarray, plan: dict,
 
     def enc_one(i: int):
         seg = x[starts[i]:starts[i + 1]]
-        buf = np.zeros(seg.size * 4 + 4096, np.uint8)
+        buf = np.empty(seg.size * 4 + 4096, np.uint8)
         nbits = lib.ck121_encode_seg(
             seg.ctypes.data_as(_u16p), seg.size, bits, J, rsi, flags,
             int(k_in[i]), buf.ctypes.data_as(_u8p), buf.size)
@@ -136,8 +138,8 @@ def decode(bitstream: bytes, n_samples: int, bits: int = 16,
            block_size: int = DEFAULT_BLOCK_SIZE, rsi: int = DEFAULT_RSI,
            flags: int = FLAG_PREPROCESS) -> np.ndarray:
     lib = native.load()
-    b = np.frombuffer(bitstream, np.uint8).copy()
-    out = np.zeros(n_samples, np.uint16)
+    b = np.frombuffer(bitstream, np.uint8)   # decoder reads only
+    out = np.empty(n_samples, np.uint16)     # decoder writes every sample
     r = lib.ck121_decode(b.ctypes.data_as(_u8p), b.size, bits, block_size,
                          rsi, flags, out.ctypes.data_as(_u16p), n_samples)
     if r != n_samples:

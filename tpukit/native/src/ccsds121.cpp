@@ -141,39 +141,40 @@ void emit_block(BitWriter& bw, const uint32_t* d, const Params& p, bool ref,
 
     uint64_t best_cost;
     int best_k = assess_split(d, start, J, p.kmax, k_state, best_cost);
+    uint64_t nc_cost = (uint64_t)m * p.bits;  // no-compression
 
     // Second extension (validated bit-exact against libaec): pairs are
     // (d0,d1)(d2,d3)... with γ = (a+b)(a+b+1)/2 + b; in reference blocks
     // the slot-0 element is zero, i.e. the first pair is (0, d1).
+    // Decision-equivalent early exit: c only grows, so once it can no
+    // longer win (se wins iff se <= best AND se < nc) the gammas are
+    // never emitted and the scan stops. Stack storage: J <= 64 -> <= 32
+    // pairs (a heap vector here costs an allocation per block).
     uint64_t se_cost = UINT64_MAX;
-    std::vector<uint32_t> gammas;
-    {
-        bool ok = ((J % 2) == 0);
+    uint32_t gammas[32];
+    int ngam = 0;
+    if ((J % 2) == 0 && J <= 64) {
+        const uint64_t lose = best_cost < nc_cost ? best_cost + 1 : nc_cost;
+        bool ok = true;
         uint64_t c = 1;  // the extra low-entropy selector bit
-        auto gam = [](uint64_t a, uint64_t bq) {
-            uint64_t s = a + bq;
-            return s * (s + 1) / 2 + bq;
-        };
-        if (ok) {
-            for (int i = 0; i + 1 < J; i += 2) {
-                uint64_t a = (ref && i == 0) ? 0 : d[i];
-                uint64_t g = gam(a, d[i + 1]);
-                if (g > (1u << 30)) { ok = false; break; }
-                gammas.push_back((uint32_t)g);
-                c += g + 1;
-            }
+        for (int i = 0; i + 1 < J; i += 2) {
+            uint64_t a = (ref && i == 0) ? 0 : d[i];
+            uint64_t s = a + d[i + 1];
+            uint64_t g = s * (s + 1) / 2 + d[i + 1];
+            if (g > (1u << 30)) { ok = false; break; }
+            gammas[ngam++] = (uint32_t)g;
+            c += g + 1;
+            if (c >= lose) { ok = false; break; }
         }
         if (ok) se_cost = c;
     }
-
-    uint64_t nc_cost = (uint64_t)m * p.bits;  // no-compression
 
     if (se_cost <= best_cost && se_cost < nc_cost) {
         // low-entropy ID (all zeros, id_len bits) + '1' selector
         bw.put_bits(0, p.id_len);
         bw.put_bits(1, 1);
         if (ref) bw.put_bits(d[0], p.bits);
-        for (uint32_t g : gammas) bw.put_fs(g);
+        for (int i = 0; i < ngam; ++i) bw.put_fs(gammas[i]);
     } else if (best_cost < nc_cost) {
         int k = best_k;
         bw.put_bits((uint64_t)(k + 1), p.id_len);
@@ -212,7 +213,6 @@ int64_t encode_core(const uint16_t* in, int64_t n, const Params& p,
     const int J = p.J;
     if (n % J != 0) return -2;  // framework guarantees whole blocks
     int64_t nblocks = n / J;
-    std::memset(out, 0, (size_t)out_cap);
     BitWriter bw(out, out_cap);
 
     std::vector<uint32_t> d(J);
@@ -284,8 +284,12 @@ int64_t encode_core(const uint16_t* in, int64_t n, const Params& p,
     flush_zero_run(zrun > 4);
     if (bw.overflow) return -3;
     int64_t nbits = bw.bitpos_now();
-    bw.bytes();  // flush (zero padding)
+    int64_t used = bw.bytes();  // flush (zero padding)
     if (bw.overflow) return -3;
+    // zero splice slack: ck121_splice shifts through up to 8 bytes past a
+    // chunk's last data byte (the buffer is no longer pre-zeroed)
+    int64_t tail = out_cap - used < 16 ? out_cap - used : 16;
+    if (tail > 0) std::memset(out + used, 0, (size_t)tail);
     return nbits;
 }
 

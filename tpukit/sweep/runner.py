@@ -198,7 +198,8 @@ def _device_pass_single(jax, jnp, ref_dev, vm_dev, sam_vm_dev, lanes, chunk,
                         nod_val, has_nodata, is_caseb, data_range,
                         quality_stats_ladder, spectral_stats_ladder,
                         assemble_quality_many, assemble_spectral_many,
-                        src_valid=None, ql_caps=(), want_recon=False):
+                        src_valid=None, ql_caps=(), want_recon=False,
+                        ref_host=None):
     """Single-device ladder: metrics (+ quicklook error maps + recon
     stacks when artifacts are requested) with one vmapped launch set and
     ONE stacked device_get per chunk (the reference computes each pair
@@ -217,9 +218,20 @@ def _device_pass_single(jax, jnp, ref_dev, vm_dev, sam_vm_dev, lanes, chunk,
         ql_fn = _ql_ladder_fn()
     met_rows: List[Dict[str, float]] = []
     lane_art: List[Dict[str, object]] = []
+    def lane_dev(x):
+        # a host recon bit-identical to the reference (verified-lossless
+        # codecs) reuses the already-uploaded ref instead of re-shipping
+        # the same bytes up the link (a ~100 ms memcmp vs a multi-second
+        # upload on tunneled attachments)
+        if (isinstance(x, np.ndarray) and ref_host is not None
+                and x.shape == ref_host.shape and x.dtype == ref_host.dtype
+                and np.array_equal(x, ref_host)):
+            return ref_dev
+        return jnp.asarray(x)
+
     for c0 in range(0, len(lanes), chunk):
         batch = lanes[c0:c0 + chunk]
-        stack = jnp.stack([jnp.asarray(x) for x in batch])
+        stack = jnp.stack([lane_dev(x) for x in batch])
         qs = quality_stats_ladder(ref_dev, stack, vm_dev, nod, has_nodata)
         payload = {"qs": qs}
         if want_ql:
@@ -658,7 +670,7 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
                 quality_stats_ladder, spectral_stats_ladder,
                 assemble_quality_many, assemble_spectral_many,
                 src_valid=src_valid, ql_caps=tuple(ql_caps),
-                want_recon=cfg.write_artifacts)
+                want_recon=cfg.write_artifacts, ref_host=cube)
 
         _t3 = _time.perf_counter()
         # ---- phase 3: artifacts + quicklooks (host IO, threaded) --------
