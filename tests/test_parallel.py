@@ -178,3 +178,37 @@ def test_sharded_j2k_model_matches_host_coder(rng):
         expect = sum(len(wc.bpc_encode(qc[b].ravel()[order]))
                      for b in range(B))
         assert int(sizes[t]) == expect
+
+
+def test_mesh_sweep_artifacts_match_single_device(tmp_path, rng):
+    """--mesh with artifacts on: the host fallback artifact path (no fused
+    device quicklook ladder) writes the same recon.tif and error maps as
+    the single-device fused path."""
+    from tpukit.codecs.registry import create
+    from tpukit.io import tiff, write_manifest
+    from tpukit.sweep.runner import SweepConfig, run_sweep
+
+    base = rng.integers(300, 3000, (32, 32)).astype(np.int32)
+    cube = np.clip(base[None] + rng.integers(-80, 80, (4, 32, 32)),
+                   0, 4095).astype(np.uint16)
+    p = tmp_path / "t.tif"
+    tiff.write_geotiff(p, cube)
+    idx = tmp_path / "index.json"
+    write_manifest(idx, "caseA", "tile", [{"tile_id": "T", "path": p}])
+
+    outs = {}
+    for name, mesh in (("single", None), ("mesh", "4")):
+        cfg = SweepConfig(
+            indices=idx, codec=create("j2k"), codec_label="j2k",
+            outdir=tmp_path / f"runs_{name}", rate_key="quality",
+            rates=[20], reps=1, mesh=mesh)
+        run_sweep(cfg)
+        d = tmp_path / f"runs_{name}" / "T" / "quality_20" / "rep_01"
+        outs[name] = d
+    files = sorted(q.name for q in outs["single"].iterdir())
+    assert files == sorted(q.name for q in outs["mesh"].iterdir())
+    assert "recon.tif" in files
+    assert any(f.startswith("recon_ERR8_0_") for f in files)
+    for f in files:
+        assert (outs["single"] / f).read_bytes() == \
+            (outs["mesh"] / f).read_bytes(), f

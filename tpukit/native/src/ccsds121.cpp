@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#include <immintrin.h>
 #include "bitio.hpp"
 
 using namespace tpukit;
@@ -90,6 +91,27 @@ inline uint32_t unmap_residual(uint32_t d, uint32_t pred, uint32_t xmax) {
 // function is unimodal in k (Kiely, IPN PR 42-159), so this finds the
 // minimum; on ties the first-evaluated k wins, which is why the search
 // *order* (and the carried k state) matters for bit-exactness.
+// sum of (d[i] >> k) over the coded samples; SSE2 for the standard J=8
+// block (sums fit 32 bits: 8 samples of <= 2^17 each)
+static inline uint64_t fs_len_at(const uint32_t* d, int start, int J,
+                                 int k) {
+    if (J == 8) {
+        const __m128i sh = _mm_cvtsi32_si128(k);
+        __m128i a = _mm_srl_epi32(_mm_loadu_si128((const __m128i*)d), sh);
+        __m128i b = _mm_srl_epi32(_mm_loadu_si128((const __m128i*)(d + 4)),
+                                  sh);
+        if (start == 1)
+            a = _mm_and_si128(a, _mm_setr_epi32(0, -1, -1, -1));
+        __m128i s = _mm_add_epi32(a, b);
+        s = _mm_add_epi32(s, _mm_srli_si128(s, 8));
+        s = _mm_add_epi32(s, _mm_srli_si128(s, 4));
+        return (uint32_t)_mm_cvtsi128_si32(s);
+    }
+    uint64_t f = 0;
+    for (int i = start; i < J; ++i) f += d[i] >> k;
+    return f;
+}
+
 static int assess_split(const uint32_t* d, int start, int J, int kmax,
                         int& k_state, uint64_t& out_len) {
     const int this_bs = J - start;
@@ -99,8 +121,7 @@ static int assess_split(const uint32_t* d, int start, int J, int kmax,
     bool no_turn = (k == 0);
     bool dir = true;  // increasing k
     for (;;) {
-        uint64_t fs_len = 0;
-        for (int i = start; i < J; ++i) fs_len += d[i] >> k;
+        uint64_t fs_len = fs_len_at(d, start, J, k);
         uint64_t len = fs_len + (uint64_t)this_bs * (k + 1);
         if (len < len_min) {
             if (len_min != UINT64_MAX) no_turn = true;
@@ -179,9 +200,34 @@ void emit_block(BitWriter& bw, const uint32_t* d, const Params& p, bool ref,
         int k = best_k;
         bw.put_bits((uint64_t)(k + 1), p.id_len);
         if (ref) bw.put_bits(d[0], p.bits);
-        for (int i = start; i < J; ++i) bw.put_fs(d[i] >> k);
-        if (k > 0)
-            for (int i = start; i < J; ++i) bw.put_bits(d[i] & ((1u << k) - 1), k);
+        // batch the FS codes (z zeros + a 1) into <= 56-bit words
+        {
+            uint64_t acc = 0;
+            int nb = 0;
+            for (int i = start; i < J; ++i) {
+                uint32_t z = d[i] >> k;
+                if (nb + (int64_t)z + 1 > 56) {
+                    if (nb) { bw.put_bits(acc, nb); acc = 0; nb = 0; }
+                    if (z + 1 > 56) { bw.put_fs(z); continue; }
+                }
+                acc = (acc << (z + 1)) | 1;
+                nb += (int)z + 1;
+            }
+            if (nb) bw.put_bits(acc, nb);
+        }
+        if (k > 0) {
+            // batch the split LSB fields the same way
+            const uint32_t mk = (1u << k) - 1;
+            const int per = 56 / k;
+            int i = start;
+            while (i < J) {
+                int g = J - i < per ? J - i : per;
+                uint64_t v = 0;
+                for (int j = 0; j < g; ++j, ++i)
+                    v = (v << k) | (d[i] & mk);
+                bw.put_bits(v, g * k);
+            }
+        }
     } else {
         // no compression: ID all-ones + the J preprocessed samples
         // (slot 0 holds the raw reference in ref blocks), n bits each
