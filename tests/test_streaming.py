@@ -266,3 +266,37 @@ def test_bounded_rss_scene_sweep(tmp_path, rng):
     delta_mb = (peak - rss0) / (1 << 20)
     # cube alone is 160 MB; whole-cube sweep needs >= 950 MB of deltas.
     assert delta_mb < 450, f"RSS delta {delta_mb:.0f} MB — not bounded"
+
+
+def test_streamed_partial_resume_no_reencode(tmp_path, rng):
+    """Partial resume: a rep whose recon exists must NOT be re-encoded or
+    have fresh strip bitstreams written into its reused run_dir; reps that
+    are missing still run and produce correct rows."""
+    cube, item = _make_scene(tmp_path, rng, "PR", B=2, H=768, W=128,
+                             mask=False)
+    idx = tmp_path / "idx.json"
+    write_manifest(idx, "caseA", "scene", [item])
+    codec = lambda: create("ccsds121", tile=256)
+
+    # full run with 1 rep seeds rep_01 (artifacts + bitstreams)
+    run_sweep(_cfg(idx, tmp_path / "out", codec(), stream_rows=256,
+                   keep_bitstream=True))
+    d1 = tmp_path / "out" / "PR" / "norate" / "rep_01"
+    bits_before = sorted(p.name for p in (d1 / "bit").rglob("*"))
+    mtime_before = (d1 / "recon.tif").stat().st_mtime_ns
+
+    # resume with 2 reps: rep_01 reused untouched, rep_02 fresh
+    res = run_sweep(_cfg(idx, tmp_path / "out", codec(), stream_rows=256,
+                         keep_bitstream=True, reps=2))
+    assert sorted(p.name for p in (d1 / "bit").rglob("*")) == bits_before
+    assert (d1 / "recon.tif").stat().st_mtime_ns == mtime_before
+    rows = res["rows"]
+    assert len(rows) == 2
+    assert rows[0]["t_wrap_s"] == 0.0          # reused rep: zeroed timing
+    assert rows[1]["t_wrap_s"] > 0.0           # fresh rep actually ran
+    for r in rows:
+        assert r["lossless"] == 1
+        assert r["bitstream_bytes"] == rows[0]["bitstream_bytes"]
+    d2 = tmp_path / "out" / "PR" / "norate" / "rep_02"
+    with tiff.open(d2 / "recon.tif") as ds2:
+        np.testing.assert_array_equal(ds2.read(), cube)

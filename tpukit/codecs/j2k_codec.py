@@ -133,42 +133,23 @@ def _device_recon(qc: jax.Array, scale_map: jax.Array, base: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("levels", "H0", "W0", "lo", "hi", "dtype"))
-def _device_requant_recon(coefs: jax.Array, inv_scale_map: jax.Array,
-                          scale_map: jax.Array, inv_base: jax.Array,
-                          base: jax.Array, levels: int, H0: int, W0: int,
-                          lo: int, hi: int, dtype: str):
-    """Quantize + dequantize + inverse 9/7 DWT from the DEVICE-resident
-    coefficients — the sweep's per-quality path with ZERO host↔device
-    coefficient traffic (the reference reruns the whole codec per rate
-    point through files, run_codec.py:472-495; round-1 tpukit still
-    uploaded the quantized cube per point).
-
-    The quantizer is ``trunc(c * inv_step)`` — a single IEEE f32 multiply,
-    bit-identical between host numpy and XLA on any IEEE-compliant backend
-    (f32 *division* is not guaranteed correctly-rounded on TPU, so the
-    steps are inverted once on host and multiplied here). Two wraparound
-    int32 checksums of the quantized cube come back with the recon so the
-    caller can assert the host coder saw EXACTLY these coefficients."""
-    inv_steps = inv_scale_map * inv_base
-    qc = jnp.trunc(coefs * inv_steps[None]).astype(jnp.int32)
-    s1 = jnp.sum(qc, dtype=jnp.int32)
-    s2 = jnp.sum(qc * qc, dtype=jnp.int32)
-    steps = scale_map * base
-    qf = qc.astype(jnp.float32)
-    deq = jnp.where(qc != 0, (qf + jnp.sign(qf) * 0.5) * steps[None], 0.0)
-    rec = dwtk.idwt2(deq, "97", levels)
-    recon = jnp.clip(jnp.rint(rec[:, :H0, :W0]), lo, hi).astype(dtype)
-    return recon, s1, s2
-
-
-@partial(jax.jit, static_argnames=("levels", "H0", "W0", "lo", "hi", "dtype"))
 def _device_requant_recon_ladder(coefs: jax.Array, inv_scale_map: jax.Array,
                                  scale_map: jax.Array, inv_bases: jax.Array,
                                  bases: jax.Array, levels: int, H0: int,
                                  W0: int, lo: int, hi: int, dtype: str):
-    """_device_requant_recon vmapped over the whole quality ladder: ONE
-    dispatch builds every rate point's reconstruction (84 per-point
-    dispatches cost a device round-trip each on a remote attachment)."""
+    """Quantize + dequantize + inverse 9/7 DWT from the DEVICE-resident
+    coefficients, vmapped over the whole quality ladder: ONE dispatch
+    builds every rate point's reconstruction with ZERO host<->device
+    coefficient traffic (the reference reruns the whole codec per rate
+    point through files, run_codec.py:472-495).
+
+    The quantizer is ``trunc(c * inv_step)`` — a single IEEE f32 multiply,
+    bit-identical between host numpy, the fused native coder
+    (bpc_encode_quant), and XLA on any IEEE-compliant backend (f32
+    *division* is not guaranteed correctly-rounded on TPU, so the steps
+    are inverted once on host and multiplied here). Two wraparound int32
+    checksums per point come back with the recons so the caller can assert
+    the host coder saw EXACTLY these coefficients."""
     def one(inv_base, base):
         inv_steps = inv_scale_map * inv_base
         qc = jnp.trunc(coefs * inv_steps[None]).astype(jnp.int32)
@@ -514,7 +495,7 @@ class J2KCodec(Codec):
                 steps = scale_host * np.float32(base)
                 # deadzone quantizer: trunc(c * inv_step) — one IEEE f32
                 # multiply, identical on host and device (see
-                # _device_requant_recon)
+                # _device_requant_recon_ladder)
                 inv_steps = (np.float32(1.0) / scale_host) * \
                     (np.float32(1.0) / np.float32(base))
                 coefs = np.asarray(coefs_dev)

@@ -326,6 +326,12 @@ class JP2Decoder:
         self.xsiz, self.ysiz, self.xosiz, self.yosiz = xs, ys, xo, yo
         self.xtsiz, self.ytsiz, self.xtosiz, self.ytosiz = xt, yt, xto, yto
         self.ncomp = nc
+        if nc != 1:
+            # packet iteration below has no component position, so a
+            # multi-component stream would silently mis-assign packets;
+            # the target products (Sentinel-2 band files) are 1-component
+            raise NotImplementedError(
+                f"multi-component codestreams not supported (ncomp={nc})")
         self.ssiz = []
         self.subs = []
         off = 36

@@ -38,7 +38,9 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#if defined(__SSE2__) || defined(__AVX2__)
 #include <immintrin.h>
+#endif
 #include "bitio.hpp"
 
 using namespace tpukit;
@@ -106,16 +108,26 @@ static int64_t encode_body(const int32_t* coef, int64_t n, uint8_t* out,
 
     for (int p = nplanes - 1; p >= 0 && !bw.overflow; --p) {
         size_t n_sig_before = sig_mag.size();
+#ifdef __SSE2__
         const __m128i pv = _mm_set1_epi8((char)p);
+#endif
         int64_t zrun = 0;                    // pending zero bits
         // significance pass (group-gated, SIMD member test)
         for (int64_t g = 0; g < ngroups; ++g) {
             if (topg[g] < p) { ++zrun; continue; }   // inactive gate: 0
             const uint16_t mask = rem[g];
+#ifdef __SSE2__
             const __m128i mv = _mm_loadu_si128(
                 (const __m128i*)&msb8[(size_t)g * GROUP]);
             const uint32_t hit =
                 (uint32_t)_mm_movemask_epi8(_mm_cmpeq_epi8(mv, pv)) & mask;
+#else
+            uint32_t hit = 0;
+            for (int j = 0; j < GROUP; ++j)
+                hit |= (uint32_t)(msb8[(size_t)g * GROUP + j] == (int8_t)p)
+                       << j;
+            hit &= mask;
+#endif
             if (hit == 0) {
                 // active group, nothing becomes significant on this plane
                 // (gate 1 never coincides with hit==0: the max member hits
@@ -151,6 +163,7 @@ static int64_t encode_body(const int32_t* coef, int64_t n, uint8_t* out,
         {
             const uint32_t* sm = sig_mag.data();
             size_t s = 0;
+#ifdef __AVX2__
             const int sh = 31 - p;
             while (s + 48 <= n_sig_before && !bw.overflow) {
                 uint64_t acc = 0;
@@ -164,6 +177,7 @@ static int64_t encode_body(const int32_t* coef, int64_t n, uint8_t* out,
                 bw.put_bits(acc, 48);
                 s += 48;
             }
+#endif
             uint64_t acc = 0;
             int nb = 0;
             for (; s < n_sig_before && !bw.overflow; ++s) {
@@ -192,13 +206,15 @@ extern "C" int64_t bpc_encode_quant(const float* coefs,
                                     const float* inv_steps, float inv_base,
                                     int32_t* qc, int64_t n, uint8_t* out,
                                     int64_t out_cap, int64_t max_bytes) {
-    const __m256 ib = _mm256_set1_ps(inv_base);
     int64_t i = 0;
+#ifdef __AVX2__
+    const __m256 ib = _mm256_set1_ps(inv_base);
     for (; i + 8 <= n; i += 8) {
         __m256 s = _mm256_mul_ps(_mm256_loadu_ps(inv_steps + i), ib);
         __m256 c = _mm256_mul_ps(_mm256_loadu_ps(coefs + i), s);
         _mm256_storeu_si256((__m256i*)(qc + i), _mm256_cvttps_epi32(c));
     }
+#endif
     for (; i < n; ++i) {
         float s = inv_steps[i] * inv_base;
         qc[i] = (int32_t)(coefs[i] * s);
@@ -310,9 +326,11 @@ extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
         // refinement pass: linear over the dense magnitudes, AVX2-applied
         // 8 bits per step where the window allows
         uint32_t* sm = sig_mag.data();
+#ifdef __AVX2__
         const __m256i sel = _mm256_setr_epi32(0x80, 0x40, 0x20, 0x10,
                                               8, 4, 2, 1);
         const __m256i bitp = _mm256_set1_epi32((int)(1u << p));
+#endif
         size_t s = 0;
         while (s < n_sig_before && !br.error) {
             br.refill();
@@ -322,6 +340,7 @@ extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
             if (take >= 8 || (size_t)take == left) {
                 uint64_t w = br.window;
                 int t = 0;
+#ifdef __AVX2__
                 for (; t + 8 <= take; t += 8, s += 8) {
                     __m256i bits = _mm256_set1_epi32((int)(w >> 56));
                     w <<= 8;
@@ -332,6 +351,7 @@ extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
                         (__m256i*)(sm + s),
                         _mm256_or_si256(cur, _mm256_and_si256(on, bitp)));
                 }
+#endif
                 for (; t < take; ++t, ++s) {
                     if (w >> 63) sm[s] |= 1u << p;
                     w <<= 1;

@@ -15,7 +15,9 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#ifdef __SSE2__
 #include <immintrin.h>
+#endif
 #include "bitio.hpp"
 
 using namespace tpukit;
@@ -95,6 +97,7 @@ inline uint32_t unmap_residual(uint32_t d, uint32_t pred, uint32_t xmax) {
 // block (sums fit 32 bits: 8 samples of <= 2^17 each)
 static inline uint64_t fs_len_at(const uint32_t* d, int start, int J,
                                  int k) {
+#ifdef __SSE2__
     if (J == 8) {
         const __m128i sh = _mm_cvtsi32_si128(k);
         __m128i a = _mm_srl_epi32(_mm_loadu_si128((const __m128i*)d), sh);
@@ -107,6 +110,7 @@ static inline uint64_t fs_len_at(const uint32_t* d, int start, int J,
         s = _mm_add_epi32(s, _mm_srli_si128(s, 4));
         return (uint32_t)_mm_cvtsi128_si32(s);
     }
+#endif
     uint64_t f = 0;
     for (int i = start; i < J; ++i) f += d[i] >> k;
     return f;
@@ -442,10 +446,13 @@ static int64_t decode_stream(BitReader& br, const Params& p,
                 if (fs == 4) run = SEGMENT_BLOCKS - seg_pos;  // ROS
                 else if (fs < 4) run = (int)fs + 1;
                 else run = (int)fs;
-                // runs never cross an RSI boundary (encoder flushes there)
+                // runs never cross an RSI boundary (encoder flushes
+                // there); also clamp to the remaining blocks so a corrupt
+                // or truncated stream cannot run the fill past `out`
                 {
                     int to_rsi_end = p.rsi - (int)(b % p.rsi);
                     if (run > to_rsi_end) run = to_rsi_end;
+                    if ((int64_t)run > nblocks - b) run = (int)(nblocks - b);
                 }
                 for (int i = 0; i < J; ++i) d[i] = 0;
                 if (ref) d[0] = zref;

@@ -106,8 +106,8 @@ struct MQDec {
 
 // raw (bypass) bit reader with 0xFF stuffing (T.800 D.4.3)
 struct RawDec {
-    const uint8_t* bp;
-    const uint8_t* end;
+    const uint8_t* bp = nullptr;
+    const uint8_t* end = nullptr;
     uint8_t cbyte = 0;
     int ct = 0;
     bool last_ff = false;

@@ -296,6 +296,41 @@ def _link_tree(src: Path, dst: Path):
                 shutil.copyfile(p, q)
 
 
+def build_csv_row(*, case_name, asset_name, codec_label, rk, r, tile_id,
+                  W: int, H: int, B: int, container_bytes: int,
+                  raw16_bytes: int, link, t_wrap: float, meta: Dict,
+                  bs_bytes, met: Dict) -> Dict[str, object]:
+    """One metrics.csv row from a finished (tile, rate, rep) job — shared
+    by the batched and streaming paths (schema: reference
+    run_codec.py:568-585)."""
+    row: Dict[str, object] = {
+        "case": case_name, "asset": asset_name,
+        "codec": codec_label,
+        "rate_key": (rk or ""),
+        "rate_value": ("" if rk is None else r),
+        "tile_id": tile_id,
+        "width": W, "height": H, "bands": B,
+        "in_bytes": container_bytes,
+        "link_mbps": link.mbps, "link_eff": link.eff,
+        "t_wrap_s": t_wrap,
+    }
+    for k in ("bitstream_bytes", "cr", "bpp", "t_comp_s",
+              "t_dec_s", "mem_comp_peak_mb", "mem_dec_peak_mb",
+              "encoder", "nearlossless_eps", "near",
+              "mem_comp_peak_bytes", "mem_dec_peak_bytes"):
+        if k in meta and meta[k] is not None:
+            row[k] = meta[k]
+    if bs_bytes and bs_bytes > 0:
+        row["bitstream_bytes"] = int(bs_bytes)
+        row["bpp"] = (bs_bytes * 8.0) / (W * H * B)
+        row["cr"] = raw16_bytes / bs_bytes
+        row["t_link_tile_s"] = link.t_link_s(bs_bytes)
+        row["t_e2e_tile_s"] = link.t_e2e_s(
+            bs_bytes, meta.get("t_comp_s"), meta.get("t_dec_s"), t_wrap)
+    row.update(met)
+    return row
+
+
 def _write_artifacts_phase(cfg: "SweepConfig", jobs: Dict[tuple, "_Job"],
                            lanes: List[object], lane_art, ql_caps: List[int],
                            *, cube: np.ndarray, geo, nodata, has_nodata: bool,
@@ -691,37 +726,14 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
         for ri, r in enumerate(rates):
             for rep in range(cfg.reps):
                 job = jobs[(ri, rep)]
-                met = met_rows[job.met_index]
-                meta = job.meta
-                row: Dict[str, object] = {
-                    "case": case_name, "asset": asset_name,
-                    "codec": cfg.codec_label,
-                    "rate_key": (rk or ""),
-                    "rate_value": ("" if rk is None else r),
-                    "tile_id": tile_id,
-                    "width": W, "height": H, "bands": B,
-                    "in_bytes": container_bytes,
-                    "link_mbps": link.mbps, "link_eff": link.eff,
-                    "t_wrap_s": job.t_wrap,
-                }
-                for k in ("bitstream_bytes", "cr", "bpp", "t_comp_s",
-                          "t_dec_s", "mem_comp_peak_mb", "mem_dec_peak_mb",
-                          "encoder", "nearlossless_eps", "near",
-                          "mem_comp_peak_bytes", "mem_dec_peak_bytes"):
-                    if k in meta and meta[k] is not None:
-                        row[k] = meta[k]
-                bs_bytes = job.bs_bytes
-                if bs_bytes and bs_bytes > 0:
-                    row["bitstream_bytes"] = int(bs_bytes)
-                    row["bpp"] = (bs_bytes * 8.0) / (W * H * B)
-                    row["cr"] = raw16_bytes / bs_bytes
-                    t_link = link.t_link_s(bs_bytes)
-                    row["t_link_tile_s"] = t_link
-                    row["t_e2e_tile_s"] = link.t_e2e_s(
-                        bs_bytes, meta.get("t_comp_s"), meta.get("t_dec_s"),
-                        job.t_wrap)
-                row.update(met)
-                rows.append(row)
+                rows.append(build_csv_row(
+                    case_name=case_name, asset_name=asset_name,
+                    codec_label=cfg.codec_label, rk=rk, r=r,
+                    tile_id=tile_id, W=W, H=H, B=B,
+                    container_bytes=container_bytes,
+                    raw16_bytes=raw16_bytes, link=link, t_wrap=job.t_wrap,
+                    meta=job.meta, bs_bytes=job.bs_bytes,
+                    met=met_rows[job.met_index]))
         ds.close()
 
     metrics_csv = csvio.write_metrics_csv(outdir / "metrics.csv", rows,

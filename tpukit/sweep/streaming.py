@@ -138,7 +138,7 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
     from tpukit.metrics.spectral import (merge_spectral_stats,
                                          spectral_stats_strip)
     from tpukit.sweep.proc import MemorySampler
-    from tpukit.sweep.runner import rate_slug
+    from tpukit.sweep.runner import build_csv_row, rate_slug
 
     outdir = Path(cfg.outdir).resolve()
     tile_id = item["tile_id"]
@@ -203,8 +203,18 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
 
     fresh_ri = sorted({job["ri"] for job in jobs.values()
                        if not job["reused"]})
-    specs = [RateSpec.of(rk, rates[ri]) for ri in fresh_ri]
+    # last rep in which each rate runs fresh: that run feeds the rate's
+    # shared metric lane (recons are rep-invariant for these codecs)
+    metric_rep_ri = {ri: max(rep for rep in range(cfg.reps)
+                             if not jobs[(ri, rep)]["reused"])
+                     for ri in fresh_ri}
     rscan = RangeScan(dtype_name)
+
+    # TIFF strips must tile the codec's write blocks
+    strip_rps = min(512, rows_blk)
+    if rows_blk % strip_rps:
+        t = int(getattr(cfg.codec, "tile", 0) or 0)
+        strip_rps = t if t and rows_blk % t == 0 else rows_blk
 
     # per-rep codec execution (timing fidelity: the codec re-runs per rep,
     # reference run_codec.py:472-495); metrics accumulate on one pass — the
@@ -216,11 +226,19 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
     metric_rep = fresh_reps[-1] if fresh_reps else cfg.reps - 1
 
     for rep in range(cfg.reps):
-        rep_jobs = [jobs[(ri, rep)] for ri in fresh_ri
-                    if (ri, rep) in jobs and not jobs[(ri, rep)]["reused"]]
+        # only the rates whose job is fresh in THIS rep run the codec (a
+        # rate resumed for this rep must not be re-encoded into its reused
+        # run_dir)
+        rep_ri = [ri for ri in fresh_ri if not jobs[(ri, rep)]["reused"]]
+        rep_specs = [RateSpec.of(rk, rates[ri]) for ri in rep_ri]
+        rep_jobs = [jobs[(ri, rep)] for ri in rep_ri]
         if not rep_jobs and rep != metric_rep:
             continue
         is_metric_rep = rep == metric_rep
+        # strips/masks go to the device when the resumed lanes accumulate
+        # (metric_rep) or any fresh rate's metric lane fills in this rep
+        needs_metrics = is_metric_rep or any(
+            metric_rep_ri[ri] == rep for ri in rep_ri)
         writers: Dict[int, tiff.StripWriter] = {}
         if cfg.write_artifacts:
             for job in rep_jobs:
@@ -228,12 +246,12 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
                 writers[job["ri"]] = tiff.StripWriter(
                     job["run_dir"] / "recon.tif", count=B, height=H,
                     width=W, dtype=np.dtype(dtype_name),
-                    rows_per_strip=min(512, rows_blk), nodata=nodata,
+                    rows_per_strip=strip_rps, nodata=nodata,
                     descriptions=descriptions, geo=geo,
                     with_mask=getattr(cfg.codec, "mask_passthrough", False))
-        sum_b: Dict[int, int] = {ri: 0 for ri in fresh_ri}
-        sum_t: Dict[int, List[float]] = {ri: [0.0, 0.0] for ri in fresh_ri}
-        sum_skip: Dict[int, int] = {ri: 0 for ri in fresh_ri}
+        sum_b: Dict[int, int] = {ri: 0 for ri in rep_ri}
+        sum_t: Dict[int, List[float]] = {ri: [0.0, 0.0] for ri in rep_ri}
+        sum_skip: Dict[int, int] = {ri: 0 for ri in rep_ri}
         with MemorySampler() as ms:
             for si, (y0, rows) in enumerate(strips):
                 win = tiff.Window(col_off=0, row_off=y0, width=W,
@@ -247,12 +265,12 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
                 ctx.setdefault("dataset_mask", src_mask_w)
                 if rep_jobs:
                     results = cfg.codec.sweep_rates(
-                        block, dtype_name, specs,
+                        block, dtype_name, rep_specs,
                         keep_bitstream=cfg.keep_bitstream, **ctx)
                 else:
                     results = []
                 # strip-local masks (reference run_codec.py:249-263)
-                if is_metric_rep:
+                if needs_metrics:
                     vm_base = src_mask_w > 0
                     if has_nodata:
                         vm_base = vm_base & np.all(block != nodata, axis=0)
@@ -263,7 +281,7 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
                     sam_vm = user_w if user_w is not None else (src_mask_w > 0)
                     block_dev = jnp.asarray(block)
 
-                for ri, res in zip(fresh_ri, results):
+                for ri, res in zip(rep_ri, results):
                     sum_b[ri] += res.bitstream_bytes
                     sum_t[ri][0] += res.t_comp_s
                     sum_t[ri][1] += res.t_dec_s
@@ -281,7 +299,7 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
                         bit_dir.mkdir(parents=True, exist_ok=True)
                         for name, data in res.bitstreams.items():
                             (bit_dir / f"s{y0:06d}_{name}").write_bytes(data)
-                    if is_metric_rep:
+                    if metric_rep_ri[ri] == rep:
                         _acc_lane_strip(
                             jnp, quality_stats_dual, spectral_stats_strip,
                             lanes[("fresh", ri)]["acc"], block_dev, block,
@@ -298,13 +316,13 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
                             jnp, quality_stats_dual, spectral_stats_strip,
                             lane["acc"], block_dev, block, recon, vm_base,
                             sam_vm, nodata, has_nodata, is_caseb)
-            if is_metric_rep and is_caseb:
+            if is_caseb:
+                # settle any lane whose accumulation ended this rep (a
+                # lane with nothing pending is a no-op)
                 for lane in lanes.values():
                     _spectral_flush(jnp, spectral_stats_strip,
                                     lane["acc"], None, None)
-        for ri in fresh_ri:
-            if not rep_jobs:
-                continue
+        for ri in rep_ri:
             job = jobs.get((ri, rep))
             if job is not None and not job["reused"]:
                 meta = dict(per_ri_meta[ri])
@@ -351,35 +369,13 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
     for ri, r in enumerate(rates):
         for rep in range(cfg.reps):
             job = jobs[(ri, rep)]
-            meta = job["meta"]
-            row: Dict[str, object] = {
-                "case": case_name, "asset": asset_name,
-                "codec": cfg.codec_label,
-                "rate_key": (rk or ""),
-                "rate_value": ("" if rk is None else r),
-                "tile_id": tile_id,
-                "width": W, "height": H, "bands": B,
-                "in_bytes": container_bytes,
-                "link_mbps": link.mbps, "link_eff": link.eff,
-                "t_wrap_s": job["t_wrap"],
-            }
-            for k in ("bitstream_bytes", "cr", "bpp", "t_comp_s",
-                      "t_dec_s", "mem_comp_peak_mb", "mem_dec_peak_mb",
-                      "encoder", "nearlossless_eps", "near",
-                      "mem_comp_peak_bytes", "mem_dec_peak_bytes"):
-                if k in meta and meta[k] is not None:
-                    row[k] = meta[k]
-            bs_bytes = job["bs_bytes"]
-            if bs_bytes and bs_bytes > 0:
-                row["bitstream_bytes"] = int(bs_bytes)
-                row["bpp"] = (bs_bytes * 8.0) / (W * H * B)
-                row["cr"] = raw16_bytes / bs_bytes
-                row["t_link_tile_s"] = link.t_link_s(bs_bytes)
-                row["t_e2e_tile_s"] = link.t_e2e_s(
-                    bs_bytes, meta.get("t_comp_s"), meta.get("t_dec_s"),
-                    job["t_wrap"])
-            row.update(lane_met[job["lane"]])
-            rows_out.append(row)
+            rows_out.append(build_csv_row(
+                case_name=case_name, asset_name=asset_name,
+                codec_label=cfg.codec_label, rk=rk, r=r, tile_id=tile_id,
+                W=W, H=H, B=B, container_bytes=container_bytes,
+                raw16_bytes=raw16_bytes, link=link, t_wrap=job["t_wrap"],
+                meta=job["meta"], bs_bytes=job["bs_bytes"],
+                met=lane_met[job["lane"]]))
     return rows_out
 
 
