@@ -212,3 +212,36 @@ def test_mesh_sweep_artifacts_match_single_device(tmp_path, rng):
     for f in files:
         assert (outs["single"] / f).read_bytes() == \
             (outs["mesh"] / f).read_bytes(), f
+
+
+def test_sweep_rows_match_caseb_spectral_dp1_vs_dp8(tmp_path, rng):
+    """--mesh on a Case B sweep: the sharded SAM/SID/LMSE ladder matches
+    dp=1 to f32 reduction tolerance (sharding reassociates the sums), with
+    exact agreement on sizes/flags."""
+    from tpukit.codecs.registry import create
+    from tpukit.io import tiff, write_manifest
+    from tpukit.sweep.runner import SweepConfig, run_sweep
+
+    base = rng.integers(300, 3000, (24, 24)).astype(np.int32)
+    cube = np.clip(base[None] + rng.integers(-80, 80, (8, 24, 24)),
+                   -8192, 8191).astype(np.int16)
+    p = tmp_path / "tb.tif"
+    tiff.write_geotiff(p, cube)
+    idx = tmp_path / "index.json"
+    write_manifest(idx, "caseB", "tile", [{"tile_id": "T", "path": p}])
+
+    rowsets = {}
+    for name, mesh in (("dp1", "1"), ("dp4sp2", "4,2")):
+        cfg = SweepConfig(
+            indices=idx, codec=create("j2k"), codec_label="j2k",
+            outdir=tmp_path / f"runs_{name}", rate_key="quality",
+            rates=[15, 60], reps=2, write_artifacts=False,
+            quicklooks=False, mesh=mesh)
+        rowsets[name] = run_sweep(cfg)["rows"]
+
+    for a, b in zip(rowsets["dp1"], rowsets["dp4sp2"]):
+        assert np.isfinite(a["sam_deg"]) and a["sam_deg"] > 0
+        for k in ("bitstream_bytes", "lossless", "max_abs_err", "bpp", "cr"):
+            assert a[k] == b[k], k
+        for k in ("psnr_global", "ssim_global", "sam_deg", "sid", "lmse"):
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-4, err_msg=k)
