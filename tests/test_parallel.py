@@ -214,10 +214,10 @@ def test_mesh_sweep_artifacts_match_single_device(tmp_path, rng):
             (outs["mesh"] / f).read_bytes(), f
 
 
-def test_sweep_rows_match_caseb_spectral_dp1_vs_dp8(tmp_path, rng):
-    """--mesh on a Case B sweep: the sharded SAM/SID/LMSE ladder matches
-    dp=1 to f32 reduction tolerance (sharding reassociates the sums), with
-    exact agreement on sizes/flags."""
+def test_sweep_rows_match_caseb_spectral_single_vs_mesh(tmp_path, rng):
+    """--mesh on a Case B sweep: the dp=4,sp=2-sharded SAM/SID/LMSE
+    ladder matches dp=1 to f32 reduction tolerance (sharding reassociates
+    the sums), with exact agreement on sizes/flags."""
     from tpukit.codecs.registry import create
     from tpukit.io import tiff, write_manifest
     from tpukit.sweep.runner import SweepConfig, run_sweep

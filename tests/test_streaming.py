@@ -282,13 +282,16 @@ def test_streamed_partial_resume_no_reencode(tmp_path, rng):
     run_sweep(_cfg(idx, tmp_path / "out", codec(), stream_rows=256,
                    keep_bitstream=True))
     d1 = tmp_path / "out" / "PR" / "norate" / "rep_01"
-    bits_before = sorted(p.name for p in (d1 / "bit").rglob("*"))
+    bits_before = sorted((p.name, p.stat().st_mtime_ns)
+                         for p in (d1 / "bit").rglob("*"))
     mtime_before = (d1 / "recon.tif").stat().st_mtime_ns
 
-    # resume with 2 reps: rep_01 reused untouched, rep_02 fresh
+    # resume with 2 reps: rep_01 reused untouched (names AND mtimes —
+    # byte-identical rewrites must not happen either), rep_02 fresh
     res = run_sweep(_cfg(idx, tmp_path / "out", codec(), stream_rows=256,
                          keep_bitstream=True, reps=2))
-    assert sorted(p.name for p in (d1 / "bit").rglob("*")) == bits_before
+    assert sorted((p.name, p.stat().st_mtime_ns)
+                  for p in (d1 / "bit").rglob("*")) == bits_before
     assert (d1 / "recon.tif").stat().st_mtime_ns == mtime_before
     rows = res["rows"]
     assert len(rows) == 2

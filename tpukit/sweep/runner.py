@@ -388,7 +388,11 @@ def _write_artifacts_phase(cfg: "SweepConfig", jobs: Dict[tuple, "_Job"],
                 # validity-mask passthrough (ccsds123_wrap.py:279-283)
                 mask=(src_mask if mask_passthrough else None))
             if cfg.keep_bitstream and job.bitstreams:
+                import shutil
                 bit_dir = run_dir / "bit"
+                # fresh encode owns the dir: drop stale files from an
+                # interrupted earlier run so resume's byte sum stays exact
+                shutil.rmtree(bit_dir, ignore_errors=True)
                 bit_dir.mkdir(parents=True, exist_ok=True)
                 for name, data in job.bitstreams.items():
                     (bit_dir / name).write_bytes(data)

@@ -240,6 +240,14 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
         needs_metrics = is_metric_rep or any(
             metric_rep_ri[ri] == rep for ri in rep_ri)
         writers: Dict[int, tiff.StripWriter] = {}
+        if cfg.keep_bitstream:
+            # a fresh (re-)encode owns its bit/ dir: clear strip files left
+            # by an interrupted earlier run (possibly on a different strip
+            # grid) so the dir stays a valid stream concatenation and
+            # resume's recursive byte sum stays exact
+            import shutil
+            for job in rep_jobs:
+                shutil.rmtree(job["run_dir"] / "bit", ignore_errors=True)
         if cfg.write_artifacts:
             for job in rep_jobs:
                 job["run_dir"].mkdir(parents=True, exist_ok=True)
@@ -310,8 +318,10 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
                     for key, lane in lanes.items():
                         if lane["src"] is None:
                             continue
-                        with tiff.open(lane["src"]) as rds:
-                            recon = rds.read(window=win)
+                        rds = lane.get("ds")
+                        if rds is None:
+                            rds = lane["ds"] = tiff.open(lane["src"])
+                        recon = rds.read(window=win)
                         _acc_lane_strip(
                             jnp, quality_stats_dual, spectral_stats_strip,
                             lane["acc"], block_dev, block, recon, vm_base,
@@ -322,30 +332,32 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
                 for lane in lanes.values():
                     _spectral_flush(jnp, spectral_stats_strip,
                                     lane["acc"], None, None)
-        for ri in rep_ri:
-            job = jobs.get((ri, rep))
-            if job is not None and not job["reused"]:
-                meta = dict(per_ri_meta[ri])
-                meta["bitstream_bytes"] = sum_b[ri]
-                meta["t_comp_s"] = sum_t[ri][0]
-                meta["t_dec_s"] = sum_t[ri][1]
-                meta["mem_comp_peak_bytes"] = ms.phase_peak_bytes("comp")
-                meta["mem_dec_peak_bytes"] = ms.phase_peak_bytes("dec")
-                mib = lambda x: None if not x else round(x / (1 << 20), 2)
-                meta["mem_comp_peak_mb"] = mib(meta["mem_comp_peak_bytes"])
-                meta["mem_dec_peak_mb"] = mib(meta["mem_dec_peak_bytes"])
-                if "bpp_effective_total" in meta:
-                    bpp = sum_b[ri] * 8.0 / max(W * H, 1)
-                    meta["bpp_effective_total"] = float(bpp)
-                    meta["bpp_effective_per_band"] = float(bpp / max(B, 1))
-                if "tiles_skipped_nodata" in meta:
-                    meta["tiles_skipped_nodata"] = sum_skip[ri]
-                job["meta"] = meta
-                job["t_wrap"] = sum_t[ri][0] + sum_t[ri][1]
-                job["bs_bytes"] = sum_b[ri]
+        for ri in rep_ri:   # every rep_ri job is fresh in this rep
+            job = jobs[(ri, rep)]
+            meta = dict(per_ri_meta[ri])
+            meta["bitstream_bytes"] = sum_b[ri]
+            meta["t_comp_s"] = sum_t[ri][0]
+            meta["t_dec_s"] = sum_t[ri][1]
+            meta["mem_comp_peak_bytes"] = ms.phase_peak_bytes("comp")
+            meta["mem_dec_peak_bytes"] = ms.phase_peak_bytes("dec")
+            mib = lambda x: None if not x else round(x / (1 << 20), 2)
+            meta["mem_comp_peak_mb"] = mib(meta["mem_comp_peak_bytes"])
+            meta["mem_dec_peak_mb"] = mib(meta["mem_dec_peak_bytes"])
+            if "bpp_effective_total" in meta:
+                bpp = sum_b[ri] * 8.0 / max(W * H, 1)
+                meta["bpp_effective_total"] = float(bpp)
+                meta["bpp_effective_per_band"] = float(bpp / max(B, 1))
+            if "tiles_skipped_nodata" in meta:
+                meta["tiles_skipped_nodata"] = sum_skip[ri]
+            job["meta"] = meta
+            job["t_wrap"] = sum_t[ri][0] + sum_t[ri][1]
+            job["bs_bytes"] = sum_b[ri]
         for w in writers.values():
             w.close()
 
+    for lane in lanes.values():
+        if lane.get("ds") is not None:
+            lane["ds"].close()
     if mask_ds is not None:
         mask_ds.close()
     data_range = rscan.result()
