@@ -194,20 +194,19 @@ def _ql_ladder_fn():
     return ql_ladder
 
 
-def _device_pass_single(jax, jnp, ref_dev, vm_dev, sam_vm_dev, lanes, chunk,
-                        nod_val, has_nodata, is_caseb, data_range,
-                        quality_stats_ladder, spectral_stats_ladder,
-                        assemble_quality_many, assemble_spectral_many,
-                        src_valid=None, ql_caps=(), want_recon=False,
-                        ref_host=None):
-    """Single-device ladder: metrics (+ quicklook error maps + recon
-    stacks when artifacts are requested) with one vmapped launch set and
-    ONE stacked device_get per chunk (the reference computes each pair
-    serially on host and re-reads files per rep, run_codec.py:472-529).
-
-    Returns (met_rows, lane_art) where lane_art[i] is a per-lane dict with
-    host 'recon', 'e8' (C,H,W uint8), 'ql_valid', 'rec_ok' (entries None
-    when not requested)."""
+def _device_pass_dispatch(jax, jnp, ref_dev, vm_dev, sam_vm_dev, lanes,
+                          chunk, nod_val, has_nodata, is_caseb,
+                          quality_stats_ladder, spectral_stats_ladder,
+                          src_valid=None, ql_caps=(), want_recon=False,
+                          ref_host=None):
+    """Launch the single-device ladder — metrics (+ quicklook error maps +
+    recon stacks when artifacts are requested) as one vmapped launch set
+    per chunk — and START the device->host copies (copy_to_host_async).
+    Nothing here blocks on the device: the returned chunk states are
+    consumed by :func:`_device_pass_finalize`, so a caller can overlap the
+    transfers with the next tile's codec phase (the reference computes
+    each pair serially on host and re-reads files per rep,
+    run_codec.py:472-529)."""
     nod = jnp.asarray(nod_val)
     want_ql = bool(ql_caps) and bool(lanes) and not jnp.issubdtype(
         lanes[0].dtype, jnp.floating)
@@ -216,8 +215,7 @@ def _device_pass_single(jax, jnp, ref_dev, vm_dev, sam_vm_dev, lanes, chunk,
         lut_dev = jnp.asarray(np.stack([err8_lut(c) for c in ql_caps]))
         sv_dev = jnp.asarray(src_valid)
         ql_fn = _ql_ladder_fn()
-    met_rows: List[Dict[str, float]] = []
-    lane_art: List[Dict[str, object]] = []
+
     def lane_dev(x):
         # a host recon bit-identical to the reference (verified-lossless
         # codecs) reuses the already-uploaded ref instead of re-shipping
@@ -229,6 +227,7 @@ def _device_pass_single(jax, jnp, ref_dev, vm_dev, sam_vm_dev, lanes, chunk,
             return ref_dev
         return jnp.asarray(x)
 
+    chunks = []
     for c0 in range(0, len(lanes), chunk):
         batch = lanes[c0:c0 + chunk]
         stack = jnp.stack([lane_dev(x) for x in batch])
@@ -244,28 +243,62 @@ def _device_pass_single(jax, jnp, ref_dev, vm_dev, sam_vm_dev, lanes, chunk,
                     if want_recon else [])
         if fetch_ix:
             payload["recon"] = [batch[i] for i in fetch_ix]
-        sams = None
+        ss_err = None
         if is_caseb:
             # warn-and-continue on SAM/SID/LMSE failure (§5.3 policy,
-            # reference run_codec.py:523-531)
+            # reference run_codec.py:523-531); execution-time failures are
+            # caught again at finalize
             try:
-                host = jax.device_get(
-                    {**payload,
-                     "ss": spectral_stats_ladder(ref_dev, stack, sam_vm_dev)})
-                sams = assemble_spectral_many(host["ss"])
+                payload["ss"] = spectral_stats_ladder(ref_dev, stack,
+                                                      sam_vm_dev)
             except Exception as e:
-                log(f"[WARN] SAM/SID/LMSE failed: {e}")
-                host = jax.device_get(payload)
-        else:
+                ss_err = e
+        for leaf in jax.tree_util.tree_leaves(payload):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:
+                pass        # fetch still happens (blocking) at finalize
+        chunks.append({"payload": payload, "batch": batch,
+                       "fetch_ix": fetch_ix, "ss_err": ss_err})
+    return chunks
+
+
+def _device_pass_finalize(jax, chunks, data_range, is_caseb,
+                          assemble_quality_many, assemble_spectral_many,
+                          want_recon=False):
+    """Block on the chunk transfers started by :func:`_device_pass_dispatch`
+    and assemble (met_rows, lane_art); lane_art[i] is a per-lane dict with
+    host 'recon', 'e8' (C,H,W uint8), 'ql_valid', 'rec_ok' (entries None
+    when not requested)."""
+    met_rows: List[Dict[str, float]] = []
+    lane_art: List[Dict[str, object]] = []
+    for ch in chunks:
+        payload = ch["payload"]
+        batch = ch["batch"]
+        sams = None
+        try:
             host = jax.device_get(payload)
+        except Exception as e:
+            if is_caseb and "ss" in payload:
+                log(f"[WARN] SAM/SID/LMSE failed: {e}")
+                host = jax.device_get(
+                    {k: v for k, v in payload.items() if k != "ss"})
+            else:
+                raise
+        if is_caseb:
+            if "ss" in host:
+                sams = assemble_spectral_many(host["ss"])
+            elif ch["ss_err"] is not None:
+                log(f"[WARN] SAM/SID/LMSE failed: {ch['ss_err']}")
         if sams is None:
             sams = [{"sam_deg": float("nan"), "sid": float("nan"),
-                     "lmse": float("nan")} for _ in batch]
+                     "lmse": float("nan")} for _ in range(len(batch))]
         mets = assemble_quality_many(host["qs"], float(data_range))
         for m, s in zip(mets, sams):
             m.update(s)
         met_rows.extend(mets)
-        fetched = dict(zip(fetch_ix, host.get("recon", [])))
+        fetched = dict(zip(ch["fetch_ix"], host.get("recon", [])))
+        want_ql = "ql" in host
         for i in range(len(batch)):
             recon_h = fetched.get(i, batch[i]) if want_recon else None
             lane_art.append({
@@ -494,6 +527,18 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
     mesh_obj = _build_mesh(cfg.mesh) if cfg.mesh else None
     ladder_steps: Dict[tuple, object] = {}
 
+    # Thread-free tile overlap: each tile's phase-2 programs AND their
+    # device->host copies are launched (async) right after its codec
+    # phase; the tile is finalized — blocking fetch, artifacts, CSV rows —
+    # only after the NEXT tile's codec phase has run, so the copies stream
+    # behind that host/codec work. At most one tile is deferred, rows stay
+    # in item order, and everything runs on the main thread.
+    _pending_finish: List = []
+
+    def _flush_pending():
+        while _pending_finish:
+            rows.extend(_pending_finish.pop(0)())
+
     for item in items:
         tile_id = item["tile_id"]
         src_path: Path = item["path"]
@@ -512,6 +557,7 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
                                cfg.stream_rows, cfg.stream_auto_bytes)
         if rows_blk is not None:
             log(f"[STREAM] {tile_id}: {H}x{W}x{B} in {rows_blk}-row strips")
+            _flush_pending()
             rows.extend(sweep_item_streaming(
                 cfg, ds, item, rates, rk, is_caseb, link, rows_blk,
                 case_name=case_name, asset_name=asset_name))
@@ -703,42 +749,77 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
                                    "lmse": float("nan")})
                 met_rows.extend(mets[:n_real])
         else:
-            met_rows, lane_art = _device_pass_single(
+            chunks_state = _device_pass_dispatch(
                 jax, jnp, ref_dev, vm_dev, sam_vm_dev, lanes, chunk,
-                nod_val, has_nodata, is_caseb, data_range,
+                nod_val, has_nodata, is_caseb,
                 quality_stats_ladder, spectral_stats_ladder,
-                assemble_quality_many, assemble_spectral_many,
                 src_valid=src_valid, ql_caps=tuple(ql_caps),
                 want_recon=cfg.write_artifacts, ref_host=cube)
 
-        _t3 = _time.perf_counter()
-        # ---- phase 3: artifacts + quicklooks (host IO, threaded) --------
-        if cfg.write_artifacts:
-            _write_artifacts_phase(
-                cfg, jobs, lanes, lane_art, ql_caps, cube=cube, geo=geo,
-                nodata=nodata, has_nodata=has_nodata, src_mask=src_mask,
-                src_valid=src_valid, rgb_order=rgb_order,
-                descriptions=ds.descriptions,
-                mask_passthrough=getattr(cfg.codec, "mask_passthrough",
-                                         False))
-
-        _t4 = _time.perf_counter()
-        if _timing:
-            log(f"[TIMING] {tile_id}: codec {_t2-_t1:.2f}s device "
-                f"{_t3-_t2:.2f}s artifacts {_t4-_t3:.2f}s")
-        # ---- phase 4: rows in canonical (rate outer, rep inner) order ---
-        for ri, r in enumerate(rates):
-            for rep in range(cfg.reps):
-                job = jobs[(ri, rep)]
-                rows.append(build_csv_row(
-                    case_name=case_name, asset_name=asset_name,
-                    codec_label=cfg.codec_label, rk=rk, r=r,
-                    tile_id=tile_id, W=W, H=H, B=B,
-                    container_bytes=container_bytes,
-                    raw16_bytes=raw16_bytes, link=link, t_wrap=job.t_wrap,
-                    meta=job.meta, bs_bytes=job.bs_bytes,
-                    met=met_rows[job.met_index]))
+        descriptions = ds.descriptions
         ds.close()
+
+        # ---- phases 3-4 as this tile's deferred finish ------------------
+        def _finish(*, tile_id=tile_id, jobs=jobs, lanes=lanes,
+                    lane_art=lane_art, met_rows=met_rows,
+                    chunks_state=(None if mesh_obj is not None
+                                  else chunks_state),
+                    cube=cube, geo=geo, nodata=nodata,
+                    has_nodata=has_nodata, src_mask=src_mask,
+                    src_valid=src_valid, ql_caps=ql_caps,
+                    rgb_order=rgb_order, descriptions=descriptions,
+                    data_range=data_range, W=W, H=H, B=B,
+                    container_bytes=container_bytes,
+                    raw16_bytes=raw16_bytes, _t1=_t1,
+                    _t2=_t2) -> List[dict]:
+            if chunks_state is not None:
+                met_rows, lane_art = _device_pass_finalize(
+                    jax, chunks_state, data_range, is_caseb,
+                    assemble_quality_many, assemble_spectral_many,
+                    want_recon=cfg.write_artifacts)
+            _t3 = _time.perf_counter()
+            # artifacts + quicklooks (host IO, threaded;
+            # reference run_codec.py:474-520)
+            if cfg.write_artifacts:
+                _write_artifacts_phase(
+                    cfg, jobs, lanes, lane_art, ql_caps, cube=cube,
+                    geo=geo, nodata=nodata, has_nodata=has_nodata,
+                    src_mask=src_mask, src_valid=src_valid,
+                    rgb_order=rgb_order, descriptions=descriptions,
+                    mask_passthrough=getattr(cfg.codec, "mask_passthrough",
+                                             False))
+            _t4 = _time.perf_counter()
+            if _timing:
+                log(f"[TIMING] {tile_id}: codec {_t2-_t1:.2f}s device "
+                    f"{_t3-_t2:.2f}s artifacts {_t4-_t3:.2f}s")
+            # rows in canonical (rate outer, rep inner) order
+            item_rows: List[dict] = []
+            for ri, r in enumerate(rates):
+                for rep in range(cfg.reps):
+                    job = jobs[(ri, rep)]
+                    item_rows.append(build_csv_row(
+                        case_name=case_name, asset_name=asset_name,
+                        codec_label=cfg.codec_label, rk=rk, r=r,
+                        tile_id=tile_id, W=W, H=H, B=B,
+                        container_bytes=container_bytes,
+                        raw16_bytes=raw16_bytes, link=link,
+                        t_wrap=job.t_wrap, meta=job.meta,
+                        bs_bytes=job.bs_bytes,
+                        met=met_rows[job.met_index]))
+            return item_rows
+
+        # the PREVIOUS tile finalizes now — its copies streamed behind
+        # this tile's codec phase
+        _flush_pending()
+        defer = (mesh_obj is None
+                 and sum(int(getattr(x, "nbytes", 0) or 0)
+                         for x in lanes) <= (1 << 30))
+        if defer:
+            _pending_finish.append(_finish)
+        else:                      # mesh mode / oversized ladder: inline
+            rows.extend(_finish())
+
+    _flush_pending()
 
     metrics_csv = csvio.write_metrics_csv(outdir / "metrics.csv", rows,
                                           cfg.csv_decimal)
