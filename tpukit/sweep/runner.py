@@ -170,8 +170,9 @@ def _ql_ladder_fn():
     """Device quicklook-error-map ladder: per lane, recon-side validity +
     max|Δ|-across-bands + uint8 transfer via a host-built LUT (bit-exact to
     viz.quicklooks.error_max8_from_arrays at fixed caps). Fetch cost per
-    lane is two (H, W) bool masks + C (H, W) uint8 maps instead of the full
-    recon for host-side error math."""
+    lane is C (H, W) uint8 maps — the validity masks are NOT downloaded;
+    the artifact phase rederives them from the recon it fetches anyway
+    (same integer formula, so bit-exact)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -187,8 +188,7 @@ def _ql_ladder_fn():
             err = jnp.max(jnp.abs(t.astype(jnp.int32) - ref.astype(jnp.int32)),
                           axis=0)
             err = jnp.where(v, err, 0)
-            e8 = lut[:, jnp.clip(err, 0, lut.shape[1] - 1)]   # (C, H, W)
-            return e8, v, rec_ok
+            return lut[:, jnp.clip(err, 0, lut.shape[1] - 1)]   # (C, H, W)
         return jax.vmap(one)(recons)
 
     return ql_ladder
@@ -303,9 +303,10 @@ def _device_pass_finalize(jax, chunks, data_range, is_caseb,
             recon_h = fetched.get(i, batch[i]) if want_recon else None
             lane_art.append({
                 "recon": recon_h,
-                "e8": host["ql"][0][i] if want_ql else None,
-                "ql_valid": host["ql"][1][i] if want_ql else None,
-                "rec_ok": host["ql"][2][i] if want_ql else None,
+                "e8": host["ql"][i] if want_ql else None,
+                # masks rederived host-side from the fetched recon
+                "ql_valid": None,
+                "rec_ok": None,
             })
     return met_rows, lane_art
 
@@ -434,11 +435,14 @@ def _write_artifacts_phase(cfg: "SweepConfig", jobs: Dict[tuple, "_Job"],
         # pass, including resumed reconstructions)
         if cfg.quicklooks:
             try:
+                rec_ok = art.get("rec_ok")
+                if rec_ok is None and (ql_params is not None
+                                       or art.get("e8") is not None):
+                    # rederive from the fetched recon (bit-exact to the
+                    # device formula — integer compares)
+                    rec_ok = (np.all(recon_host != nodata, axis=0)
+                              if has_nodata else np.ones((H, W), bool))
                 if ql_params is not None:
-                    rec_ok = art.get("rec_ok")
-                    if rec_ok is None:
-                        rec_ok = (np.all(recon_host != nodata, axis=0)
-                                  if has_nodata else np.ones((H, W), bool))
                     ql.write_rgb_8bit_arrays(
                         cube[rgb_ix], run_dir / "baseline_RGB8.tif",
                         ql_params, geo=geo, mask=src_mask)
@@ -447,7 +451,10 @@ def _write_artifacts_phase(cfg: "SweepConfig", jobs: Dict[tuple, "_Job"],
                         ql_params, geo=geo,
                         mask=np.asarray(rec_ok, np.uint8) * 255)
                 if art.get("e8") is not None:
-                    v = np.asarray(art["ql_valid"])
+                    v = art.get("ql_valid")
+                    if v is None:
+                        v = src_valid & rec_ok
+                    v = np.asarray(v)
                     for cap, e8 in zip(ql_caps, np.asarray(art["e8"])):
                         ql._write_err_tif(
                             run_dir / f"recon_ERR8_0_{int(cap)}.tif",
