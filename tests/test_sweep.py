@@ -159,3 +159,29 @@ def test_sweep_rep_artifacts_are_shared_replicas(tmp_path, caseb_setup):
     # the replica recon is a valid reconstruction
     with tiff.open(d3 / "recon.tif") as ds:
         np.testing.assert_array_equal(ds.read(), tiles["LC"])
+
+
+def test_failed_item_keeps_finished_tiles_artifacts(tmp_path, rng):
+    """Fail-fast on a broken item (reference run_codec.py:494-495), but a
+    tile whose codec work already completed keeps its artifacts: the
+    deferred finish stage is flushed best-effort before the raise."""
+    cube = rng.integers(100, 4000, (3, 32, 32)).astype(np.uint16)
+    p1 = tmp_path / "ok.tif"
+    tiff.write_geotiff(p1, cube)
+    p2 = tmp_path / "broken.tif"
+    p2.write_bytes(b"II*\x00garbage")       # unreadable TIFF
+    idx = tmp_path / "index.json"
+    write_manifest(idx, "caseA", "tile", [
+        {"tile_id": "OK", "path": p1},
+        {"tile_id": "BAD", "path": p2},
+    ])
+    cfg = SweepConfig(
+        indices=idx, codec=create("ccsds121", tile=32, interleave="bip",
+                                  preproc="none"),
+        codec_label="ccsds121", outdir=tmp_path / "runs", rate_key="none")
+    with pytest.raises(Exception):
+        run_sweep(cfg)
+    d = tmp_path / "runs" / "OK" / "norate" / "rep_01"
+    assert (d / "recon.tif").exists()
+    with tiff.open(d / "recon.tif") as ds:
+        np.testing.assert_array_equal(ds.read(), cube)

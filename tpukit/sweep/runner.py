@@ -546,286 +546,295 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
         while _pending_finish:
             rows.extend(_pending_finish.pop(0)())
 
-    for item in items:
-        tile_id = item["tile_id"]
-        src_path: Path = item["path"]
-        if not Path(src_path).exists():
-            raise FileNotFoundError(f"Missing {src_path}")
-        ds = tiff.open(src_path)
-        W, H, B = ds.width, ds.height, ds.count
-        dtype_name = ds.dtypes[0]
+    try:
+        for item in items:
+            tile_id = item["tile_id"]
+            src_path: Path = item["path"]
+            if not Path(src_path).exists():
+                raise FileNotFoundError(f"Missing {src_path}")
+            ds = tiff.open(src_path)
+            W, H, B = ds.width, ds.height, ds.count
+            dtype_name = ds.dtypes[0]
 
-        # scene-scale items stream in bounded host memory (strip-exact
-        # codecs only; reference wrappers window scenes into 512² tiles,
-        # ccsds121_wrap.py:170-219)
-        from tpukit.sweep.streaming import stream_plan, sweep_item_streaming
-        itemsize = 2 if dtype_name in ("uint16", "int16") else 1
-        rows_blk = stream_plan(cfg.codec, H, W, B, itemsize,
-                               cfg.stream_rows, cfg.stream_auto_bytes)
-        if rows_blk is not None:
-            log(f"[STREAM] {tile_id}: {H}x{W}x{B} in {rows_blk}-row strips")
-            _flush_pending()
-            rows.extend(sweep_item_streaming(
-                cfg, ds, item, rates, rk, is_caseb, link, rows_blk,
-                case_name=case_name, asset_name=asset_name))
+            # scene-scale items stream in bounded host memory (strip-exact
+            # codecs only; reference wrappers window scenes into 512² tiles,
+            # ccsds121_wrap.py:170-219)
+            from tpukit.sweep.streaming import stream_plan, sweep_item_streaming
+            itemsize = 2 if dtype_name in ("uint16", "int16") else 1
+            rows_blk = stream_plan(cfg.codec, H, W, B, itemsize,
+                                   cfg.stream_rows, cfg.stream_auto_bytes)
+            if rows_blk is not None:
+                log(f"[STREAM] {tile_id}: {H}x{W}x{B} in {rows_blk}-row strips")
+                _flush_pending()
+                rows.extend(sweep_item_streaming(
+                    cfg, ds, item, rates, rk, is_caseb, link, rows_blk,
+                    case_name=case_name, asset_name=asset_name))
+                ds.close()
+                continue
+
+            cube = ds.read()
+            src_mask = ds.dataset_mask()
+            nodata = ds.nodata
+            geo = ds.geo
+            rgb_order = _pick_rgb_order(ds, case_key)
+            data_range = effective_data_range(cube, dtype_name)
+
+            # user validity mask (explicit in manifest or <stem>_mask sibling)
+            mask_path = item.get("mask") or guess_mask_path(src_path)
+            valid_mask = None
+            if mask_path and Path(mask_path).exists():
+                try:
+                    with tiff.open(mask_path) as m:
+                        mv = m.read(1) > 0
+                    if mv.shape == (H, W):
+                        valid_mask = mv
+                    else:
+                        warnings.warn(f"Mask {mask_path} shape mismatch; ignored.")
+                except Exception:
+                    warnings.warn(f"Failed to read mask {mask_path}; ignored.")
+
+            bytes_per_sample = 2 if dtype_name in ("uint16", "int16") else 1
+            container_bytes = int(W * H * B * bytes_per_sample)
+            raw16_bytes = int(W * H * B * 16 // 8)
+
+            # reference-side validity components (reference run_codec.py:249-263):
+            # dataset mask ∧ (every REF band != nodata) ∧ user mask. The
+            # recon-side nodata exclusion is folded per lane on device.
+            has_nodata = nodata is not None and math.isfinite(nodata)
+            vm_base = src_mask > 0
+            if has_nodata:
+                vm_base = vm_base & np.all(cube != nodata, axis=0)
+            if valid_mask is not None:
+                vm_base = vm_base & valid_mask
+            sam_vm = valid_mask if valid_mask is not None else (src_mask > 0)
+
+            # one upload per tile; every metric program closes over these.
+            # In mesh mode the inputs are device_put onto the mesh sharding
+            # instead (never committed to the default backend first).
+            if mesh_obj is None:
+                ref_dev = jnp.asarray(cube)
+                vm_dev = jnp.asarray(vm_base)
+                sam_vm_dev = jnp.asarray(sam_vm) if is_caseb else None
+
+            # ---- phase 1: execute the ladder (codec work) -------------------
+            _t1 = _time.perf_counter()
+            jobs: Dict[tuple, _Job] = {}
+            # per-tile scratch shared across reps (e.g. ccsds121's device
+            # encode plan — identical for identical input, so reps reuse it)
+            tile_plan_cache: Dict[tuple, object] = {}
+            for rep in range(cfg.reps):
+                fresh_ix: List[int] = []
+                for ri, r in enumerate(rates):
+                    run_dir = (outdir / tile_id / rate_slug(rk, r)
+                               / f"rep_{rep+1:02d}")
+                    job = _Job(ri=ri, rep=rep, run_dir=run_dir)
+                    recon_path = run_dir / "recon.tif"
+                    if cfg.write_artifacts and recon_path.exists():
+                        # resume: reuse recon, zero wrapper timing
+                        # (reference run_codec.py:489-492)
+                        log(f"[SKIP] Reusing reconstruction: {recon_path}")
+                        with tiff.open(recon_path) as rds:
+                            job.recon = rds.read()
+                        job.reused = True
+                        bit_dir = run_dir / "bit"
+                        if bit_dir.exists():
+                            job.bs_bytes = sum(p.stat().st_size
+                                               for p in bit_dir.rglob("*")
+                                               if p.is_file())
+                    else:
+                        fresh_ix.append(ri)
+                    jobs[(ri, rep)] = job
+
+                if fresh_ix:
+                    specs = [RateSpec.of(rk, rates[ri]) for ri in fresh_ix]
+                    # dataset context for codecs that honor it (ccsds123's
+                    # nodata fast paths, reference ccsds123_wrap.py:175-229)
+                    ctx = dict(cfg.codec_opts)
+                    ctx.setdefault("nodata", nodata)
+                    ctx.setdefault("dataset_mask", src_mask)
+                    if mesh_obj is None:
+                        # HBM-resident cube: codecs with device fast paths
+                        # (ccsds121's parallel plan) reuse the metric upload
+                        ctx.setdefault("device_cube", ref_dev)
+                        ctx.setdefault("device_plan_cache", tile_plan_cache)
+                    _tr = _time.perf_counter()
+                    with MemorySampler() as ms:
+                        results = cfg.codec.sweep_rates(
+                            cube, dtype_name, specs,
+                            keep_bitstream=cfg.keep_bitstream, **ctx)
+                    if _timing:
+                        log(f"[TIMING] {tile_id} rep {rep}: sweep_rates "
+                            f"{_time.perf_counter() - _tr:.2f}s "
+                            f"(codec t_comp+t_dec "
+                            f"{sum(r.t_comp_s + r.t_dec_s for r in results):.2f}s)")
+                    for ri, res in zip(fresh_ix, results):
+                        if res.mem_comp_peak_bytes is None:
+                            res.mem_comp_peak_bytes = ms.phase_peak_bytes("comp")
+                        if res.mem_dec_peak_bytes is None:
+                            res.mem_dec_peak_bytes = ms.phase_peak_bytes("dec")
+                        job = jobs[(ri, rep)]
+                        job.recon = res.recon
+                        job.meta = res.to_meta()
+                        job.t_wrap = res.t_comp_s + res.t_dec_s
+                        job.bs_bytes = res.bitstream_bytes
+                        job.bitstreams = res.bitstreams
+
+            # ---- lane plan ---------------------------------------------------
+            # Deterministic codecs produce identical recons across reps, so
+            # fresh reps share one lane per rate (metrics AND artifacts); each
+            # resumed recon (arbitrary on-disk content) gets its own lane.
+            lane_of: Dict[tuple, int] = {}
+            lanes: List[object] = []
+            for (ri, rep), job in sorted(jobs.items()):
+                key = ("reused", ri, rep) if job.reused else ("fresh", ri)
+                if key not in lane_of:
+                    lane_of[key] = len(lanes)
+                    lanes.append(job.recon)
+                job.met_index = lane_of[key]
+
+            _t2 = _time.perf_counter()
+            # ---- phase 2: device ladder — metrics + quicklook error maps +
+            # batched recon fetch, ONE stacked transfer per chunk -------------
+            chunk = _metric_chunk(B, H, W)
+            met_rows: List[Dict[str, float]] = []
+            nod_val = np.float32(nodata if has_nodata else 0.0)
+            src_valid = src_mask > 0
+            if has_nodata:
+                src_valid = src_valid & (cube[0] != nodata)
+            ql_caps: List[int] = []
+            if cfg.write_artifacts and cfg.quicklooks:
+                ql_caps.append(int(cfg.ql_err_global))
+                if cfg.ql_err_zoom is not None:
+                    ql_caps.append(int(cfg.ql_err_zoom))
+            lane_art = None
+
+            if mesh_obj is not None:
+                # sharded ladder: lanes over dp, bands over sp (falls back to
+                # sp=1 when the band count doesn't divide)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from tpukit.parallel.mesh import make_mesh, sharded_metric_ladder
+                m = mesh_obj
+                sp = m.shape["sp"]
+                if B % sp != 0:
+                    log(f"[WARN] bands={B} not divisible by sp={sp}; "
+                        f"using sp=1 for this tile")
+                    sp = 1
+                key = (sp, has_nodata, is_caseb)
+                if key not in ladder_steps:
+                    if sp != m.shape["sp"]:
+                        m = make_mesh(m.devices.ravel(),
+                                      dp=m.devices.size, sp=1)
+                    ladder_steps[key] = (m, sharded_metric_ladder(
+                        m, has_nodata, is_caseb))
+                m, step = ladder_steps[key]
+                lane_sh = NamedSharding(m, P("dp", "sp", None, None))
+                rep_sh = NamedSharding(m, P())
+                ref_m = jax.device_put(cube, NamedSharding(m, P("sp", None, None)))
+                vm_m = jax.device_put(vm_base, rep_sh)
+                sam_m = jax.device_put(sam_vm, rep_sh)
+                nod_m = jax.device_put(nod_val, rep_sh)
+                dp = m.shape["dp"]
+                for c0 in range(0, len(lanes), max(chunk, dp)):
+                    batch = lanes[c0:c0 + max(chunk, dp)]
+                    n_real = len(batch)
+                    pad = (-n_real) % dp
+                    stack_np = np.stack([np.asarray(x) for x in batch]
+                                        + [np.asarray(batch[-1])] * pad)
+                    stack = jax.device_put(stack_np, lane_sh)
+                    qs, ss = step(ref_m, stack, vm_m, sam_m, nod_m)
+                    if is_caseb:
+                        qs_h, ss_h = jax.device_get((qs, ss))
+                        mets = assemble_quality_many(qs_h, float(data_range))
+                        sams = assemble_spectral_many(ss_h)
+                        for mm, s in zip(mets, sams):
+                            mm.update(s)
+                    else:
+                        qs_h = jax.device_get(qs)
+                        mets = assemble_quality_many(qs_h, float(data_range))
+                        for mm in mets:
+                            mm.update({"sam_deg": float("nan"),
+                                       "sid": float("nan"),
+                                       "lmse": float("nan")})
+                    met_rows.extend(mets[:n_real])
+            else:
+                chunks_state = _device_pass_dispatch(
+                    jax, jnp, ref_dev, vm_dev, sam_vm_dev, lanes, chunk,
+                    nod_val, has_nodata, is_caseb,
+                    quality_stats_ladder, spectral_stats_ladder,
+                    src_valid=src_valid, ql_caps=tuple(ql_caps),
+                    want_recon=cfg.write_artifacts, ref_host=cube)
+
+            descriptions = ds.descriptions
             ds.close()
-            continue
 
-        cube = ds.read()
-        src_mask = ds.dataset_mask()
-        nodata = ds.nodata
-        geo = ds.geo
-        rgb_order = _pick_rgb_order(ds, case_key)
-        data_range = effective_data_range(cube, dtype_name)
-
-        # user validity mask (explicit in manifest or <stem>_mask sibling)
-        mask_path = item.get("mask") or guess_mask_path(src_path)
-        valid_mask = None
-        if mask_path and Path(mask_path).exists():
-            try:
-                with tiff.open(mask_path) as m:
-                    mv = m.read(1) > 0
-                if mv.shape == (H, W):
-                    valid_mask = mv
-                else:
-                    warnings.warn(f"Mask {mask_path} shape mismatch; ignored.")
-            except Exception:
-                warnings.warn(f"Failed to read mask {mask_path}; ignored.")
-
-        bytes_per_sample = 2 if dtype_name in ("uint16", "int16") else 1
-        container_bytes = int(W * H * B * bytes_per_sample)
-        raw16_bytes = int(W * H * B * 16 // 8)
-
-        # reference-side validity components (reference run_codec.py:249-263):
-        # dataset mask ∧ (every REF band != nodata) ∧ user mask. The
-        # recon-side nodata exclusion is folded per lane on device.
-        has_nodata = nodata is not None and math.isfinite(nodata)
-        vm_base = src_mask > 0
-        if has_nodata:
-            vm_base = vm_base & np.all(cube != nodata, axis=0)
-        if valid_mask is not None:
-            vm_base = vm_base & valid_mask
-        sam_vm = valid_mask if valid_mask is not None else (src_mask > 0)
-
-        # one upload per tile; every metric program closes over these.
-        # In mesh mode the inputs are device_put onto the mesh sharding
-        # instead (never committed to the default backend first).
-        if mesh_obj is None:
-            ref_dev = jnp.asarray(cube)
-            vm_dev = jnp.asarray(vm_base)
-            sam_vm_dev = jnp.asarray(sam_vm) if is_caseb else None
-
-        # ---- phase 1: execute the ladder (codec work) -------------------
-        _t1 = _time.perf_counter()
-        jobs: Dict[tuple, _Job] = {}
-        # per-tile scratch shared across reps (e.g. ccsds121's device
-        # encode plan — identical for identical input, so reps reuse it)
-        tile_plan_cache: Dict[tuple, object] = {}
-        for rep in range(cfg.reps):
-            fresh_ix: List[int] = []
-            for ri, r in enumerate(rates):
-                run_dir = (outdir / tile_id / rate_slug(rk, r)
-                           / f"rep_{rep+1:02d}")
-                job = _Job(ri=ri, rep=rep, run_dir=run_dir)
-                recon_path = run_dir / "recon.tif"
-                if cfg.write_artifacts and recon_path.exists():
-                    # resume: reuse recon, zero wrapper timing
-                    # (reference run_codec.py:489-492)
-                    log(f"[SKIP] Reusing reconstruction: {recon_path}")
-                    with tiff.open(recon_path) as rds:
-                        job.recon = rds.read()
-                    job.reused = True
-                    bit_dir = run_dir / "bit"
-                    if bit_dir.exists():
-                        job.bs_bytes = sum(p.stat().st_size
-                                           for p in bit_dir.rglob("*")
-                                           if p.is_file())
-                else:
-                    fresh_ix.append(ri)
-                jobs[(ri, rep)] = job
-
-            if fresh_ix:
-                specs = [RateSpec.of(rk, rates[ri]) for ri in fresh_ix]
-                # dataset context for codecs that honor it (ccsds123's
-                # nodata fast paths, reference ccsds123_wrap.py:175-229)
-                ctx = dict(cfg.codec_opts)
-                ctx.setdefault("nodata", nodata)
-                ctx.setdefault("dataset_mask", src_mask)
-                if mesh_obj is None:
-                    # HBM-resident cube: codecs with device fast paths
-                    # (ccsds121's parallel plan) reuse the metric upload
-                    ctx.setdefault("device_cube", ref_dev)
-                    ctx.setdefault("device_plan_cache", tile_plan_cache)
-                _tr = _time.perf_counter()
-                with MemorySampler() as ms:
-                    results = cfg.codec.sweep_rates(
-                        cube, dtype_name, specs,
-                        keep_bitstream=cfg.keep_bitstream, **ctx)
-                if _timing:
-                    log(f"[TIMING] {tile_id} rep {rep}: sweep_rates "
-                        f"{_time.perf_counter() - _tr:.2f}s "
-                        f"(codec t_comp+t_dec "
-                        f"{sum(r.t_comp_s + r.t_dec_s for r in results):.2f}s)")
-                for ri, res in zip(fresh_ix, results):
-                    if res.mem_comp_peak_bytes is None:
-                        res.mem_comp_peak_bytes = ms.phase_peak_bytes("comp")
-                    if res.mem_dec_peak_bytes is None:
-                        res.mem_dec_peak_bytes = ms.phase_peak_bytes("dec")
-                    job = jobs[(ri, rep)]
-                    job.recon = res.recon
-                    job.meta = res.to_meta()
-                    job.t_wrap = res.t_comp_s + res.t_dec_s
-                    job.bs_bytes = res.bitstream_bytes
-                    job.bitstreams = res.bitstreams
-
-        # ---- lane plan ---------------------------------------------------
-        # Deterministic codecs produce identical recons across reps, so
-        # fresh reps share one lane per rate (metrics AND artifacts); each
-        # resumed recon (arbitrary on-disk content) gets its own lane.
-        lane_of: Dict[tuple, int] = {}
-        lanes: List[object] = []
-        for (ri, rep), job in sorted(jobs.items()):
-            key = ("reused", ri, rep) if job.reused else ("fresh", ri)
-            if key not in lane_of:
-                lane_of[key] = len(lanes)
-                lanes.append(job.recon)
-            job.met_index = lane_of[key]
-
-        _t2 = _time.perf_counter()
-        # ---- phase 2: device ladder — metrics + quicklook error maps +
-        # batched recon fetch, ONE stacked transfer per chunk -------------
-        chunk = _metric_chunk(B, H, W)
-        met_rows: List[Dict[str, float]] = []
-        nod_val = np.float32(nodata if has_nodata else 0.0)
-        src_valid = src_mask > 0
-        if has_nodata:
-            src_valid = src_valid & (cube[0] != nodata)
-        ql_caps: List[int] = []
-        if cfg.write_artifacts and cfg.quicklooks:
-            ql_caps.append(int(cfg.ql_err_global))
-            if cfg.ql_err_zoom is not None:
-                ql_caps.append(int(cfg.ql_err_zoom))
-        lane_art = None
-
-        if mesh_obj is not None:
-            # sharded ladder: lanes over dp, bands over sp (falls back to
-            # sp=1 when the band count doesn't divide)
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            from tpukit.parallel.mesh import make_mesh, sharded_metric_ladder
-            m = mesh_obj
-            sp = m.shape["sp"]
-            if B % sp != 0:
-                log(f"[WARN] bands={B} not divisible by sp={sp}; "
-                    f"using sp=1 for this tile")
-                sp = 1
-            key = (sp, has_nodata, is_caseb)
-            if key not in ladder_steps:
-                if sp != m.shape["sp"]:
-                    m = make_mesh(m.devices.ravel(),
-                                  dp=m.devices.size, sp=1)
-                ladder_steps[key] = (m, sharded_metric_ladder(
-                    m, has_nodata, is_caseb))
-            m, step = ladder_steps[key]
-            lane_sh = NamedSharding(m, P("dp", "sp", None, None))
-            rep_sh = NamedSharding(m, P())
-            ref_m = jax.device_put(cube, NamedSharding(m, P("sp", None, None)))
-            vm_m = jax.device_put(vm_base, rep_sh)
-            sam_m = jax.device_put(sam_vm, rep_sh)
-            nod_m = jax.device_put(nod_val, rep_sh)
-            dp = m.shape["dp"]
-            for c0 in range(0, len(lanes), max(chunk, dp)):
-                batch = lanes[c0:c0 + max(chunk, dp)]
-                n_real = len(batch)
-                pad = (-n_real) % dp
-                stack_np = np.stack([np.asarray(x) for x in batch]
-                                    + [np.asarray(batch[-1])] * pad)
-                stack = jax.device_put(stack_np, lane_sh)
-                qs, ss = step(ref_m, stack, vm_m, sam_m, nod_m)
-                if is_caseb:
-                    qs_h, ss_h = jax.device_get((qs, ss))
-                    mets = assemble_quality_many(qs_h, float(data_range))
-                    sams = assemble_spectral_many(ss_h)
-                    for mm, s in zip(mets, sams):
-                        mm.update(s)
-                else:
-                    qs_h = jax.device_get(qs)
-                    mets = assemble_quality_many(qs_h, float(data_range))
-                    for mm in mets:
-                        mm.update({"sam_deg": float("nan"),
-                                   "sid": float("nan"),
-                                   "lmse": float("nan")})
-                met_rows.extend(mets[:n_real])
-        else:
-            chunks_state = _device_pass_dispatch(
-                jax, jnp, ref_dev, vm_dev, sam_vm_dev, lanes, chunk,
-                nod_val, has_nodata, is_caseb,
-                quality_stats_ladder, spectral_stats_ladder,
-                src_valid=src_valid, ql_caps=tuple(ql_caps),
-                want_recon=cfg.write_artifacts, ref_host=cube)
-
-        descriptions = ds.descriptions
-        ds.close()
-
-        # ---- phases 3-4 as this tile's deferred finish ------------------
-        def _finish(*, tile_id=tile_id, jobs=jobs, lanes=lanes,
-                    lane_art=lane_art, met_rows=met_rows,
-                    chunks_state=(None if mesh_obj is not None
-                                  else chunks_state),
-                    cube=cube, geo=geo, nodata=nodata,
-                    has_nodata=has_nodata, src_mask=src_mask,
-                    src_valid=src_valid, ql_caps=ql_caps,
-                    rgb_order=rgb_order, descriptions=descriptions,
-                    data_range=data_range, W=W, H=H, B=B,
-                    container_bytes=container_bytes,
-                    raw16_bytes=raw16_bytes, _t1=_t1,
-                    _t2=_t2) -> List[dict]:
-            if chunks_state is not None:
-                met_rows, lane_art = _device_pass_finalize(
-                    jax, chunks_state, data_range, is_caseb,
-                    assemble_quality_many, assemble_spectral_many,
-                    want_recon=cfg.write_artifacts)
-            _t3 = _time.perf_counter()
-            # artifacts + quicklooks (host IO, threaded;
-            # reference run_codec.py:474-520)
-            if cfg.write_artifacts:
-                _write_artifacts_phase(
-                    cfg, jobs, lanes, lane_art, ql_caps, cube=cube,
-                    geo=geo, nodata=nodata, has_nodata=has_nodata,
-                    src_mask=src_mask, src_valid=src_valid,
-                    rgb_order=rgb_order, descriptions=descriptions,
-                    mask_passthrough=getattr(cfg.codec, "mask_passthrough",
-                                             False))
-            _t4 = _time.perf_counter()
-            if _timing:
-                log(f"[TIMING] {tile_id}: codec {_t2-_t1:.2f}s device "
-                    f"{_t3-_t2:.2f}s artifacts {_t4-_t3:.2f}s")
-            # rows in canonical (rate outer, rep inner) order
-            item_rows: List[dict] = []
-            for ri, r in enumerate(rates):
-                for rep in range(cfg.reps):
-                    job = jobs[(ri, rep)]
-                    item_rows.append(build_csv_row(
-                        case_name=case_name, asset_name=asset_name,
-                        codec_label=cfg.codec_label, rk=rk, r=r,
-                        tile_id=tile_id, W=W, H=H, B=B,
+            # ---- phases 3-4 as this tile's deferred finish ------------------
+            def _finish(*, tile_id=tile_id, jobs=jobs, lanes=lanes,
+                        lane_art=lane_art, met_rows=met_rows,
+                        chunks_state=(None if mesh_obj is not None
+                                      else chunks_state),
+                        cube=cube, geo=geo, nodata=nodata,
+                        has_nodata=has_nodata, src_mask=src_mask,
+                        src_valid=src_valid, ql_caps=ql_caps,
+                        rgb_order=rgb_order, descriptions=descriptions,
+                        data_range=data_range, W=W, H=H, B=B,
                         container_bytes=container_bytes,
-                        raw16_bytes=raw16_bytes, link=link,
-                        t_wrap=job.t_wrap, meta=job.meta,
-                        bs_bytes=job.bs_bytes,
-                        met=met_rows[job.met_index]))
-            return item_rows
+                        raw16_bytes=raw16_bytes, _t1=_t1,
+                        _t2=_t2) -> List[dict]:
+                if chunks_state is not None:
+                    met_rows, lane_art = _device_pass_finalize(
+                        jax, chunks_state, data_range, is_caseb,
+                        assemble_quality_many, assemble_spectral_many,
+                        want_recon=cfg.write_artifacts)
+                _t3 = _time.perf_counter()
+                # artifacts + quicklooks (host IO, threaded;
+                # reference run_codec.py:474-520)
+                if cfg.write_artifacts:
+                    _write_artifacts_phase(
+                        cfg, jobs, lanes, lane_art, ql_caps, cube=cube,
+                        geo=geo, nodata=nodata, has_nodata=has_nodata,
+                        src_mask=src_mask, src_valid=src_valid,
+                        rgb_order=rgb_order, descriptions=descriptions,
+                        mask_passthrough=getattr(cfg.codec, "mask_passthrough",
+                                                 False))
+                _t4 = _time.perf_counter()
+                if _timing:
+                    log(f"[TIMING] {tile_id}: codec {_t2-_t1:.2f}s device "
+                        f"{_t3-_t2:.2f}s artifacts {_t4-_t3:.2f}s")
+                # rows in canonical (rate outer, rep inner) order
+                item_rows: List[dict] = []
+                for ri, r in enumerate(rates):
+                    for rep in range(cfg.reps):
+                        job = jobs[(ri, rep)]
+                        item_rows.append(build_csv_row(
+                            case_name=case_name, asset_name=asset_name,
+                            codec_label=cfg.codec_label, rk=rk, r=r,
+                            tile_id=tile_id, W=W, H=H, B=B,
+                            container_bytes=container_bytes,
+                            raw16_bytes=raw16_bytes, link=link,
+                            t_wrap=job.t_wrap, meta=job.meta,
+                            bs_bytes=job.bs_bytes,
+                            met=met_rows[job.met_index]))
+                return item_rows
 
-        # the PREVIOUS tile finalizes now — its copies streamed behind
-        # this tile's codec phase
-        _flush_pending()
-        defer = (mesh_obj is None
-                 and sum(int(getattr(x, "nbytes", 0) or 0)
-                         for x in lanes) <= (1 << 30))
-        if defer:
-            _pending_finish.append(_finish)
-        else:                      # mesh mode / oversized ladder: inline
-            rows.extend(_finish())
+            # the PREVIOUS tile finalizes now — its copies streamed behind
+            # this tile's codec phase
+            _flush_pending()
+            defer = (mesh_obj is None
+                     and sum(int(getattr(x, "nbytes", 0) or 0)
+                             for x in lanes) <= (1 << 30))
+            if defer:
+                _pending_finish.append(_finish)
+            else:                      # mesh mode / oversized ladder: inline
+                rows.extend(_finish())
 
+    except BaseException:
+        # fail-fast (reference run_codec.py:494-495) — but a tile
+        # whose codec work already finished keeps its artifacts
+        try:
+            _flush_pending()
+        except Exception:
+            pass
+        raise
     _flush_pending()
 
     metrics_csv = csvio.write_metrics_csv(outdir / "metrics.csv", rows,
