@@ -370,8 +370,41 @@ COMMANDS = {
 }
 
 
+def _init_jax_compile_cache():
+    """Persist XLA compiles across CLI invocations.
+
+    Every `python -m tpukit` run is a fresh process; without a persistent
+    cache each one re-pays every jit compile (tens of seconds for the
+    sweep ladders). Default cache dir: ~/.cache/tpukit/jax, overridable
+    via TPUKIT_JAX_CACHE (set to "0" to disable). A cache dir already
+    configured by the embedding process (e.g. bench.py) is left alone."""
+    import os
+    try:
+        import jax
+        if getattr(jax.config, "jax_compilation_cache_dir", None):
+            return
+        d = os.environ.get("TPUKIT_JAX_CACHE")
+        if d == "0":
+            return
+        if not d:
+            d = os.path.join(os.path.expanduser("~"), ".cache", "tpukit",
+                             "jax")
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        try:
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0)
+        except Exception:
+            pass
+    except Exception:
+        pass
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    _init_jax_compile_cache()
     from tpukit.cli import wrappers
     codec_cmds = {
         "codec-ccsds121": wrappers.ccsds121_main,
