@@ -37,8 +37,9 @@
 
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <vector>
-#if defined(__SSE2__) || defined(__AVX2__)
+#if defined(__SSE2__) || defined(__AVX2__) || defined(__AVX512F__)
 #include <immintrin.h>
 #endif
 #include "bitio.hpp"
@@ -65,35 +66,55 @@ struct Rev8 {
     }
 };
 const Rev8 REV8;
+
+inline uint32_t rev16(uint32_t x) {  // bit-reverse the low 16 bits
+    return ((uint32_t)REV8.t[x & 0xFF] << 8) | REV8.t[(x >> 8) & 0xFF];
+}
 }
 
 static int64_t encode_body(const int32_t* coef, int64_t n, uint8_t* out,
                            int64_t out_cap, int64_t max_bytes) {
     if (n <= 0 || out_cap < 2) return -1;
     std::vector<uint32_t> mag((size_t)n);
-    uint32_t maxmag = 0;
-    for (int64_t i = 0; i < n; ++i) {
-        uint32_t m = (uint32_t)(coef[i] < 0 ? -(int64_t)coef[i] : coef[i]);
-        mag[i] = m;
-        if (m > maxmag) maxmag = m;
-    }
-    int nplanes = msb_index(maxmag) + 1;
-    out[0] = (uint8_t)nplanes;
-
-    int64_t budget = max_bytes > 0 ? (max_bytes < out_cap ? max_bytes : out_cap)
-                                   : out_cap;
-    BitWriter bw(out + 1, budget - 1);   // put_zeros memsets its own runs
-
     int64_t ngroups = (n + GROUP - 1) / GROUP;
     std::vector<int8_t> topg((size_t)ngroups, -1);   // msb plane per group
     std::vector<uint16_t> rem((size_t)ngroups);      // insignificant members
     // per-member MSB planes, one 16-byte lane per group (pad = -1)
     std::vector<int8_t> msb8((size_t)ngroups * GROUP, -1);
-    for (int64_t g = 0; g < ngroups; ++g) {
+    uint32_t maxmag = 0;
+    int64_t g0 = 0;
+#if defined(__AVX512F__) && defined(__AVX512CD__)
+    // fused setup: one 16-lane pass per group computes |coef|, the per-
+    // member MSB planes (31 - lzcnt; -1 for zero), the group max, and the
+    // running magnitude max — replaces two scalar passes over n
+    {
+        __m512i maxv = _mm512_setzero_si512();
+        const __m512i c31 = _mm512_set1_epi32(31);
+        int64_t gfull = n / GROUP;
+        for (; g0 < gfull; ++g0) {
+            const int64_t lo = g0 * GROUP;
+            __m512i v = _mm512_loadu_si512((const void*)(coef + lo));
+            __m512i m = _mm512_abs_epi32(v);
+            _mm512_storeu_si512((void*)&mag[(size_t)lo], m);
+            maxv = _mm512_max_epu32(maxv, m);
+            __m512i msb = _mm512_sub_epi32(c31, _mm512_lzcnt_epi32(m));
+            _mm_storeu_si128((__m128i*)&msb8[(size_t)lo],
+                             _mm512_cvtepi32_epi8(msb));
+            topg[g0] = (int8_t)_mm512_reduce_max_epi32(msb);
+            rem[g0] = 0xFFFF;
+        }
+        maxmag = _mm512_reduce_max_epu32(maxv);
+    }
+#endif
+    for (int64_t g = g0; g < ngroups; ++g) {
         int64_t lo = g * GROUP, hi = lo + GROUP < n ? lo + GROUP : n;
         int t = -1;
         for (int64_t i = lo; i < hi; ++i) {
-            int c = msb_index(mag[i]);
+            uint32_t m = (uint32_t)(coef[i] < 0 ? -(int64_t)coef[i]
+                                                : coef[i]);
+            mag[i] = m;
+            if (m > maxmag) maxmag = m;
+            int c = msb_index(m);
             msb8[(size_t)(g * GROUP + (i - lo))] = (int8_t)c;
             t = c > t ? c : t;
         }
@@ -101,13 +122,21 @@ static int64_t encode_body(const int32_t* coef, int64_t n, uint8_t* out,
         rem[g] = (uint16_t)((hi - lo == GROUP) ? 0xFFFF
                                                : ((1u << (hi - lo)) - 1u));
     }
+    int nplanes = msb_index(maxmag) + 1;
+    out[0] = (uint8_t)nplanes;
+
+    int64_t budget = max_bytes > 0 ? (max_bytes < out_cap ? max_bytes : out_cap)
+                                   : out_cap;
+    BitWriter bw(out + 1, budget - 1);   // put_zeros memsets its own runs
     // significant magnitudes, dense, in acquisition order (refinement
-    // source — no index gather in the hot loop)
-    std::vector<uint32_t> sig_mag;
-    sig_mag.reserve((size_t)n / 4);
+    // source — no index gather in the hot loop); uninitialized upper-bound
+    // buffer + cursor, same as the decoder
+    std::unique_ptr<uint32_t[]> sig_mag_v(new uint32_t[(size_t)n]);
+    uint32_t* sig_mag = sig_mag_v.get();
+    size_t n_sig = 0;
 
     for (int p = nplanes - 1; p >= 0 && !bw.overflow; --p) {
-        size_t n_sig_before = sig_mag.size();
+        size_t n_sig_before = n_sig;
 #ifdef __SSE2__
         const __m128i pv = _mm_set1_epi8((char)p);
 #endif
@@ -151,7 +180,7 @@ static int64_t encode_body(const int32_t* coef, int64_t n, uint8_t* out,
                     acc = (acc << 1) | (uint64_t)(coef[i] < 0);
                     ++nb;
                     rem[g] = (uint16_t)(rem[g] & ~(1u << j));
-                    sig_mag.push_back(mag[i]);
+                    sig_mag[n_sig++] = mag[i];
                 }
             }
             bw.put_bits(acc, nb);            // ≤ 33 bits
@@ -161,9 +190,25 @@ static int64_t encode_body(const int32_t* coef, int64_t n, uint8_t* out,
         // refinement pass: previously-significant only, acquisition order,
         // AVX2-extracted 8 bits per step from the dense magnitude array
         {
-            const uint32_t* sm = sig_mag.data();
+            const uint32_t* sm = sig_mag;
             size_t s = 0;
-#ifdef __AVX2__
+#if defined(__AVX512F__)
+            {
+                const __m512i bp512 = _mm512_set1_epi32((int)(1u << p));
+                while (s + 48 <= n_sig_before && !bw.overflow) {
+                    uint64_t acc = 0;
+                    for (int k = 0; k < 3; ++k) {
+                        __m512i v = _mm512_loadu_si512(
+                            (const void*)(sm + s + (size_t)k * 16));
+                        uint32_t mk = (uint32_t)_mm512_test_epi32_mask(
+                            v, bp512);
+                        acc = (acc << 16) | rev16(mk);
+                    }
+                    bw.put_bits(acc, 48);
+                    s += 48;
+                }
+            }
+#elif defined(__AVX2__)
             const int sh = 31 - p;
             while (s + 48 <= n_sig_before && !bw.overflow) {
                 uint64_t acc = 0;
@@ -233,15 +278,17 @@ extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
     int64_t ngroups = (n + GROUP - 1) / GROUP;
     std::vector<uint8_t> active((size_t)ngroups, 0);
     std::vector<uint16_t> rem((size_t)ngroups);
-    // dense significant-entry state, acquisition order
-    std::vector<uint32_t> sig_mag;
-    std::vector<int64_t> sig_pos;
-    std::vector<int8_t> sig_pa;     // acquisition plane per entry
-    std::vector<uint8_t> sig_neg;
-    sig_mag.reserve((size_t)n / 4);
-    sig_pos.reserve((size_t)n / 4);
-    sig_pa.reserve((size_t)n / 4);
-    sig_neg.reserve((size_t)n / 4);
+    // dense significant-entry state, acquisition order; preallocated
+    // (uninitialized) at the n upper bound so the hot loops append with a
+    // bare cursor — no push_back capacity branches, no zero-fill pass.
+    // posneg carries the sign in bit 0.
+    std::unique_ptr<uint32_t[]> sig_mag_v(new uint32_t[(size_t)n]);
+    std::unique_ptr<int64_t[]> sig_posneg_v(new int64_t[(size_t)n]);
+    std::unique_ptr<int8_t[]> sig_pa_v(new int8_t[(size_t)n]);
+    uint32_t* sig_mag = sig_mag_v.get();
+    int64_t* sig_posneg = sig_posneg_v.get();
+    int8_t* sig_pa = sig_pa_v.get();
+    size_t nsig = 0;
     for (int64_t g = 0; g < ngroups; ++g) {
         int64_t lo = g * GROUP, hi = lo + GROUP < n ? lo + GROUP : n;
         rem[g] = (uint16_t)((hi - lo == GROUP) ? 0xFFFF
@@ -254,7 +301,7 @@ extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
     size_t s_part = 0;
 
     for (int p = nplanes - 1; p >= 0 && !br.error; --p) {
-        size_t n_sig_before = sig_mag.size();
+        size_t n_sig_before = nsig;
         for (int64_t g = 0; g < ngroups && !br.error; ++g) {
             const int64_t lo = g * GROUP;
             br.refill();
@@ -289,10 +336,10 @@ extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
                         uint8_t s = (uint8_t)(w >> 63);
                         w <<= 1; --av;
                         rem[g] = (uint16_t)(rem[g] & ~(1u << j));
-                        sig_mag.push_back(1u << p);
-                        sig_pos.push_back(lo + j);
-                        sig_pa.push_back((int8_t)p);
-                        sig_neg.push_back(s);
+                        sig_mag[nsig] = 1u << p;
+                        sig_posneg[nsig] = ((lo + j) << 1) | s;
+                        sig_pa[nsig] = (int8_t)p;
+                        ++nsig;
                     }
                 }
                 br.window = w; br.avail = av;
@@ -316,16 +363,19 @@ extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
                     int sg = (int)br.get_bits(1);
                     if (br.error) break;
                     rem[g] = (uint16_t)(rem[g] & ~(1u << j));
-                    sig_mag.push_back(1u << p);
-                    sig_pos.push_back(lo + j);
-                    sig_pa.push_back((int8_t)p);
-                    sig_neg.push_back((uint8_t)sg);
+                    sig_mag[nsig] = 1u << p;
+                    sig_posneg[nsig] = ((lo + j) << 1) | (int64_t)(sg != 0);
+                    sig_pa[nsig] = (int8_t)p;
+                    ++nsig;
                 }
             }
         }
         // refinement pass: linear over the dense magnitudes, AVX2-applied
         // 8 bits per step where the window allows
-        uint32_t* sm = sig_mag.data();
+        uint32_t* sm = sig_mag;
+#if defined(__AVX512F__)
+        const __m512i bitp512 = _mm512_set1_epi32((int)(1u << p));
+#endif
 #ifdef __AVX2__
         const __m256i sel = _mm256_setr_epi32(0x80, 0x40, 0x20, 0x10,
                                               8, 4, 2, 1);
@@ -340,6 +390,16 @@ extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
             if (take >= 8 || (size_t)take == left) {
                 uint64_t w = br.window;
                 int t = 0;
+#if defined(__AVX512F__)
+                for (; t + 16 <= take; t += 16, s += 16) {
+                    __mmask16 k = (__mmask16)rev16((uint32_t)(w >> 48));
+                    w <<= 16;
+                    __m512i cur = _mm512_loadu_si512((void*)(sm + s));
+                    _mm512_storeu_si512(
+                        (void*)(sm + s),
+                        _mm512_mask_or_epi32(cur, k, cur, bitp512));
+                }
+#endif
 #ifdef __AVX2__
                 for (; t + 8 <= take; t += 8, s += 8) {
                     __m256i bits = _mm256_set1_epi32((int)(w >> 56));
@@ -381,7 +441,6 @@ extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
     //            = pa(s)         otherwise (acquired at/after the lowest
     //                            completed refinement plane)
     std::memset(coef, 0, (size_t)n * sizeof(int32_t));
-    const size_t nsig = sig_mag.size();
     for (size_t s = 0; s < nsig; ++s) {
         uint32_t m = sig_mag[s];
         int known;
@@ -392,8 +451,8 @@ extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
             known = pa > p_done_ref ? p_done_ref : pa;
         }
         if (known > 0) m += 1u << (known - 1);
-        int64_t i = sig_pos[s];
-        coef[i] = sig_neg[s] ? -(int32_t)m : (int32_t)m;
+        int64_t pn = sig_posneg[s];
+        coef[pn >> 1] = (pn & 1) ? -(int32_t)m : (int32_t)m;
     }
     return n;
 }
