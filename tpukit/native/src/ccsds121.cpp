@@ -290,11 +290,43 @@ int64_t encode_core(const uint16_t* in, int64_t n, const Params& p,
     };
 
     uint32_t prev = 0;
+#ifdef __AVX2__
+    // vectorized unit-delay mapping for the standard J=8 block: the
+    // predictor of lane i is lane i-1 (lane 0 takes the carried prev), so
+    // one rotate + insert yields all eight predictors and map_residual
+    // becomes eight branchless lanes (exact same arithmetic as the scalar
+    // path; values <= 2^16 so signed compares are safe)
+    const __m256i kROT = _mm256_setr_epi32(7, 0, 1, 2, 3, 4, 5, 6);
+    const __m256i kXMAX = _mm256_set1_epi32((int)p.xmax);
+#endif
     for (int64_t b = 0; b < nblocks; ++b) {
         bool new_rsi = p.preprocess && (b % p.rsi == 0);
         const uint16_t* x = in + b * J;
         bool ref = new_rsi;
         bool allzero = true;
+#ifdef __AVX2__
+        if (J == 8 && p.preprocess) {
+            __m256i xv = _mm256_cvtepu16_epi32(
+                _mm_loadu_si128((const __m128i*)x));
+            __m256i pv = _mm256_insert_epi32(
+                _mm256_permutevar8x32_epi32(xv, kROT), (int)prev, 0);
+            __m256i delta = _mm256_sub_epi32(xv, pv);
+            __m256i theta = _mm256_min_epu32(pv,
+                                             _mm256_sub_epi32(kXMAX, pv));
+            __m256i negm = _mm256_cmpgt_epi32(_mm256_setzero_si256(),
+                                              delta);
+            __m256i absd = _mm256_abs_epi32(delta);
+            __m256i over = _mm256_cmpgt_epi32(absd, theta);
+            __m256i dv = _mm256_blendv_epi8(
+                _mm256_add_epi32(_mm256_slli_epi32(absd, 1), negm),
+                _mm256_add_epi32(theta, absd), over);
+            if (ref) dv = _mm256_insert_epi32(dv, (int)(uint32_t)x[0], 0);
+            _mm256_storeu_si256((__m256i*)d.data(), dv);
+            prev = x[7];
+            __m256i t = ref ? _mm256_insert_epi32(dv, 0, 0) : dv;
+            allzero = _mm256_testz_si256(t, t) != 0;
+        } else
+#endif
         for (int i = 0; i < J; ++i) {
             uint32_t xi = x[i];
             if (!p.preprocess) {
