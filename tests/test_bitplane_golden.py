@@ -18,15 +18,22 @@ from tpukit.codecs import wavelet_common as wc
 
 GOLDEN = [
     # (name, n, inv_base, max_bytes, sha256(enc)[:16], sha256(dec)[:16])
-    ("zeros", 5000, 1.0, 0, "6e340b9cffb37a98", "28b4f41a7f3ee6d8"),
-    ("ones", 4097, 1.0, 0, "e81165d4506aa29a", "df4635842436a159"),
-    ("laplace30", 100000, 1.0, 0, "42dae178e38f09bb", "1c0f09bbe682947a"),
-    ("laplace30_q8", 100000, 0.125, 0, "ff553788a20dd1d2", "43fd259a269d5e15"),
-    ("sparse", 70001, 1.0, 0, "a0d087761ad20075", "476cca4767d2c45a"),
-    ("big", 33333, 1.0, 0, "84d0b316b0dfec83", "b582624e264c72b2"),
-    ("trunc500", 50000, 1.0, 500, "9ff830ddae6d224a", "0ca16991953e1948"),
-    ("trunc_tiny", 50000, 1.0, 7, "5b443b2635f1846f", "f9abd1a84c72e880"),
-    ("mixed_steps", 65536, 0.25, 0, "ea16b94914bcfb13", "0062173e1497a653"),
+    # Captured from the round-2 PEXT/PDEP unit-layout coder (sig bits then
+    # sign bits per group unit; header byte carries the 0x40 format mark).
+    # Full-stream decode hashes are IDENTICAL to the previous interleaved
+    # layout — the reordering changes the stream, never the reconstruction;
+    # stream sizes are bit-count-identical too (the device size model is
+    # layout-independent). Only truncated-tail decodes may differ: units
+    # are now atomic at the cut.
+    ("zeros", 5000, 1.0, 0, "c3641f8544d7c02f", "28b4f41a7f3ee6d8"),
+    ("ones", 4097, 1.0, 0, "a8d3da9ae0de3972", "df4635842436a159"),
+    ("laplace30", 100000, 1.0, 0, "8c4b5e6f89f2e898", "1c0f09bbe682947a"),
+    ("laplace30_q8", 100000, 0.125, 0, "5e5654702730a75e", "43fd259a269d5e15"),
+    ("sparse", 70001, 1.0, 0, "5f9cd94e6c10c8ad", "476cca4767d2c45a"),
+    ("big", 33333, 1.0, 0, "8c4a1839c3324bd2", "b582624e264c72b2"),
+    ("trunc500", 50000, 1.0, 500, "83145dbfb94092a1", "00b6aff162fd1312"),
+    ("trunc_tiny", 50000, 1.0, 7, "ae64385faae185da", "f9abd1a84c72e880"),
+    ("mixed_steps", 65536, 0.25, 0, "a5902298b896d09c", "0062173e1497a653"),
 ]
 
 
@@ -49,6 +56,18 @@ def _case_input(name, n):
     if name == "mixed_steps":
         return rng.laplace(0, 60, n).astype(np.float32)
     raise AssertionError(name)
+
+
+def test_bitplane_rejects_unmarked_streams():
+    """Streams without the 0x40 header mark (pre-round-2 layout, foreign
+    bytes) must error loudly instead of decoding garbage."""
+    enc, _ = wc.bpc_encode_quant(np.ones(64, np.float32),
+                                 np.ones(64, np.float32), np.float32(1.0))
+    assert enc[0] & 0x40
+    for bad0 in (enc[0] & ~0x40, enc[0] | 0x80):
+        bad = bytes([bad0]) + enc[1:]
+        with pytest.raises(RuntimeError):
+            wc.bpc_decode(bad, 64)
 
 
 @pytest.mark.parametrize("name,n,inv_base,max_bytes,h_enc,h_dec", GOLDEN)

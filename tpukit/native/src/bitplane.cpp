@@ -10,30 +10,51 @@
 // (reference tools/codecs/ccsds122/ccsds122_wrap.py:110-121) a principled
 // in-framework implementation.
 //
-// Layout: [u8 nplanes][bit stream MSB-first]. Coefficients arrive in the
-// caller's scan order (coarse subbands first for best embedded quality).
-// Refinement bits are emitted in order of significance acquisition (a list
-// both sides maintain identically), so refinement cost scales with the
-// number of significant coefficients, not with n.
+// Layout: [u8 0x40|nplanes][bit stream MSB-first] (bit 6 of the header
+// byte is a format-version marker; see unit layout below). Coefficients
+// arrive in the caller's scan order (coarse subbands first for best
+// embedded quality). Per plane p (MSB first), in group order (16
+// coefficients per group):
+//   * a group whose max magnitude has its MSB below p emits one 0 gate bit;
+//   * the plane where the max's MSB == p emits a 1 gate bit followed by the
+//     group's first significance unit;
+//   * an already-active group emits a significance unit per plane:
+//     one "becomes significant at p" bit per still-insignificant member
+//     (in member order), then one sign bit per newly significant member
+//     (in the same order) — sig bits first, THEN signs, so both directions
+//     move whole units through the bit window branchlessly;
+//   * after all groups, one refinement bit per previously-significant
+//     coefficient in significance-acquisition order.
+// The total bit count is identical member-for-member to the interleaved
+// hit/sign layout, so the exact on-device size model
+// (codecs/bitplane_model.py) is layout-independent.
 //
-// Throughput design (the two hot loops):
-//   * significance pass — per-coefficient MSB indices live in 16-byte
-//     group lanes; one SSE2 compare+movemask per (group, plane) yields the
-//     "becomes significant here" mask, so the common nothing-happens group
-//     costs a handful of instructions and its bits join a bulk zero run
-//     (put_zeros skips pre-zeroed output bytes; the decoder tests the
-//     group's significance bits against zero as one window word).
-//   * refinement pass — significant coefficients are kept DENSE in
-//     acquisition order (magnitudes copied aside), so refinement reads and
-//     writes stream linearly and vectorizes: AVX2 extracts/applies 8
-//     refinement bits per step instead of gathering through an index list.
+// Throughput design (the hot significance passes on both sides):
+//   * per-plane ELIGIBLE-GROUP lists — groups are bucketed by their max
+//     member's MSB plane at setup; each plane visits only groups that have
+//     activated (merge of the surviving list with this plane's bucket),
+//     and fully-significant groups drop off the list. Inactive groups'
+//     gate zeros are accounted as bulk zero runs (encoder: put_zeros
+//     memset; decoder: 64-bit window CLZ scans that only pay per
+//     *activation*, not per group).
+//   * branchless unit coding — "becomes significant" member bits come from
+//     one SSE2 compare + movemask against the per-member MSB lanes,
+//     compressed over the still-insignificant mask with PEXT and emitted
+//     as one put_bits; signs are PEXT-gathered from a per-group sign mask
+//     computed at setup. The decoder reads whole units from the bit
+//     window and PDEP-expands them back onto member positions.
+//   * newly significant magnitudes append to the dense refinement array
+//     with one AVX-512 compress-store per unit.
+//   * refinement passes are linear over the dense magnitude array and
+//     move 16 bits (AVX-512 mask ops) per step on both sides.
 //   * decoder bookkeeping for still-insignificant members is skipped
 //     entirely (they reconstruct to 0 regardless), and truncation midpoint
 //     planes are recovered from three scalars (lowest fully-refined plane,
 //     partial-plane cursor) + per-entry acquisition planes instead of a
 //     per-coefficient "known plane" array.
-// Both sides keep bit-by-bit tail paths near the end of the stream so
-// truncated-budget semantics stay bit-identical to the plain coder.
+// Truncated-stream semantics: significance units are atomic — a unit the
+// budget cut mid-way contributes nothing (the decoder restores its state
+// and stops), refinement bits apply bit-by-bit up to the cut.
 
 #include <cstdint>
 #include <cstring>
@@ -48,13 +69,14 @@ using namespace tpukit;
 
 namespace {
 constexpr int GROUP = 16;
+constexpr uint8_t FMT_MARK = 0x40;   // header-byte format-version bit
 
 inline int msb_index(uint32_t v) {  // -1 for 0
     return v ? 31 - __builtin_clz(v) : -1;
 }
 
-// 8-bit reverse LUT: movemask packs lane 0 into bit 0, the stream wants
-// the first (lowest-index) entry most-significant
+// 8-bit reverse LUT (the stream wants member 0 most-significant; PEXT/
+// movemask pack member 0 into bit 0)
 struct Rev8 {
     uint8_t t[256];
     Rev8() {
@@ -70,32 +92,72 @@ const Rev8 REV8;
 inline uint32_t rev16(uint32_t x) {  // bit-reverse the low 16 bits
     return ((uint32_t)REV8.t[x & 0xFF] << 8) | REV8.t[(x >> 8) & 0xFF];
 }
+
+// reverse the low nb (<=16) bits: LSB-first member order <-> MSB-first
+// stream order (an involution)
+inline uint32_t revn(uint32_t x, int nb) { return rev16(x) >> (16 - nb); }
+
+inline uint32_t pext32(uint32_t v, uint32_t m) {
+#ifdef __BMI2__
+    return _pext_u32(v, m);
+#else
+    uint32_t r = 0;
+    int k = 0;
+    while (m) {
+        int j = __builtin_ctz(m);
+        m &= m - 1;
+        r |= ((v >> j) & 1u) << k;
+        ++k;
+    }
+    return r;
+#endif
+}
+
+inline uint32_t pdep32(uint32_t v, uint32_t m) {
+#ifdef __BMI2__
+    return _pdep_u32(v, m);
+#else
+    uint32_t r = 0;
+    int k = 0;
+    while (m) {
+        int j = __builtin_ctz(m);
+        m &= m - 1;
+        r |= ((v >> k) & 1u) << j;
+        ++k;
+    }
+    return r;
+#endif
+}
 }
 
 static int64_t encode_body(const int32_t* coef, int64_t n, uint8_t* out,
                            int64_t out_cap, int64_t max_bytes) {
     if (n <= 0 || out_cap < 2) return -1;
-    std::vector<uint32_t> mag((size_t)n);
     int64_t ngroups = (n + GROUP - 1) / GROUP;
-    std::vector<int8_t> topg((size_t)ngroups, -1);   // msb plane per group
+    // magnitudes padded to whole groups so unit-width vector loads are safe
+    std::vector<uint32_t> mag((size_t)ngroups * GROUP, 0);
+    std::vector<int8_t> topg((size_t)ngroups);       // msb plane per group
     std::vector<uint16_t> rem((size_t)ngroups);      // insignificant members
+    std::vector<uint16_t> sgn((size_t)ngroups);      // sign bit per member
     // per-member MSB planes, one 16-byte lane per group (pad = -1)
     std::vector<int8_t> msb8((size_t)ngroups * GROUP, -1);
     uint32_t maxmag = 0;
     int64_t g0 = 0;
 #if defined(__AVX512F__) && defined(__AVX512CD__)
-    // fused setup: one 16-lane pass per group computes |coef|, the per-
-    // member MSB planes (31 - lzcnt; -1 for zero), the group max, and the
-    // running magnitude max — replaces two scalar passes over n
+    // fused setup: one 16-lane pass per group computes |coef|, the sign
+    // mask, the per-member MSB planes (31 - lzcnt; -1 for zero), the group
+    // max, and the running magnitude max
     {
         __m512i maxv = _mm512_setzero_si512();
         const __m512i c31 = _mm512_set1_epi32(31);
+        const __m512i zero = _mm512_setzero_si512();
         int64_t gfull = n / GROUP;
         for (; g0 < gfull; ++g0) {
             const int64_t lo = g0 * GROUP;
             __m512i v = _mm512_loadu_si512((const void*)(coef + lo));
             __m512i m = _mm512_abs_epi32(v);
             _mm512_storeu_si512((void*)&mag[(size_t)lo], m);
+            sgn[g0] = (uint16_t)_mm512_cmplt_epi32_mask(v, zero);
             maxv = _mm512_max_epu32(maxv, m);
             __m512i msb = _mm512_sub_epi32(c31, _mm512_lzcnt_epi32(m));
             _mm_storeu_si128((__m128i*)&msb8[(size_t)lo],
@@ -109,21 +171,46 @@ static int64_t encode_body(const int32_t* coef, int64_t n, uint8_t* out,
     for (int64_t g = g0; g < ngroups; ++g) {
         int64_t lo = g * GROUP, hi = lo + GROUP < n ? lo + GROUP : n;
         int t = -1;
+        uint16_t sg = 0;
         for (int64_t i = lo; i < hi; ++i) {
             uint32_t m = (uint32_t)(coef[i] < 0 ? -(int64_t)coef[i]
                                                 : coef[i]);
-            mag[i] = m;
+            mag[(size_t)i] = m;
+            sg |= (uint16_t)((coef[i] < 0) ? (1u << (i - lo)) : 0u);
             if (m > maxmag) maxmag = m;
             int c = msb_index(m);
             msb8[(size_t)(g * GROUP + (i - lo))] = (int8_t)c;
             t = c > t ? c : t;
         }
         topg[g] = (int8_t)t;
+        sgn[g] = sg;
         rem[g] = (uint16_t)((hi - lo == GROUP) ? 0xFFFF
                                                : ((1u << (hi - lo)) - 1u));
     }
     int nplanes = msb_index(maxmag) + 1;
-    out[0] = (uint8_t)nplanes;
+    out[0] = (uint8_t)(FMT_MARK | nplanes);
+
+    // bucket groups by activation plane (counting sort; ascending g within
+    // each bucket). topg == -1 groups never activate.
+    std::vector<int32_t> byplane((size_t)ngroups);
+    int64_t cnt[33] = {0};
+    for (int64_t g = 0; g < ngroups; ++g)
+        if (topg[g] >= 0) ++cnt[topg[g]];
+    int64_t start[34];
+    start[0] = 0;
+    for (int i = 0; i < 33; ++i) start[i + 1] = start[i] + cnt[i];
+    {
+        int64_t pos[33];
+        std::memcpy(pos, start, sizeof(pos));
+        for (int64_t g = 0; g < ngroups; ++g)
+            if (topg[g] >= 0) byplane[(size_t)pos[topg[g]]++] = (int32_t)g;
+    }
+    // eligible lists (ping-pong): groups that are active AND still have
+    // insignificant members, ascending group id
+    std::vector<int32_t> elig_a((size_t)ngroups), elig_b((size_t)ngroups);
+    int32_t* elig = elig_a.data();
+    int32_t* elig_nxt = elig_b.data();
+    int64_t nelig = 0;
 
     int64_t budget = max_bytes > 0 ? (max_bytes < out_cap ? max_bytes : out_cap)
                                    : out_cap;
@@ -140,10 +227,24 @@ static int64_t encode_body(const int32_t* coef, int64_t n, uint8_t* out,
 #ifdef __SSE2__
         const __m128i pv = _mm_set1_epi8((char)p);
 #endif
-        int64_t zrun = 0;                    // pending zero bits
-        // significance pass (group-gated, SIMD member test)
-        for (int64_t g = 0; g < ngroups; ++g) {
-            if (topg[g] < p) { ++zrun; continue; }   // inactive gate: 0
+        // significance pass: merge the surviving eligible list with this
+        // plane's activation bucket; groups outside both are 1-bit zeros
+        const int32_t* addv = byplane.data() + start[p];
+        const int64_t nadd = cnt[p];
+        int64_t ia = 0, ib = 0, nout = 0;
+        int64_t zrun = 0, prev = -1;
+        while ((ia < nelig || ib < nadd) && !bw.overflow) {
+            int64_t g;
+            bool fresh;
+            if (ib >= nadd || (ia < nelig && elig[ia] < addv[ib])) {
+                g = elig[ia++];
+                fresh = false;
+            } else {
+                g = addv[ib++];
+                fresh = true;
+            }
+            zrun += g - prev - 1;
+            prev = g;
             const uint16_t mask = rem[g];
 #ifdef __SSE2__
             const __m128i mv = _mm_loadu_si128(
@@ -157,38 +258,43 @@ static int64_t encode_body(const int32_t* coef, int64_t n, uint8_t* out,
                        << j;
             hit &= mask;
 #endif
-            if (hit == 0) {
-                // active group, nothing becomes significant on this plane
-                // (gate 1 never coincides with hit==0: the max member hits
-                // exactly at topg)
+            if (!fresh && hit == 0) {
+                // active group: nothing becomes significant on this plane
+                // (fully-significant groups pass through at zero bits —
+                // they must stay OUT of the inactive gap accounting)
                 zrun += __builtin_popcount(mask);
+                elig_nxt[nout++] = (int32_t)g;
                 continue;
             }
+            // fresh => the max member hits exactly at topg, so hit != 0
             if (zrun) { bw.put_zeros(zrun); zrun = 0; }
             if (bw.overflow) break;
-            uint64_t acc = 0;
-            int nb = 0;
-            if (topg[g] == p) { acc = 1; nb = 1; }   // gate: activates here
-            const int64_t lo = g * GROUP;
-            for (uint16_t mm = mask; mm; mm &= (uint16_t)(mm - 1)) {
-                int j = __builtin_ctz(mm);
-                uint32_t b = (hit >> j) & 1u;
-                acc = (acc << 1) | b;
-                ++nb;
-                if (b) {
-                    int64_t i = lo + j;
-                    acc = (acc << 1) | (uint64_t)(coef[i] < 0);
-                    ++nb;
-                    rem[g] = (uint16_t)(rem[g] & ~(1u << j));
-                    sig_mag[n_sig++] = mag[i];
-                }
-            }
-            bw.put_bits(acc, nb);            // ≤ 33 bits
+            const int nb = __builtin_popcount(mask);
+            const int nh = __builtin_popcount(hit);
+            uint64_t acc = fresh ? 1u : 0u;
+            acc = (acc << nb) | revn(pext32(hit, mask), nb);
+            acc = (acc << nh) | revn(pext32(sgn[g], hit), nh);
+            bw.put_bits(acc, (fresh ? 1 : 0) + nb + nh);   // <= 33 bits
             if (bw.overflow) break;
+            rem[g] = (uint16_t)(mask & ~hit);
+#if defined(__AVX512F__)
+            _mm512_mask_compressstoreu_epi32(
+                sig_mag + n_sig, (__mmask16)hit,
+                _mm512_loadu_si512((const void*)&mag[(size_t)g * GROUP]));
+            n_sig += (size_t)nh;
+#else
+            for (uint32_t hh = hit; hh; hh &= hh - 1)
+                sig_mag[n_sig++] = mag[(size_t)(g * GROUP +
+                                                __builtin_ctz(hh))];
+#endif
+            elig_nxt[nout++] = (int32_t)g;
         }
+        zrun += ngroups - 1 - prev;
         if (zrun && !bw.overflow) bw.put_zeros(zrun);
+        std::swap(elig, elig_nxt);
+        nelig = nout;
         // refinement pass: previously-significant only, acquisition order,
-        // AVX2-extracted 8 bits per step from the dense magnitude array
+        // SIMD-extracted bits from the dense magnitude array
         {
             const uint32_t* sm = sig_mag;
             size_t s = 0;
@@ -270,13 +376,13 @@ extern "C" int64_t bpc_encode_quant(const float* coefs,
 extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
                               int64_t n) {
     if (nbytes < 1 || n <= 0) return -1;
-    int nplanes = in[0];
-    // a legitimate stream has <= 32 planes (int32 magnitudes); larger values
-    // mean corruption and would shift by >= the type width (UB)
+    // format-version marker + <= 32 planes (int32 magnitudes); anything
+    // else is a foreign/corrupt stream
+    if (!(in[0] & FMT_MARK) || (in[0] & ~FMT_MARK & 0x80)) return -2;
+    int nplanes = in[0] & 0x3F;
     if (nplanes > 32) return -2;
     BitReader br(in + 1, nbytes - 1);
     int64_t ngroups = (n + GROUP - 1) / GROUP;
-    std::vector<uint8_t> active((size_t)ngroups, 0);
     std::vector<uint16_t> rem((size_t)ngroups);
     // dense significant-entry state, acquisition order; preallocated
     // (uninitialized) at the n upper bound so the hot loops append with a
@@ -294,6 +400,12 @@ extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
         rem[g] = (uint16_t)((hi - lo == GROUP) ? 0xFFFF
                                                : ((1u << (hi - lo)) - 1u));
     }
+    // active lists (ping-pong), ascending group id: activated groups that
+    // still have insignificant members
+    std::vector<int32_t> act_a((size_t)ngroups), act_b((size_t)ngroups);
+    int32_t* act = act_a.data();
+    int32_t* act_nxt = act_b.data();
+    int64_t nact = 0;
     // truncation midpoint bookkeeping: the lowest plane whose refinement
     // pass completed, and the cursor of the one partially-completed pass
     int p_done_ref = nplanes;
@@ -302,84 +414,112 @@ extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
 
     for (int p = nplanes - 1; p >= 0 && !br.error; --p) {
         size_t n_sig_before = nsig;
-        for (int64_t g = 0; g < ngroups && !br.error; ++g) {
-            const int64_t lo = g * GROUP;
+        int64_t nout = 0;
+        const uint32_t bitp = 1u << p;
+        // one significance unit: `fresh` groups (just activated) parse all
+        // members, active ones parse the still-insignificant mask. Atomic:
+        // on budget exhaustion mid-unit the reader state is restored and
+        // nothing is incorporated.
+        auto parse_unit = [&](int64_t g) -> bool {
+            const uint16_t mask = rem[g];
+            const int nb = __builtin_popcount(mask);
             br.refill();
-            // Worst case for one group pass: 1 gate + 16 sig + 16 sign = 33.
-            if (br.avail >= 33) {
-                // batched path: parse from a local window copy, commit after
-                uint64_t w = br.window;
-                int av = br.avail;
-                if (!active[g]) {
-                    uint32_t any = (uint32_t)(w >> 63);
-                    w <<= 1; --av;
-                    if (!any) {
-                        // bookkeeping-free skip: members stay 0
-                        br.window = w; br.avail = av;
-                        continue;
-                    }
-                    active[g] = 1;
+            if (br.avail < nb) { br.error = true; return false; }
+            const uint32_t hit = nb ? pdep32(
+                revn((uint32_t)(br.window >> (64 - nb)) &
+                         ((1u << nb) - 1u), nb), mask)
+                                    : 0u;
+            const int nh = __builtin_popcount(hit);
+            if (br.avail < nb + nh) { br.error = true; return false; }
+            uint64_t w = br.window << nb;
+            const uint32_t sgn = nh ? pdep32(
+                revn((uint32_t)(w >> (64 - nh)) & ((1u << nh) - 1u), nh),
+                hit)
+                                    : 0u;
+            br.window = w << nh;
+            br.avail -= nb + nh;
+            rem[g] = (uint16_t)(mask & ~hit);
+            const int64_t lo = g * GROUP;
+            if (nh) {
+                std::memset(sig_pa + nsig, p, (size_t)nh);
+                size_t k = nsig;
+                for (uint32_t hh = hit; hh; hh &= hh - 1, ++k) {
+                    int j = __builtin_ctz(hh);
+                    sig_mag[k] = bitp;
+                    sig_posneg[k] = ((lo + j) << 1) |
+                                    (int64_t)((sgn >> j) & 1u);
                 }
-                const int nb = __builtin_popcount(rem[g]);
-                if (nb && (w >> (64 - nb)) == 0) {
-                    // no member becomes significant on this plane
-                    br.window = w << nb; br.avail = av - nb;
+                nsig += (size_t)nh;
+            }
+            return true;
+        };
+        // scan the gate bits of groups [gfrom, gto): zeros in bulk via
+        // CLZ, each 1 activates that group and parses its first unit
+        auto scan_gap = [&](int64_t gfrom, int64_t gto) {
+            int64_t remaining = gto - gfrom;
+            while (remaining > 0 && !br.error) {
+                br.refill();
+                if (br.avail == 0) { br.error = true; return; }
+                int take = br.avail < remaining ? br.avail : (int)remaining;
+                uint64_t w = br.window;
+                if ((take == 64 ? w : (w >> (64 - take))) == 0) {
+                    // all `take` gate bits are zero
+                    br.window = take == 64 ? 0 : (w << take);
+                    br.avail -= take;
+                    gfrom += take;
+                    remaining -= take;
                     continue;
                 }
-                uint16_t mm = rem[g];
-                while (mm) {
-                    int j = __builtin_ctz(mm);
-                    mm &= (uint16_t)(mm - 1);
-                    uint32_t b = (uint32_t)(w >> 63);
-                    w <<= 1; --av;
-                    if (b) {
-                        uint8_t s = (uint8_t)(w >> 63);
-                        w <<= 1; --av;
-                        rem[g] = (uint16_t)(rem[g] & ~(1u << j));
-                        sig_mag[nsig] = 1u << p;
-                        sig_posneg[nsig] = ((lo + j) << 1) | s;
-                        sig_pa[nsig] = (int8_t)p;
-                        ++nsig;
-                    }
-                }
-                br.window = w; br.avail = av;
+                int z = __builtin_clzll(w);   // w != 0 within `take` bits
+                // z zeros, then an activation at group gfrom + z
+                br.window = w << (z + 1);
+                br.avail -= z + 1;
+                int64_t g = gfrom + z;
+                gfrom = g + 1;
+                remaining -= z + 1;
+                if (!parse_unit(g)) return;
+                act_nxt[nout++] = (int32_t)g;
+            }
+        };
+        int64_t gcur = 0;
+        for (int64_t ia = 0; ia < nact && !br.error; ++ia) {
+            const int64_t a = act[ia];
+            if (a > gcur) scan_gap(gcur, a);
+            if (br.error) break;
+            // active group: peek the still-insignificant members' bits; a
+            // zero unit is the common case and consumes nb bits flat
+            const uint16_t mask = rem[a];
+            const int nb = __builtin_popcount(mask);
+            if (nb == 0) {          // fully significant: zero bits, stays
+                act_nxt[nout++] = (int32_t)a;
+                gcur = a + 1;
                 continue;
             }
-            // tail path: bit-by-bit with error checks (identical semantics
-            // to the reference coder on truncated streams)
-            if (!active[g]) {
-                int any = (int)br.get_bits(1);
-                if (br.error) break;
-                if (!any) continue;
-                active[g] = 1;
+            br.refill();
+            if (br.avail < nb) { br.error = true; break; }
+            if ((br.window >> (64 - nb)) == 0) {
+                br.window <<= nb;
+                br.avail -= nb;
+                act_nxt[nout++] = (int32_t)a;
+            } else {
+                if (!parse_unit(a)) break;
+                act_nxt[nout++] = (int32_t)a;
             }
-            uint16_t mm = rem[g];
-            while (mm && !br.error) {
-                int j = __builtin_ctz(mm);
-                mm &= (uint16_t)(mm - 1);
-                int b = (int)br.get_bits(1);
-                if (br.error) break;
-                if (b) {
-                    int sg = (int)br.get_bits(1);
-                    if (br.error) break;
-                    rem[g] = (uint16_t)(rem[g] & ~(1u << j));
-                    sig_mag[nsig] = 1u << p;
-                    sig_posneg[nsig] = ((lo + j) << 1) | (int64_t)(sg != 0);
-                    sig_pa[nsig] = (int8_t)p;
-                    ++nsig;
-                }
-            }
+            gcur = a + 1;
         }
-        // refinement pass: linear over the dense magnitudes, AVX2-applied
-        // 8 bits per step where the window allows
+        if (!br.error && gcur < ngroups) scan_gap(gcur, ngroups);
+        std::swap(act, act_nxt);
+        nact = nout;
+        // refinement pass: linear over the dense magnitudes, SIMD-applied
+        // 16 bits per step where the window allows
         uint32_t* sm = sig_mag;
 #if defined(__AVX512F__)
-        const __m512i bitp512 = _mm512_set1_epi32((int)(1u << p));
+        const __m512i bitp512 = _mm512_set1_epi32((int)bitp);
 #endif
 #ifdef __AVX2__
         const __m256i sel = _mm256_setr_epi32(0x80, 0x40, 0x20, 0x10,
                                               8, 4, 2, 1);
-        const __m256i bitp = _mm256_set1_epi32((int)(1u << p));
+        const __m256i bitpv = _mm256_set1_epi32((int)bitp);
 #endif
         size_t s = 0;
         while (s < n_sig_before && !br.error) {
@@ -409,11 +549,11 @@ extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
                     __m256i cur = _mm256_loadu_si256((__m256i*)(sm + s));
                     _mm256_storeu_si256(
                         (__m256i*)(sm + s),
-                        _mm256_or_si256(cur, _mm256_and_si256(on, bitp)));
+                        _mm256_or_si256(cur, _mm256_and_si256(on, bitpv)));
                 }
 #endif
                 for (; t < take; ++t, ++s) {
-                    if (w >> 63) sm[s] |= 1u << p;
+                    if (w >> 63) sm[s] |= bitp;
                     w <<= 1;
                 }
                 br.window = w;
@@ -422,7 +562,7 @@ extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
             } else {
                 int b = (int)br.get_bits(1);
                 if (br.error) break;
-                if (b) sm[s] |= 1u << p;
+                if (b) sm[s] |= bitp;
                 ++s;
             }
         }
