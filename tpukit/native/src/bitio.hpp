@@ -153,6 +153,33 @@ struct BitReader {
             return zeros;
         }
     }
+
+    inline void get_fs_multi(uint32_t* vals, int count) {
+        // decode `count` fundamental-sequence codes: as many as fit in the
+        // current window per refill (one CLZ each, no per-code refill),
+        // falling back to get_fs() for codes that span a window boundary
+        // or long zero runs. On error the remaining vals are whatever
+        // get_fs() returned (callers check `error`).
+        int i = 0;
+        while (i < count) {
+            refill();
+            uint64_t w = window;
+            int av = avail;
+            while (i < count && w != 0) {
+                int z = __builtin_clzll(w);
+                if (z + 1 > av) break;   // code spans the refill boundary
+                vals[i++] = (uint32_t)z;
+                w <<= (z + 1);           // z+1 <= av <= 63 here
+                av -= z + 1;
+            }
+            window = w;
+            avail = av;
+            if (i < count) {
+                vals[i++] = get_fs();
+                if (error) return;
+            }
+        }
+    }
 };
 
 }  // namespace tpukit

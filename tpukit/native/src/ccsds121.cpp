@@ -70,17 +70,17 @@ inline uint32_t map_residual(uint32_t x, uint32_t pred, uint32_t xmax) {
 
 inline uint32_t unmap_residual(uint32_t d, uint32_t pred, uint32_t xmax) {
     uint32_t theta = pred < (xmax - pred) ? pred : (xmax - pred);
-    int64_t delta;
-    if (d <= 2 * theta) {
-        if (d & 1) delta = -(int64_t)((d + 1) / 2);
-        else delta = (int64_t)(d / 2);
+    int32_t delta;
+    if (__builtin_expect(d <= 2 * theta, 1)) {
+        // branchless zig-zag: odd d -> -(d+1)/2, even d -> d/2
+        delta = (int32_t)((d >> 1) ^ (0u - (d & 1u)));
     } else {
         uint32_t mag = d - theta;
         // sign disambiguated by which side saturates
-        if (pred < xmax - pred) delta = (int64_t)mag;  // theta=pred → neg side exhausted
-        else delta = -(int64_t)mag;
+        // (theta=pred → neg side exhausted)
+        delta = (pred < xmax - pred) ? (int32_t)mag : -(int32_t)mag;
     }
-    return (uint32_t)((int64_t)pred + delta);
+    return (uint32_t)((int32_t)pred + delta);
 }
 
 // ---------------------------------------------------------------------------
@@ -512,9 +512,11 @@ static int64_t decode_stream(BitReader& br, const Params& p,
                     bq = (uint32_t)(g - base);
                     a = (uint32_t)(s - bq);
                 };
+                uint32_t gs[32];            // J <= 64 -> npairs <= 32
+                br.get_fs_multi(gs, npairs);
                 for (int i = 0; i < npairs; ++i) {
                     uint32_t a, bq;
-                    unpair(br.get_fs(), a, bq);
+                    unpair(gs[i], a, bq);
                     d[2 * i] = a; d[2 * i + 1] = bq;
                 }
                 if (ref) d[0] = zref;  // first pair was (0, d1)
@@ -531,10 +533,12 @@ static int64_t decode_stream(BitReader& br, const Params& p,
             uint32_t zref = 0;
             if (ref) zref = (uint32_t)br.get_bits(p.bits);
             int start = ref ? 1 : 0;
-            for (int i = start; i < J; ++i) d[i] = br.get_fs() << k;
+            // all FS prefixes of the block in one windowed CLZ scan (the
+            // common case fits a single refill), then the split LSB fields
+            // batched into as few windowed reads as fit (≤ 56 bits each:
+            // 3 reads instead of 16 for J=16)
+            br.get_fs_multi(d.data() + start, J - start);
             if (k > 0) {
-                // batch the split LSB fields into as few windowed reads as
-                // fit (≤ 56 bits each): 3 reads instead of 16 for J=16
                 const uint32_t mk = (1u << k) - 1;
                 const int per = 56 / k;          // samples per read (k<=16)
                 int i = start;
@@ -542,7 +546,7 @@ static int64_t decode_stream(BitReader& br, const Params& p,
                     int g = J - i < per ? J - i : per;
                     uint64_t v = br.get_bits(g * k);
                     for (int j = g - 1; j >= 0; --j, ++i)
-                        d[i] |= (uint32_t)(v >> (j * k)) & mk;
+                        d[i] = (d[i] << k) | ((uint32_t)(v >> (j * k)) & mk);
                 }
             }
             if (ref) d[0] = zref;
