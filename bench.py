@@ -214,7 +214,7 @@ def main():
 
     if ae.available():
         t_ref = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             bs_ref = ae.encode(flat, 16)
             dec_ref = ae.decode(bs_ref, flat.size, 16)

@@ -326,8 +326,13 @@ class J2KCodec(Codec):
 
         results = []
         pend = []   # (index, base, host checksums)
+        import os as _os
         from concurrent.futures import ThreadPoolExecutor
-        pool = ThreadPoolExecutor(max_workers=min(8, B))
+        # band fan-out only helps with >1 core (the native coder releases
+        # the GIL); on a single core the pool is pure switching overhead
+        nw = min(8, B, _os.cpu_count() or 1)
+        pool = ThreadPoolExecutor(max_workers=nw) if nw > 1 else None
+        pmap = pool.map if pool is not None else map
         for i, q in enumerate(qualities):
             base = bases[i]
             inv_base = inv_bases[i]
@@ -336,31 +341,28 @@ class J2KCodec(Codec):
                 # fused native quantize+encode: trunc(c * (inv_step *
                 # inv_base)) — identical f32 ops and association order to
                 # the device requantizer (_device_requant_recon_ladder).
-                # Band fan-out: the native coder releases the GIL.
-                enc_qc = list(pool.map(
-                    lambda cf: wc.bpc_encode_quant(cf, inv_scale_perm,
-                                                   inv_base), perm_coefs))
-                encoded = [e for e, _ in enc_qc]
-                perm = [q for _, q in enc_qc]
+                # The wraparound-int32 checksums (vs the device's whole-
+                # cube reduction) accumulate inside the same native pass.
+                enc_qc = list(pmap(
+                    lambda cf: wc.bpc_encode_quant_ck(cf, inv_scale_perm,
+                                                      inv_base), perm_coefs))
+                encoded = [e for e, _, _, _ in enc_qc]
+                perm = [qv for _, qv, _, _ in enc_qc]
             t_comp = time.perf_counter() - t0 + t_dwt
             t0 = time.perf_counter()
             with mem_phase("dec"):
-                decs = list(pool.map(
+                decs = list(pmap(
                     lambda e: wc.bpc_decode(e, Hp * Wp), encoded))
                 for b in range(B):
                     if not np.array_equal(decs[b], perm[b]):
                         raise RuntimeError(
                             "embedded coder round-trip mismatch")
             t_dec = time.perf_counter() - t0
-            # wraparound-int32 checksums, accumulated per band (sum mod
-            # 2^32 is associative, so this equals the device's whole-cube
-            # reduction); fold in python ints to avoid scalar-overflow
-            # warnings, then reduce to signed int32
+            # per-band sums mod 2^32 fold associatively into the cube total
             s1h = s2h = 0
-            for q_arr in perm:
-                s1h = (s1h + int(np.sum(q_arr, dtype=np.int32))) & 0xFFFFFFFF
-                s2h = (s2h + int(np.sum(q_arr * q_arr,
-                                        dtype=np.int32))) & 0xFFFFFFFF
+            for _, _, s1b, s2b in enc_qc:
+                s1h = (s1h + s1b) & 0xFFFFFFFF
+                s2h = (s2h + s2b) & 0xFFFFFFFF
             to_i32 = lambda v: v - (1 << 32) if v >= (1 << 31) else v
             pend.append((len(results), base, to_i32(s1h), to_i32(s2h)))
             results.append(CodecResult(
@@ -371,7 +373,8 @@ class J2KCodec(Codec):
                              for b, e in enumerate(encoded)}
                             if keep_bitstream else None),
                 extras={"quality_used": q}))
-        pool.shutdown(wait=True)
+        if pool is not None:
+            pool.shutdown(wait=True)
         # settle the ladder: one wait + one tiny checksum fetch. Only the
         # CRITICAL-PATH device time (what's still outstanding after the
         # host coding loop) is billed, shared equally across the points'

@@ -77,14 +77,16 @@ def bpc_encode(coef: np.ndarray, max_bytes: int = 0) -> bytes:
     return buf[:n].tobytes()
 
 
-def bpc_encode_quant(coefs: np.ndarray, inv_steps: np.ndarray,
-                     inv_base: float, max_bytes: int = 0):
+def bpc_encode_quant_ck(coefs: np.ndarray, inv_steps: np.ndarray,
+                        inv_base: float, max_bytes: int = 0):
     """Fused deadzone quantize + embedded encode (one native pass).
 
     qc = trunc(coefs * (inv_steps * inv_base)) with the same f32
     association order as the numpy path and the device requantizer, so all
-    three agree bit-for-bit. Returns (bitstream bytes, qc int32 array) —
-    qc feeds the round-trip verify and checksums."""
+    three agree bit-for-bit. Returns (bitstream bytes, qc int32 array,
+    s1, s2) where s1/s2 are sum(qc) and sum(qc*qc) mod 2^32 (signed int32
+    wraparound) accumulated inside the quantize pass — the coefficient
+    checksums against the device requantizer cost no extra host pass."""
     lib = native.load()
     c = np.ascontiguousarray(coefs.ravel(), np.float32)
     s = np.ascontiguousarray(inv_steps.ravel(), np.float32)
@@ -92,16 +94,26 @@ def bpc_encode_quant(coefs: np.ndarray, inv_steps: np.ndarray,
         raise ValueError("inv_steps size mismatch")
     qc = np.empty(c.size, np.int32)
     buf = _tls_buf("buf", c.size * 8 + 1024, np.uint8)
+    sums = np.zeros(2, np.uint32)
     fp = ct.POINTER(ct.c_float)
+    u32p = ct.POINTER(ct.c_uint32)
     n = lib.bpc_encode_quant(c.ctypes.data_as(fp), s.ctypes.data_as(fp),
                              ct.c_float(inv_base),
-                             qc.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+                             qc.ctypes.data_as(u32p),
                              c.size,
                              buf.ctypes.data_as(ct.POINTER(ct.c_uint8)),
-                             buf.size, int(max_bytes))
+                             buf.size, int(max_bytes),
+                             sums.ctypes.data_as(u32p))
     if n <= 0:
         raise RuntimeError(f"bpc_encode_quant failed: {n}")
-    return buf[:n].tobytes(), qc
+    return buf[:n].tobytes(), qc, int(sums[0]), int(sums[1])
+
+
+def bpc_encode_quant(coefs: np.ndarray, inv_steps: np.ndarray,
+                     inv_base: float, max_bytes: int = 0):
+    """bpc_encode_quant_ck without the checksums: (bitstream, qc)."""
+    bs, qc, _, _ = bpc_encode_quant_ck(coefs, inv_steps, inv_base, max_bytes)
+    return bs, qc
 
 
 def bpc_decode(bitstream: bytes, n: int) -> np.ndarray:

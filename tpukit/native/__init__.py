@@ -94,7 +94,7 @@ def _declare(lib: ctypes.CDLL) -> None:
         ("bpc_encode", i64, [u32p, i64, u8p, i64, i64]),
         ("bpc_encode_quant", i64, [ct.POINTER(ct.c_float),
                                    ct.POINTER(ct.c_float), ct.c_float,
-                                   u32p, i64, u8p, i64, i64]),
+                                   u32p, i64, u8p, i64, i64, u32p]),
         ("bpc_decode", i64, [u8p, i64, u32p, i64]),
         ("ck123_code", i64, [u32p, i64, i32, i32, u8p, i64]),
         ("ck123_decode", i64, [u8p, i64, i32, i32, u32p, i64]),

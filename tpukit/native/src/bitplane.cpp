@@ -356,20 +356,40 @@ extern "C" int64_t bpc_encode(const int32_t* coef, int64_t n, uint8_t* out,
 extern "C" int64_t bpc_encode_quant(const float* coefs,
                                     const float* inv_steps, float inv_base,
                                     int32_t* qc, int64_t n, uint8_t* out,
-                                    int64_t out_cap, int64_t max_bytes) {
+                                    int64_t out_cap, int64_t max_bytes,
+                                    uint32_t* sums_out) {
+    // sums_out (nullable): {sum(qc), sum(qc*qc)} mod 2^32, accumulated in
+    // the quantize pass — the caller's coefficient checksums (against the
+    // device requantizer) then cost no extra O(n) host passes.
     int64_t i = 0;
+    uint32_t s1 = 0, s2 = 0;
 #ifdef __AVX2__
     const __m256 ib = _mm256_set1_ps(inv_base);
+    __m256i a1 = _mm256_setzero_si256(), a2 = _mm256_setzero_si256();
     for (; i + 8 <= n; i += 8) {
         __m256 s = _mm256_mul_ps(_mm256_loadu_ps(inv_steps + i), ib);
         __m256 c = _mm256_mul_ps(_mm256_loadu_ps(coefs + i), s);
-        _mm256_storeu_si256((__m256i*)(qc + i), _mm256_cvttps_epi32(c));
+        __m256i q = _mm256_cvttps_epi32(c);
+        _mm256_storeu_si256((__m256i*)(qc + i), q);
+        a1 = _mm256_add_epi32(a1, q);
+        a2 = _mm256_add_epi32(a2, _mm256_mullo_epi32(q, q));
+    }
+    {
+        // lane-sum mod 2^32 == total mod 2^32 (32-bit adds wrap)
+        alignas(32) uint32_t t1[8], t2[8];
+        _mm256_storeu_si256((__m256i*)t1, a1);
+        _mm256_storeu_si256((__m256i*)t2, a2);
+        for (int j = 0; j < 8; ++j) { s1 += t1[j]; s2 += t2[j]; }
     }
 #endif
     for (; i < n; ++i) {
         float s = inv_steps[i] * inv_base;
-        qc[i] = (int32_t)(coefs[i] * s);
+        int32_t q = (int32_t)(coefs[i] * s);
+        qc[i] = q;
+        s1 += (uint32_t)q;
+        s2 += (uint32_t)q * (uint32_t)q;
     }
+    if (sums_out) { sums_out[0] = s1; sums_out[1] = s2; }
     return encode_body(qc, n, out, out_cap, max_bytes);
 }
 
