@@ -130,7 +130,7 @@ class CCSDS121Codec(Codec):
                 rec = rawio.interleaved_to_bsq(dec, self.interleave, B, th, tw)
                 if cube.dtype == np.int16:
                     rec = rec.view(np.int16)
-                else:
+                elif rec.dtype != cube.dtype:
                     rec = rec.astype(cube.dtype)
                 if use_diff1:
                     rec = diff1_inverse_np(np.ascontiguousarray(rec))

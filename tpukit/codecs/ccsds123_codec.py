@@ -184,7 +184,12 @@ class CCSDS123Codec(Codec):
         if nodata is not None and np.isfinite(nodata):
             nd = nodata
 
-        recon = np.empty_like(cube)
+        # single-tile case (the canonical 512² tile): the reconstruction
+        # stays DEVICE-resident — downstream metrics/artifact phases fetch
+        # it batched (or not at all), the same contract as the J2K ladder.
+        # Multi-tile scenes assemble on host.
+        single = tile >= H and tile >= W
+        recon = None if single else np.empty_like(cube)
         streams: Dict[str, bytes] = {}
         sum_bytes = 0
         t_comp = t_dec = 0.0
@@ -203,8 +208,11 @@ class CCSDS123Codec(Codec):
                     # fast path: nothing coded, recon block filled with
                     # nodata (reference ccsds123_wrap.py:218-229)
                     fill = nd if nd is not None else 0
-                    recon[:, y0:y0 + th, x0:x0 + tw] = np.asarray(
-                        fill, cube.dtype)
+                    if single:
+                        recon = np.full(cube.shape, fill, cube.dtype)
+                    else:
+                        recon[:, y0:y0 + th, x0:x0 + tw] = np.asarray(
+                            fill, cube.dtype)
                     skipped += 1
                     continue
 
@@ -228,10 +236,16 @@ class CCSDS123Codec(Codec):
 
                 t0 = time.perf_counter()
                 with mem_phase("dec"):
-                    rec_u = self._decode(bs, B, th, tw)
-                    rec = rec_u.view(np.int16) if cube.dtype == np.int16 \
-                        else rec_u.astype(cube.dtype)
-                    recon[:, y0:y0 + th, x0:x0 + tw] = rec
+                    rec_dev = self._decode_device(bs, B, th, tw)
+                    if cube.dtype == np.int16:
+                        rec_dev = jax.lax.bitcast_convert_type(rec_dev,
+                                                               jnp.int16)
+                    elif cube.dtype != np.uint16:
+                        rec_dev = rec_dev.astype(cube.dtype)
+                    if single:
+                        recon = jax.block_until_ready(rec_dev)
+                    else:
+                        recon[:, y0:y0 + th, x0:x0 + tw] = np.asarray(rec_dev)
                 t_dec += time.perf_counter() - t0
 
         total_pixels = H * W
@@ -255,7 +269,8 @@ class CCSDS123Codec(Codec):
         )
 
     @staticmethod
-    def _decode(bs: bytes, B: int, H: int, W: int) -> np.ndarray:
+    def _decode_device(bs: bytes, B: int, H: int, W: int) -> jax.Array:
+        """Decode to a DEVICE-resident (B,H,W) uint16 ring cube."""
         if bs[:len(_MAGIC)] != _MAGIC:
             raise ValueError("bad TK123 stream")
         off = len(_MAGIC)
@@ -267,6 +282,9 @@ class CCSDS123Codec(Codec):
         wq = wq.reshape(B, P + 1).astype(np.int16)
         off += B * (P + 1) * 2
         mapped = ccsds121_host.decode(bs[off:], B * H * W, **_ENTROPY)
-        xu = decode_model(jnp.asarray(mapped.reshape(B, H, W)),
-                          jnp.asarray(wq))
-        return np.asarray(xu)
+        return decode_model(jnp.asarray(mapped.reshape(B, H, W)),
+                            jnp.asarray(wq))
+
+    @staticmethod
+    def _decode(bs: bytes, B: int, H: int, W: int) -> np.ndarray:
+        return np.asarray(CCSDS123Codec._decode_device(bs, B, H, W))

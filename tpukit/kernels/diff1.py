@@ -55,16 +55,19 @@ def diff1_inverse(res: jax.Array) -> jax.Array:
     return _from_unsigned(x.astype(u.dtype), sd)
 
 
-# numpy fallbacks (host tools, tiny inputs)
+# numpy fallbacks (host tools, full scenes on the non-device path)
 
 def diff1_forward_np(cube: np.ndarray) -> np.ndarray:
     u = cube.view(np.uint16) if cube.dtype == np.int16 else cube
     out = u.copy()
-    out[1:] = (u[1:].astype(np.uint32) - u[:-1].astype(np.uint32)).astype(u.dtype)
+    # unsigned subtract wraps == modular difference, no widening needed
+    np.subtract(u[1:], u[:-1], out=out[1:])
     return out.view(cube.dtype)
 
 
 def diff1_inverse_np(res: np.ndarray) -> np.ndarray:
     u = res.view(np.uint16) if res.dtype == np.int16 else res
-    out = np.cumsum(u.astype(np.uint64), axis=0).astype(u.dtype)
+    # accumulate in the native width: unsigned wraparound IS the mod-2^N
+    # cumsum, and runs ~4x faster than widening to 64-bit
+    out = np.add.accumulate(u, axis=0, dtype=u.dtype)
     return out.view(res.dtype)
