@@ -147,3 +147,61 @@ def test_fs_table_pallas_matches_jnp(rng):
         ref = np.asarray(_fs_table_jnp(coded))
         got = np.asarray(_fs_table_pallas(coded, interpret=True))
         np.testing.assert_array_equal(got, ref)
+
+
+def test_no_preprocess_size_exact(rng):
+    """preprocess=False models the native coder with flags=0 (no unit-delay
+    map, no reference samples) — the entropy backend CCSDS-123 uses on its
+    already-mapped residuals."""
+    for trial in range(24):
+        n = int(rng.choice([16, 64, 256, 1024, 16 * 64 * 3]))
+        x = _gen(rng, n, int(rng.integers(0, 4)))
+        got = int(dev.encode_size(jnp.asarray(x), preprocess=False))
+        assert got == len(ck.encode(x, 16, 8, 2, flags=0)), (trial, n)
+    # CCSDS-123's entropy geometry (J=16, rsi=64) + zero runs across
+    # segment boundaries
+    x = np.zeros(16 * 64 * 4, np.uint16)
+    x[::977] = 3
+    got = int(dev.encode_size(jnp.asarray(x), J=16, rsi=64,
+                              preprocess=False))
+    assert got == len(ck.encode(x, 16, 16, 64, flags=0))
+
+
+def test_no_preprocess_pack_and_plan(rng):
+    """On-device pack with preprocess=False: byte-exact vs flags=0 C++,
+    chunked and monolithic; the returned plan decodes via both parallel
+    host paths."""
+    for trial in range(6):
+        chunk = 16 * 64 * int(rng.integers(1, 4))       # J=16, rsi=64
+        n = chunk * int(rng.integers(2, 4))
+        x = _gen(rng, n, trial % 4)
+        bs, plan = dev.encode_device(jnp.asarray(x), J=16, rsi=64,
+                                     chunk=chunk, preprocess=False,
+                                     return_plan=True)
+        ref = ck.encode(x, 16, 16, 64, flags=0)
+        assert bs == ref, (trial, n, chunk)
+        np.testing.assert_array_equal(ck.decode_parallel(bs, plan), x)
+        np.testing.assert_array_equal(
+            np.asarray(ck.decode_to_device(bs, plan)), x)
+    # single-chunk fallback still returns a usable plan
+    x = _gen(rng, 16 * 64, 1)
+    bs, plan = dev.encode_device(jnp.asarray(x), J=16, rsi=64,
+                                 chunk=1 << 22, preprocess=False,
+                                 return_plan=True)
+    assert bs == ck.encode(x, 16, 16, 64, flags=0)
+    np.testing.assert_array_equal(
+        np.asarray(ck.decode_to_device(bs, plan)), x)
+
+
+def test_no_preprocess_plan_parallel_encode(rng):
+    """encode_plan(preprocess=False) + host encode_parallel must equal the
+    sequential flags=0 coder (the fetch-overlap path's contract)."""
+    for trial in range(6):
+        chunk = 16 * int(rng.integers(4, 40))
+        n = chunk * int(rng.integers(2, 5)) + 16 * int(rng.integers(0, 8))
+        x = _gen(rng, n, int(rng.integers(0, 4)))
+        plan = dev.encode_plan(jnp.asarray(x), chunk=chunk,
+                               preprocess=False)
+        assert plan is not None
+        assert ck.encode_parallel(x, plan) == \
+            ck.encode(x, 16, 8, 2, flags=0), (trial, n, chunk)

@@ -116,8 +116,9 @@ def _clip_compose(left, right):
     return lo, hi
 
 
-@partial(jax.jit, static_argnames=("bits", "J", "rsi"))
-def analyze(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2):
+@partial(jax.jit, static_argnames=("bits", "J", "rsi", "preprocess"))
+def analyze(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2,
+            preprocess: bool = True):
     """Full encoder model for a flattened sample stream.
 
     Returns a dict of per-block decisions and the exact total byte size:
@@ -126,6 +127,13 @@ def analyze(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2):
       option   : (nb,) 0=split,1=SE,2=nocomp,3=zero-head-or-member
       blk_bits : (nb,) emitted bits attributed to each block
       nbytes   : () total bitstream bytes
+
+    ``preprocess=False`` models the coder with the unit-delay preprocessor
+    off (libaec without AEC_DATA_PREPROCESS, native flags=0): samples are
+    coded as-is and there are no reference samples; zero-run segmentation
+    still resets at RSI and 64-block boundaries (the native coder buffers
+    in RSI chunks regardless of preprocessing, see
+    native/src/ccsds121.cpp encode_core).
     """
     n = x.shape[0]
     assert n % J == 0, "whole blocks required"
@@ -135,10 +143,14 @@ def analyze(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2):
     nb = n // J
     ref_period = J * rsi
 
-    d_flat = _map_residuals(x, ref_period, bits)
+    if preprocess:
+        d_flat = _map_residuals(x, ref_period, bits)
+    else:
+        d_flat = x.astype(jnp.int32)
     d = d_flat.reshape(nb, J)
     bidx = jnp.arange(nb, dtype=jnp.int32)
-    is_ref = (bidx % rsi) == 0
+    is_ref = ((bidx % rsi) == 0) if preprocess \
+        else jnp.zeros((nb,), jnp.bool_)
     m = jnp.where(is_ref, J - 1, J).astype(jnp.int32)
 
     # coded residuals (slot 0 excluded on ref blocks)
@@ -252,10 +264,12 @@ def analyze(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2):
     }
 
 
-@partial(jax.jit, static_argnames=("bits", "J", "rsi"))
-def encode_size(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2) -> jax.Array:
+@partial(jax.jit, static_argnames=("bits", "J", "rsi", "preprocess"))
+def encode_size(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2,
+                preprocess: bool = True) -> jax.Array:
     """Exact compressed byte size (== native/libaec encoder output length)."""
-    return analyze(x, bits=bits, J=J, rsi=rsi)["nbytes"]
+    return analyze(x, bits=bits, J=J, rsi=rsi,
+                   preprocess=preprocess)["nbytes"]
 
 
 # ---------------------------------------------------------------------------
@@ -301,9 +315,9 @@ def _excl_cumsum(x, axis):
     return c - x
 
 
-@partial(jax.jit, static_argnames=("bits", "J", "rsi", "out_words"))
+@partial(jax.jit, static_argnames=("bits", "J", "rsi", "out_words", "preprocess"))
 def pack_words(x: jax.Array, k_init: jax.Array, bits: int = 16, J: int = 8,
-               rsi: int = 2, out_words: int = 0):
+               rsi: int = 2, out_words: int = 0, preprocess: bool = True):
     """Full CCSDS-121 encode on device.
 
     Returns (words[out_words] uint32, total_bits, k_lo_out, k_hi_out): the
@@ -319,7 +333,7 @@ def pack_words(x: jax.Array, k_init: jax.Array, bits: int = 16, J: int = 8,
     ``k_init`` is the split-k search state entering the chunk (0 for a
     whole stream).
     """
-    a = analyze(x, bits=bits, J=J, rsi=rsi)
+    a = analyze(x, bits=bits, J=J, rsi=rsi, preprocess=preprocess)
     n = x.shape[0]
     nb = n // J
     d = a["d"]
@@ -418,7 +432,8 @@ def pack_cap_words(n: int, bits: int = 16, J: int = 8) -> int:
 
 
 def encode_device(x, bits: int = 16, J: int = 8, rsi: int = 2,
-                  chunk: int = 1 << 23) -> bytes:
+                  chunk: int = 1 << 23, preprocess: bool = True,
+                  return_plan: bool = False):
     """Produce the actual CCSDS-121 bitstream entirely on device.
 
     Chunks end on reference-sample intervals, and the split-k chain threads
@@ -426,7 +441,11 @@ def encode_device(x, bits: int = 16, J: int = 8, rsi: int = 2,
     every chunk's pack dispatches asynchronously and analyze() runs exactly
     once per chunk; the packed word buffers and bit lengths come down in one
     device_get and are bit-spliced on host (the only host work).
-    Byte-identical to encode()/libaec."""
+    Byte-identical to encode()/libaec.
+
+    With ``return_plan=True`` returns ``(bytes, plan)`` where plan carries
+    the chunk sample counts and exact bit offsets — enough for
+    ccsds121_host.decode_parallel to decode every chunk independently."""
     from tpukit.native.ccsds121_host import splice_segments
 
     n = int(x.shape[0])
@@ -436,10 +455,17 @@ def encode_device(x, bits: int = 16, J: int = 8, rsi: int = 2,
     if chunk <= 0 or n <= chunk or n % step != 0:
         words, total_bits, _, _ = pack_words(
             x, jnp.int32(0), bits=bits, J=J, rsi=rsi,
-            out_words=pack_cap_words(n, bits, J))
+            out_words=pack_cap_words(n, bits, J), preprocess=preprocess)
         words, total_bits = jax.device_get((words, total_bits))
         nbytes = (int(total_bits) + 7) // 8
-        return words.astype(">u4").tobytes()[:nbytes]
+        bs = words.astype(">u4").tobytes()[:nbytes]
+        if return_plan:
+            plan = {"n": n, "sizes": [n], "bit_off": [0],
+                    "seg_bits": [int(total_bits)],
+                    "total_bits": int(total_bits), "bits": bits, "J": J,
+                    "rsi": rsi, "preprocess": preprocess}
+            return bs, plan
+        return bs
 
     sizes = [chunk] * (n // chunk)
     if n % chunk:
@@ -450,7 +476,8 @@ def encode_device(x, bits: int = 16, J: int = 8, rsi: int = 2,
     for sz in sizes:
         words, tb, lo, hi = pack_words(x[start:start + sz], k, bits=bits,
                                        J=J, rsi=rsi,
-                                       out_words=pack_cap_words(sz, bits, J))
+                                       out_words=pack_cap_words(sz, bits, J),
+                                       preprocess=preprocess)
         parts.append((words, tb))
         k = jnp.clip(k, lo, hi)
         start += sz
@@ -466,10 +493,13 @@ def encode_device(x, bits: int = 16, J: int = 8, rsi: int = 2,
     for tb in seg_bits:
         bit_off.append(off)
         off += tb
-    plan = {"seg_bits": seg_bits, "bit_off": bit_off, "total_bits": off}
-    return splice_segments(
+    plan = {"n": n, "sizes": sizes, "bit_off": bit_off,
+            "seg_bits": seg_bits, "total_bits": off, "bits": bits, "J": J,
+            "rsi": rsi, "preprocess": preprocess}
+    bs = splice_segments(
         [(words.astype(">u4").view(np.uint8), tb) for words, tb
          in zip(host_words, seg_bits)], plan)
+    return (bs, plan) if return_plan else bs
 
 
 # ---------------------------------------------------------------------------
@@ -477,8 +507,9 @@ def encode_device(x, bits: int = 16, J: int = 8, rsi: int = 2,
 # with the k-state chain folded across chunks on host.
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("bits", "J", "rsi"))
-def chunk_stats(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2):
+@partial(jax.jit, static_argnames=("bits", "J", "rsi", "preprocess"))
+def chunk_stats(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2,
+                preprocess: bool = True):
     """Per-chunk model: (total_bits, k_lo_out, k_hi_out).
 
     The chunk's bit length is INVARIANT to the incoming split-k state:
@@ -492,12 +523,12 @@ def chunk_stats(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2):
     k_hi_out). Mirrors libaec's assess_splitting_option, where the carried
     k breaks ties but never changes the selected length.
     """
-    a = analyze(x, bits=bits, J=J, rsi=rsi)
+    a = analyze(x, bits=bits, J=J, rsi=rsi, preprocess=preprocess)
     return a["total_bits"], a["k_lo_out"], a["k_hi_out"]
 
 
 def encode_plan(x, bits: int = 16, J: int = 8, rsi: int = 2,
-                chunk: int = 1 << 22):
+                chunk: int = 1 << 22, preprocess: bool = True):
     """Device-computed parallel-encode plan.
 
     Splits the stream into chunks aligned to reference-sample intervals
@@ -531,10 +562,12 @@ def encode_plan(x, bits: int = 16, J: int = 8, rsi: int = 2,
     # async, so the serial launches overlap, and the tables come down in
     # one device_get below
     results = [chunk_stats(x[i * chunk:(i + 1) * chunk], bits=bits, J=J,
-                           rsi=rsi) for i in range(n // chunk)]
+                           rsi=rsi, preprocess=preprocess)
+               for i in range(n // chunk)]
     sizes = [chunk] * (n // chunk)
     if rem:
-        results.append(chunk_stats(x[main:], bits=bits, J=J, rsi=rsi))
+        results.append(chunk_stats(x[main:], bits=bits, J=J, rsi=rsi,
+                                   preprocess=preprocess))
         sizes.append(rem)
     totals, los, his = jax.device_get(
         (jnp.stack([t for t, _, _ in results]),
@@ -551,15 +584,17 @@ def encode_plan(x, bits: int = 16, J: int = 8, rsi: int = 2,
         k = int(min(max(k, lo), hi))
     return {"n": n, "sizes": sizes, "k_in": k_in, "bit_off": bit_off,
             "seg_bits": seg_bits, "total_bits": off,
-            "bits": bits, "J": J, "rsi": rsi}
+            "bits": bits, "J": J, "rsi": rsi, "preprocess": preprocess}
 
 
 def encode_size_chunked(x, bits: int = 16, J: int = 8, rsi: int = 2,
-                        chunk: int = 1 << 22) -> int:
+                        chunk: int = 1 << 22, preprocess: bool = True) -> int:
     """Exact encoded byte size using fixed-shape chunks (see encode_plan)."""
-    plan = encode_plan(x, bits=bits, J=J, rsi=rsi, chunk=chunk)
+    plan = encode_plan(x, bits=bits, J=J, rsi=rsi, chunk=chunk,
+                       preprocess=preprocess)
     if plan is None:
-        return int(encode_size(x, bits=bits, J=J, rsi=rsi))
+        return int(encode_size(x, bits=bits, J=J, rsi=rsi,
+                               preprocess=preprocess))
     return (plan["total_bits"] + 7) // 8
 
 

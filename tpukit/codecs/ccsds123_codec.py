@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpukit.codecs.base import Codec, CodecResult, RateSpec
+from tpukit.codecs import ccsds121 as dev121
 from tpukit.native import ccsds121_host
 from tpukit.sweep.proc import mem_phase
 
@@ -222,10 +223,22 @@ class CCSDS123Codec(Codec):
                 with mem_phase("comp"):
                     mapped, wq = encode_model(
                         jnp.asarray(np.ascontiguousarray(xu)))
-                    mapped_np = np.asarray(mapped)
                     wq_np = np.asarray(wq)
-                    stream = ccsds121_host.encode(mapped_np.ravel(),
-                                                  **_ENTROPY)
+                    plan = None
+                    if mapped.size % _ENTROPY["block_size"] == 0:
+                        # entropy-code ON DEVICE (pack_words with the
+                        # preprocessor off — residuals are already mapped):
+                        # the download is the compressed stream, not the
+                        # 2-byte/sample mapped cube, and the returned plan
+                        # lets the decode phase run chunk-parallel with
+                        # overlapped uploads
+                        stream, plan = dev121.encode_device(
+                            mapped.reshape(-1), bits=_ENTROPY["bits"],
+                            J=_ENTROPY["block_size"], rsi=_ENTROPY["rsi"],
+                            preprocess=False, return_plan=True)
+                    else:
+                        stream = ccsds121_host.encode(
+                            np.asarray(mapped).ravel(), **_ENTROPY)
                     header = (_MAGIC + struct.pack("<HIII", P, B, th, tw) +
                               wq_np.astype("<i2").tobytes())
                     bs = header + stream
@@ -236,7 +249,7 @@ class CCSDS123Codec(Codec):
 
                 t0 = time.perf_counter()
                 with mem_phase("dec"):
-                    rec_dev = self._decode_device(bs, B, th, tw)
+                    rec_dev = self._decode_device(bs, B, th, tw, plan=plan)
                     if cube.dtype == np.int16:
                         rec_dev = jax.lax.bitcast_convert_type(rec_dev,
                                                                jnp.int16)
@@ -269,8 +282,12 @@ class CCSDS123Codec(Codec):
         )
 
     @staticmethod
-    def _decode_device(bs: bytes, B: int, H: int, W: int) -> jax.Array:
-        """Decode to a DEVICE-resident (B,H,W) uint16 ring cube."""
+    def _decode_device(bs: bytes, B: int, H: int, W: int,
+                       plan=None) -> jax.Array:
+        """Decode to a DEVICE-resident (B,H,W) uint16 ring cube. With an
+        encode plan (chunk bit offsets), the host entropy decode runs
+        chunk-by-chunk with each chunk's device upload started as soon as
+        it lands — the upload hides the host decode entirely."""
         if bs[:len(_MAGIC)] != _MAGIC:
             raise ValueError("bad TK123 stream")
         off = len(_MAGIC)
@@ -281,6 +298,10 @@ class CCSDS123Codec(Codec):
         wq = np.frombuffer(bs, "<i2", count=B * (P + 1), offset=off)
         wq = wq.reshape(B, P + 1).astype(np.int16)
         off += B * (P + 1) * 2
+        if plan is not None:
+            mapped_dev = ccsds121_host.decode_to_device(bs[off:], plan)
+            return decode_model(mapped_dev.reshape(B, H, W),
+                                jnp.asarray(wq))
         mapped = ccsds121_host.decode(bs[off:], B * H * W, **_ENTROPY)
         return decode_model(jnp.asarray(mapped.reshape(B, H, W)),
                             jnp.asarray(wq))

@@ -77,7 +77,7 @@ def encode_parallel(samples: np.ndarray, plan: dict,
         raise ValueError(f"plan is for n={plan['n']}, got {x.size}")
     bits, J, rsi = plan["bits"], plan["J"], plan["rsi"]
     sizes, k_in = plan["sizes"], plan["k_in"]
-    flags = FLAG_PREPROCESS
+    flags = FLAG_PREPROCESS if plan.get("preprocess", True) else 0
 
     starts = np.concatenate([[0], np.cumsum(sizes)])
 
@@ -113,6 +113,7 @@ def decode_parallel(bitstream: bytes, plan: dict,
     lib = native.load()
     b = np.frombuffer(bitstream, np.uint8)
     bits, J, rsi = plan["bits"], plan["J"], plan["rsi"]
+    flags = FLAG_PREPROCESS if plan.get("preprocess", True) else 0
     sizes = plan["sizes"]
     starts = np.concatenate([[0], np.cumsum(sizes)])
     out = np.empty(int(plan["n"]), np.uint16)
@@ -122,7 +123,7 @@ def decode_parallel(bitstream: bytes, plan: dict,
         seg = out[starts[i]:starts[i] + cnt]
         r = lib.ck121_decode_seg(
             b.ctypes.data_as(_u8p), b.size, int(plan["bit_off"][i]),
-            bits, J, rsi, FLAG_PREPROCESS,
+            bits, J, rsi, flags,
             seg.ctypes.data_as(_u16p), cnt)
         if r != cnt:
             raise RuntimeError(f"ck121_decode_seg chunk {i} failed: {r}")
@@ -132,6 +133,34 @@ def decode_parallel(bitstream: bytes, plan: dict,
                                                        nseg)) as pool:
         list(pool.map(dec_one, range(nseg)))
     return out
+
+
+def decode_to_device(bitstream: bytes, plan: dict):
+    """Decode a planned stream chunk-by-chunk, starting each chunk's
+    device upload as soon as it is decoded (jax.device_put is
+    asynchronous), so the host entropy decode of chunk i+1 overlaps the
+    transfer of chunk i. Returns a flat DEVICE uint16 array of plan["n"]
+    samples. On a tunnel-attached device the upload dominates, so this
+    hides the entire host decode under it."""
+    import jax
+    import jax.numpy as jnp
+
+    lib = native.load()
+    b = np.frombuffer(bitstream, np.uint8)
+    bits, J, rsi = plan["bits"], plan["J"], plan["rsi"]
+    flags = FLAG_PREPROCESS if plan.get("preprocess", True) else 0
+    sizes = plan["sizes"]
+    parts = []
+    for i, cnt in enumerate(sizes):
+        cnt = int(cnt)
+        seg = np.empty(cnt, np.uint16)
+        r = lib.ck121_decode_seg(
+            b.ctypes.data_as(_u8p), b.size, int(plan["bit_off"][i]),
+            bits, J, rsi, flags, seg.ctypes.data_as(_u16p), cnt)
+        if r != cnt:
+            raise RuntimeError(f"ck121_decode_seg chunk {i} failed: {r}")
+        parts.append(jax.device_put(seg))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
 
 def decode(bitstream: bytes, n_samples: int, bits: int = 16,
