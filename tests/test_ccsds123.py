@@ -120,3 +120,28 @@ def test_mask_passthrough_in_sweep(tmp_path, rng):
     with tiff.open(tmp_path / "runs" / "T" / "norate" / "rep_01" /
                    "recon.tif") as ds:
         np.testing.assert_array_equal(ds.dataset_mask(), mask)
+
+
+def test_device_cube_reuse_matches_host_upload(spectral_cube):
+    """run(device_cube=...) must skip the host upload yet produce the
+    identical bitstream and recon — int16 rides the device bitcast."""
+    import jax.numpy as jnp
+    dev = jnp.asarray(spectral_cube)
+    base = CCSDS123Codec().run(spectral_cube, "int16", RateSpec.none(),
+                               keep_bitstream=True)
+    via = CCSDS123Codec().run(spectral_cube, "int16", RateSpec.none(),
+                              keep_bitstream=True, device_cube=dev)
+    assert base.bitstreams == via.bitstreams
+    np.testing.assert_array_equal(np.asarray(via.recon), spectral_cube)
+    # wrong-shape device cube is ignored, not an error
+    bad = CCSDS123Codec().run(spectral_cube, "int16", RateSpec.none(),
+                              device_cube=dev[:, :16, :16])
+    np.testing.assert_array_equal(np.asarray(bad.recon), spectral_cube)
+
+
+def test_device_cube_reuse_uint16(rng):
+    import jax.numpy as jnp
+    cube = rng.integers(0, 65536, (6, 16, 16)).astype(np.uint16)
+    via = CCSDS123Codec().run(cube, "uint16", RateSpec.none(),
+                              device_cube=jnp.asarray(cube))
+    np.testing.assert_array_equal(np.asarray(via.recon), cube)
