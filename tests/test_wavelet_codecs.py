@@ -40,7 +40,7 @@ def test_j2k_quality_monotone(smooth_tile):
     sizes, psnrs = [], []
     for q in (10, 35, 60, 90):
         res = J2KCodec().run(smooth_tile, "uint16", RateSpec.of("quality", q))
-        d = res.recon.astype(np.float64) - smooth_tile.astype(np.float64)
+        d = np.asarray(res.recon).astype(np.float64) - smooth_tile.astype(np.float64)
         mse = (d ** 2).mean()
         sizes.append(res.bitstream_bytes)
         psnrs.append(1e9 if mse == 0 else -10 * np.log10(mse))
@@ -75,7 +75,7 @@ def test_ccsds122_rate_control(smooth_tile):
         res = CCSDS122Codec().run(smooth_tile, "uint16", RateSpec.of("bpp", bpp))
         got_bpp = res.bitstream_bytes * 8.0 / (B * H * W)
         assert got_bpp <= bpp * 1.05, (bpp, got_bpp)
-        err = np.abs(res.recon.astype(np.int32) - smooth_tile.astype(np.int32))
+        err = np.abs(np.asarray(res.recon).astype(np.int32) - smooth_tile.astype(np.int32))
         assert err.max() < 4096  # bounded distortion, image not destroyed
 
 
@@ -89,7 +89,7 @@ def test_ccsds122_quality_improves_with_rate(smooth_tile):
     mses = []
     for bpp in (0.5, 1.0, 2.0, 4.0):
         res = CCSDS122Codec().run(smooth_tile, "uint16", RateSpec.of("bpp", bpp))
-        d = res.recon.astype(np.float64) - smooth_tile.astype(np.float64)
+        d = np.asarray(res.recon).astype(np.float64) - smooth_tile.astype(np.float64)
         mses.append((d ** 2).mean())
     assert mses == sorted(mses, reverse=True), mses
 
@@ -133,7 +133,7 @@ def test_j2k_tiled_coding(rng):
     lossy = J2KCodec(tilex=32, tiley=32).run(cube, "uint16",
                                              RateSpec.of("quality", 30))
     assert lossy.bitstream_bytes > 0
-    assert np.abs(lossy.recon.astype(int) - cube.astype(int)).max() < 600
+    assert np.abs(np.asarray(lossy.recon).astype(int) - cube.astype(int)).max() < 600
 
 
 def test_j2k_rate_fit_hits_target(rng):
@@ -174,3 +174,30 @@ def test_bpc_encode_quant_matches_numpy_path(rng):
         np.testing.assert_array_equal(qc, ref_q)
         assert bits == ref_bits
         np.testing.assert_array_equal(wc.bpc_decode(bits, n), ref_q)
+
+
+def test_ccsds122_streams_match_device_model(smooth_tile):
+    """keep_bitstream materializes real host streams; their lengths and
+    decoded reconstruction must equal the device model's outputs."""
+    from tpukit.codecs import wavelet_common as wc
+    from tpukit.kernels import dwt as dwtk
+    import jax.numpy as jnp
+
+    res = CCSDS122Codec().run(smooth_tile, "uint16",
+                              RateSpec.of("bpp", 1.5), keep_bitstream=True)
+    assert res.bitstreams is not None
+    assert sum(len(v) for v in res.bitstreams.values()) == res.bitstream_bytes
+
+    # host decode of the real streams -> inverse DWT == device recon
+    B, H, W = smooth_tile.shape
+    work, H0, W0 = wc.pad_to_multiple(smooth_tile.astype(np.int32), 8)
+    Hp, Wp = work.shape[-2:]
+    inv = wc.inverse_scan_order(Hp, Wp, 3)
+    planes = np.stack([
+        wc.bpc_decode(res.bitstreams[f"b{b+1:02d}.bit"], Hp * Wp)[inv]
+        .reshape(Hp, Wp) for b in range(B)])
+    rec = np.asarray(dwtk.idwt2(jnp.asarray(planes), "97m", 3))
+    info = np.iinfo(smooth_tile.dtype)
+    rec = np.clip(rec[:, :H0, :W0], info.min, info.max).astype(
+        smooth_tile.dtype)
+    np.testing.assert_array_equal(np.asarray(res.recon), rec)

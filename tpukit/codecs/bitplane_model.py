@@ -90,3 +90,138 @@ def bpc_size_bytes(coefs: jax.Array, valid: jax.Array | None = None) -> jax.Arra
 def bpc_size_bytes_host(coefs: np.ndarray) -> np.ndarray:
     """Host convenience wrapper (jits on default backend)."""
     return np.asarray(jax.jit(bpc_size_bytes)(jnp.asarray(coefs)))
+
+
+# ---------------------------------------------------------------------------
+# Exact truncated-decode model.
+#
+# bpc_encode(coefs, max_bytes) emits the embedded stream truncated at
+# exactly 8*(max_bytes-1) payload bits (bitio.hpp BitWriter: overflowing
+# bytes are dropped, never reordered), and bpc_decode reconstructs from the
+# prefix with atomic significance units, bit-granular refinement, and a
+# midpoint fill at each coefficient's lowest fully-known plane
+# (bitplane.cpp decoder tail). Every one of those bit positions is a
+# closed-form function of the coefficients' MSB indices, so the *decoded
+# result of the truncated stream* — what the CCSDS-122 `-r {bpp}` surface
+# actually produces (reference tools/codecs/ccsds122/ccsds122_wrap.py:
+# 110-121) — can be computed on device without materializing the stream:
+#
+#   * per plane p, per group g, the significance-pass unit length is
+#       inactive (topg<p): 1 gate bit;  fresh (topg==p): 1+nb+nh;
+#       active  (topg>p): nb+nh if nb>0 else 0,
+#     with nb = #{members: msb<=p}, nh = #{members: msb==p};
+#   * the refinement pass of plane p holds one bit per coefficient with
+#     msb>p, ordered by significance acquisition (= msb descending, scan
+#     position ascending — a stable argsort);
+#   * a coefficient is reconstructed iff its acquisition unit ends at or
+#     before the cut; it receives each refinement bit whose absolute
+#     position is below the cut, plus 1<<(known-1) where `known` is the
+#     lowest plane whose bit arrived (or its MSB plane if none did).
+#
+# Byte-exactness vs the native coder is pinned by fuzz tests
+# (tests/test_bitplane_model.py). This is what lets the CCSDS-122 rate
+# ladder run device-resident end to end: DWT -> model -> inverse DWT with
+# no coefficient-plane transfers.
+# ---------------------------------------------------------------------------
+
+
+def bpc_truncated_decode(coefs: jax.Array, budget_bytes: jax.Array,
+                         valid: jax.Array | None = None):
+    """Model bpc_decode(bpc_encode(coefs, budget_bytes)) on device.
+
+    ``coefs``: (n,) int32 in scan order. ``budget_bytes``: scalar int32
+    (<=0 means untruncated). Returns ``(recon, nbytes)`` where ``recon``
+    is the (n,) int32 reconstruction and ``nbytes`` the exact encoded
+    byte length (header included, truncation applied).
+    """
+    n = coefs.shape[-1]
+    mag = jnp.abs(coefs).astype(jnp.uint32)
+    if valid is None:
+        w = jnp.ones((n,), jnp.int32)
+    else:
+        w = valid.astype(jnp.int32)
+    pad = (-n) % GROUP
+    if pad:
+        mag = jnp.pad(mag, (0, pad))
+        w = jnp.pad(w, (0, pad))
+    npad = mag.shape[-1]
+    g = npad // GROUP
+    magg = mag.reshape(g, GROUP)
+    wg = w.reshape(g, GROUP)
+
+    msb = jnp.where(wg > 0, _msb_index(magg), -1)        # (g, GROUP)
+    topg = jnp.max(msb, axis=-1)                          # (g,)
+    nplanes = jnp.maximum(jnp.max(topg) + 1, 0)           # scalar
+
+    p = jnp.arange(32, dtype=jnp.int32)                   # plane axis
+    # (32, g): unit composition per plane
+    nb = jnp.sum((msb[None] <= p[:, None, None]) & (wg[None] > 0),
+                 axis=-1).astype(jnp.int32)
+    nh = jnp.sum(msb[None] == p[:, None, None], axis=-1).astype(jnp.int32)
+    inactive = topg[None] < p[:, None]
+    fresh = topg[None] == p[:, None]
+    # positions fit int32: the stream is < 66 bits/coefficient, so any
+    # band under ~32M coefficients stays far below 2^31 bits
+    sig_bits = jnp.where(
+        inactive, 1,
+        jnp.where(fresh, 1 + nb + nh,
+                  jnp.where(nb > 0, nb + nh, 0))).astype(jnp.int32)
+    live = (p[:, None] < nplanes)
+    sig_bits = jnp.where(live, sig_bits, 0)               # (32, g)
+
+    sig_total = jnp.sum(sig_bits, axis=-1)                # (32,)
+    # refinement bits at plane p: one per coefficient with msb > p
+    msb_flat = msb.reshape(-1)
+    ref_total = jnp.where(
+        p < nplanes,
+        jnp.sum(msb_flat[None] > p[:, None], axis=-1).astype(jnp.int32), 0)
+
+    # stream runs planes nplanes-1 .. 0, each plane sig then ref; the
+    # start of plane p's segments is the total of all higher planes
+    seg_len = sig_total + ref_total
+    above = jnp.cumsum(seg_len[::-1])[::-1] - seg_len     # Σ_{q>p} seg_len
+    start_sig = above
+    start_ref = above + sig_total
+
+    # inclusive prefix of unit ends within each sig pass
+    unit_end = start_sig[:, None] + jnp.cumsum(sig_bits, axis=-1)  # (32, g)
+
+    total_bits = jnp.sum(seg_len)
+    full_bytes = 1 + (total_bits + 7) // 8
+    budget = jnp.asarray(budget_bytes, jnp.int32)
+    nbytes = jnp.where(budget > 0, jnp.minimum(full_bytes, budget),
+                       full_bytes)
+    # int32-safe cut sentinel: a budget beyond 2^27 bytes (1 Gbit) is
+    # always past the whole stream, so clamping keeps 8*(budget-1) exact
+    INF = jnp.int32(2**31 - 1)
+    bclamp = jnp.minimum(budget, jnp.int32(1 << 27))
+    cut = jnp.where(budget > 0, 8 * jnp.maximum(bclamp - 1, 0), INF)
+
+    # acquisition rank: msb descending, scan position ascending (stable)
+    order = jnp.argsort(-msb_flat, stable=True)
+    rank = jnp.zeros((npad,), jnp.int32).at[order].set(
+        jnp.arange(npad, dtype=jnp.int32))
+
+    gidx = jnp.arange(npad, dtype=jnp.int32) // GROUP
+    msb_c = jnp.clip(msb_flat, 0, 31)
+    acq = (msb_flat >= 0) & (unit_end[msb_c, gidx] <= cut)
+
+    # refinement reception: bit of plane q incorporated iff its absolute
+    # position start_ref[q] + rank is below the cut (and q < msb). All of
+    # a coefficient's refinement positions lie after its unit end, so no
+    # extra acq gating is needed inside the loop.
+    rec = jnp.where(acq, jnp.uint32(1) << msb_c.astype(jnp.uint32),
+                    jnp.uint32(0))
+    known = msb_c
+    for q in range(32):
+        inc = (q < msb_flat) & (start_ref[q] + rank < cut)
+        rec = rec + jnp.where(inc, mag & jnp.uint32(1 << q), 0)
+        known = jnp.where(inc, jnp.minimum(known, q), known)
+    m = rec + jnp.where(acq & (known > 0),
+                        jnp.uint32(1) << jnp.clip(known - 1, 0).astype(jnp.uint32),
+                        jnp.uint32(0))
+    neg = (jnp.pad(coefs, (0, pad)) if pad else coefs) < 0
+    out = jnp.where(acq,
+                    jnp.where(neg, -m.astype(jnp.int32), m.astype(jnp.int32)),
+                    0)
+    return out[:n], nbytes

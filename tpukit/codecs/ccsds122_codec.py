@@ -16,22 +16,70 @@ bit-plane coder, truncated at the per-band byte budget — functionally
 equivalent rate control to the BPE's `-r {bpp}` (the reference's BPE is a
 user-supplied Windows binary, so bitstream-level parity is out of scope
 by construction; rate/quality behavior is the contract).
+
+TPU-first execution: the rate ladder never moves coefficient planes over
+the link. `bitplane_model.bpc_truncated_decode` reproduces the native
+coder's truncated decode (atomic significance units, bit-granular
+refinement, midpoint fill) and its exact byte count on device, so
+DWT -> entropy model -> inverse DWT runs HBM-resident; only the per-band
+byte counts are fetched. The host coder (`wavelet_common.bpc_encode`)
+materializes real streams when ``keep_bitstream`` asks for them, and the
+fuzzed equality model==coder is pinned in tests/test_bitplane_model.py.
 """
 
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from tpukit.codecs.base import Codec, CodecResult, RateSpec
+from tpukit.codecs import bitplane_model as bm
 from tpukit.codecs import wavelet_common as wc
 from tpukit.kernels import dwt as dwtk
 from tpukit.sweep.proc import mem_phase
 
 LEVELS = 3
+
+# scan-order permutations live on device, one per padded shape
+_ORDER_CACHE: Dict[tuple, tuple] = {}
+
+
+def _device_orders(Hp: int, Wp: int):
+    key = (Hp, Wp, LEVELS)
+    hit = _ORDER_CACHE.get(key)
+    if hit is None:
+        order = wc.scan_order(Hp, Wp, LEVELS)
+        inv = wc.inverse_scan_order(Hp, Wp, LEVELS)
+        hit = (jnp.asarray(order), jnp.asarray(inv))
+        _ORDER_CACHE[key] = hit
+    return hit
+
+
+@partial(jax.jit, static_argnames=())
+def _analyze_device(work, order, budget):
+    """(B,Hp,Wp) int32 -> (scan-ordered recon coefs (B,n), per-band bytes).
+
+    One compile serves every rate point: the budget is a traced scalar.
+    """
+    B = work.shape[0]
+    coefs = dwtk.dwt2(work, "97m", LEVELS)
+    perm = coefs.reshape(B, -1)[:, order]
+    rec, nbytes = jax.vmap(
+        lambda c: bm.bpc_truncated_decode(c, budget))(perm)
+    return rec, nbytes
+
+
+@partial(jax.jit, static_argnames=("Hp", "Wp", "H0", "W0", "out_dtype"))
+def _synthesize_device(rec, inv, Hp, Wp, H0, W0, out_dtype, lo, hi):
+    B = rec.shape[0]
+    planes = rec[:, inv].reshape(B, Hp, Wp)
+    out = dwtk.idwt2(planes, "97m", LEVELS)[:, :H0, :W0]
+    return jnp.clip(out, lo, hi).astype(out_dtype)
 
 
 class CCSDS122Codec(Codec):
@@ -54,100 +102,76 @@ class CCSDS122Codec(Codec):
         budget = 0 if lossless_req else int(target_bpp_band * H * W / 8.0)
         return target_bpp_band, budget
 
+    def _device_work(self, cube: np.ndarray, opts):
+        """(B,Hp,Wp) int32 device array, edge-padded to the DWT multiple;
+        rides the runner's HBM-resident cube when shapes match."""
+        m = 1 << LEVELS
+        dev_cube = opts.get("device_cube")
+        H, W = cube.shape[-2:]
+        ph, pw = (-H) % m, (-W) % m
+        if dev_cube is not None and dev_cube.shape == cube.shape:
+            work = dev_cube.astype(jnp.int32)
+            if ph or pw:
+                work = jnp.pad(work, ((0, 0), (0, ph), (0, pw)),
+                               mode="edge")
+            return work, H, W
+        padded, H0, W0 = wc.pad_to_multiple(cube.astype(np.int32), m)
+        return jnp.asarray(padded), H0, W0
+
     def sweep_rates(self, cube: np.ndarray, dtype_name: str, specs,
                     keep_bitstream: bool = False, **opts) -> list:
-        """Amortized rate ladder: one device 9/7M DWT feeds every budget
-        point (the bit-plane stream is embedded, so each point re-encodes
-        only up to its own budget). Reconstructions stay on device."""
+        """Rate ladder, device-resident end to end: one DWT feeds every
+        budget point; reconstructions and exact stream sizes come from the
+        on-device truncated-decode model; host streams only on demand."""
         specs = list(specs)
         B, H, W = cube.shape
-        work, H0, W0 = wc.pad_to_multiple(cube.astype(np.int32), 1 << LEVELS)
+        work, H0, W0 = self._device_work(cube, opts)
         Hp, Wp = work.shape[-2:]
-        order = wc.scan_order(Hp, Wp, LEVELS)
+        order, inv = _device_orders(Hp, Wp)
+        info = np.iinfo(cube.dtype)
+
+        host_perm = None
+        if keep_bitstream:
+            coefs = np.asarray(dwtk.dwt2(work, "97m", LEVELS))
+            host_perm = coefs.reshape(B, -1)[:, np.asarray(order)]
 
         t0 = time.perf_counter()
-        coefs = np.asarray(dwtk.dwt2(jnp.asarray(work), "97m", LEVELS))
-        perm = coefs.reshape(B, -1)[:, order]
-        t_dwt = time.perf_counter() - t0
+        jax.block_until_ready(work)
+        t_up = time.perf_counter() - t0
 
-        info = np.iinfo(cube.dtype)
-        inv = wc.inverse_scan_order(Hp, Wp, LEVELS)
         out = []
         for spec in specs:
             target_bpp_band, budget = self.budget_for(spec, B, H, W,
                                                       dtype_name)
             t0 = time.perf_counter()
             with mem_phase("comp"):
-                encoded = [wc.bpc_encode(perm[b], budget) for b in range(B)]
-            t_comp = time.perf_counter() - t0 + t_dwt
+                rec, nbytes = _analyze_device(work, order,
+                                              jnp.int32(budget))
+                nbytes_host = np.asarray(nbytes)
+                streams = None
+                if keep_bitstream:
+                    streams = {f"b{b+1:02d}.bit":
+                               wc.bpc_encode(host_perm[b], budget)
+                               for b in range(B)}
+            t_comp = time.perf_counter() - t0 + t_up
             t0 = time.perf_counter()
             with mem_phase("dec"):
-                planes = np.stack([
-                    wc.bpc_decode(encoded[b], Hp * Wp)[inv].reshape(Hp, Wp)
-                    for b in range(B)])
-                recon = jnp.clip(
-                    dwtk.idwt2(jnp.asarray(planes), "97m", LEVELS)
-                    [:, :H0, :W0], info.min, info.max).astype(cube.dtype)
+                recon = _synthesize_device(
+                    rec, inv, Hp, Wp, H0, W0, cube.dtype.name,
+                    info.min, info.max)
                 recon.block_until_ready()
             t_dec = time.perf_counter() - t0
             out.append(CodecResult(
                 codec="ccsds122_ext", encoder=self.encoder_desc,
-                bitstream_bytes=sum(len(e) for e in encoded),
+                bitstream_bytes=int(nbytes_host.sum()),
                 recon=recon, t_comp_s=t_comp, t_dec_s=t_dec,
-                bitstreams=({f"b{b+1:02d}.bit": e
-                             for b, e in enumerate(encoded)}
-                            if keep_bitstream else None),
+                bitstreams=streams,
                 extras={"bands": int(B),
                         "bpp_target_band": float(target_bpp_band)}))
+            t_up = 0.0
         return out
 
     def run(self, cube: np.ndarray, dtype_name: str, rate: RateSpec,
             keep_bitstream: bool = False, **opts) -> CodecResult:
-        B, H, W = cube.shape
-        target_bpp_band, budget_bytes = self.budget_for(rate, B, H, W,
-                                                        dtype_name)
-
-        work, H0, W0 = wc.pad_to_multiple(cube.astype(np.int32), 1 << LEVELS)
-        Hp, Wp = work.shape[-2:]
-        order = wc.scan_order(Hp, Wp, LEVELS)
-
-        t0 = time.perf_counter()
-        with mem_phase("comp"):
-            coefs = np.asarray(dwtk.dwt2(jnp.asarray(work), "97m", LEVELS))
-            encoded = [wc.bpc_encode(coefs[b].ravel()[order], budget_bytes)
-                       for b in range(B)]
-        t_comp = time.perf_counter() - t0
-        sum_bytes = sum(len(e) for e in encoded)
-
-        t0 = time.perf_counter()
-        with mem_phase("dec"):
-            planes = []
-            for b in range(B):
-                c = np.zeros(Hp * Wp, np.int32)
-                c[order] = wc.bpc_decode(encoded[b], Hp * Wp)
-                planes.append(c.reshape(Hp, Wp))
-            rec = np.asarray(dwtk.idwt2(jnp.asarray(np.stack(planes)),
-                                        "97m", LEVELS))
-            info = np.iinfo(cube.dtype)
-            recon = np.clip(rec[:, :H0, :W0], info.min,
-                            info.max).astype(cube.dtype)
-        t_dec = time.perf_counter() - t0
-
-        streams: Dict[str, bytes] = {}
-        if keep_bitstream:
-            for b, e in enumerate(encoded):
-                streams[f"b{b+1:02d}.bit"] = e
-
-        return CodecResult(
-            codec="ccsds122_ext",
-            encoder=self.encoder_desc,
-            bitstream_bytes=sum_bytes,
-            recon=recon,
-            t_comp_s=t_comp,
-            t_dec_s=t_dec,
-            bitstreams=streams if keep_bitstream else None,
-            extras={
-                "bands": int(B),
-                "bpp_target_band": float(target_bpp_band),
-            },
-        )
+        return self.sweep_rates(cube, dtype_name, [rate],
+                                keep_bitstream=keep_bitstream, **opts)[0]
