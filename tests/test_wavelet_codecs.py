@@ -201,3 +201,16 @@ def test_ccsds122_streams_match_device_model(smooth_tile):
     rec = np.clip(rec[:, :H0, :W0], info.min, info.max).astype(
         smooth_tile.dtype)
     np.testing.assert_array_equal(np.asarray(res.recon), rec)
+
+
+def test_j2k_device_point_matches_materializing_path(smooth_tile):
+    """The transfer-free lossy single point (size model + requant recon)
+    must equal the stream-materializing path exactly, fit mode included."""
+    for spec in (RateSpec.of("quality", 45), RateSpec.of("bpp", 1.0)):
+        a = J2KCodec(rate_fit=True).run(smooth_tile, "uint16", spec)
+        b = J2KCodec(rate_fit=True).run(smooth_tile, "uint16", spec,
+                                        keep_bitstream=True)
+        assert a.bitstream_bytes == b.bitstream_bytes
+        assert a.bitstream_bytes == sum(len(v)
+                                        for v in b.bitstreams.values())
+        np.testing.assert_array_equal(np.asarray(a.recon), b.recon)

@@ -164,6 +164,21 @@ def _device_requant_recon_ladder(coefs: jax.Array, inv_scale_map: jax.Array,
     return jax.vmap(one)(inv_bases, bases)
 
 
+@jax.jit
+def _device_point_sizes(coefs: jax.Array, order: jax.Array,
+                        inv_scale_perm: jax.Array,
+                        inv_base: jax.Array) -> jax.Array:
+    """Per-band exact stream byte counts for one quantization point,
+    computed from the device-resident coefficients (scan-order gather +
+    the same f32 multiply-quantizer as the coder + bpc_size_bytes)."""
+    from tpukit.codecs.bitplane_model import bpc_size_bytes
+
+    B = coefs.shape[0]
+    perm = jnp.take(coefs.reshape(B, -1), order, axis=1)
+    qc = jnp.trunc(perm * (inv_scale_perm * inv_base)[None]).astype(jnp.int32)
+    return bpc_size_bytes(qc)
+
+
 class J2KCodec(Codec):
     name = "j2k"
     encoder_desc = "tpukit J2K-class (device 5/3 & 9/7 DWT + embedded bit-plane coder)"
@@ -451,6 +466,11 @@ class J2KCodec(Codec):
 
         streams: Dict[str, bytes] = {}
         sum_bytes = 0
+
+        if not lossless and not keep_bitstream:
+            return self._run_lossy_device(cube, dtype_name, rate, q_used,
+                                          work, H0, W0, Hp, Wp, order,
+                                          **opts)
         recon = np.empty_like(cube)
 
         if lossless:
@@ -548,3 +568,79 @@ class J2KCodec(Codec):
             bitstreams=streams if keep_bitstream else None,
             extras=extras,
         )
+
+    def _run_lossy_device(self, cube, dtype_name, rate, q_used,
+                          work, H0, W0, Hp, Wp, order, **opts):
+        """Single lossy point with ZERO bulk transfers: device 9/7 DWT,
+        deadzone quantize + EXACT embedded-coder size model
+        (bitplane_model.bpc_size_bytes, fuzz-pinned byte-exact vs the host
+        coder), and the requantized reconstruction — only the per-band
+        byte counts come down. The f32 quantizer is the same single
+        multiply on every path, so the modeled stream is exactly what the
+        host coder emits for these coefficients (keep_bitstream routes
+        through the materializing path instead)."""
+        B, H, W = cube.shape
+        info = np.iinfo(cube.dtype)
+        peak = float(np.abs(cube.astype(np.float64)).max()) or 1.0
+        fit_mode = self.rate_fit and rate.key in ("bpp", "cr")
+        scale_host = _subband_steps(Hp, Wp, 1.0)
+        inv_scale_host = np.float32(1.0) / scale_host
+        order_dev = jnp.asarray(order)
+
+        t0 = time.perf_counter()
+        with mem_phase("comp"):
+            dev_cube = opts.get("device_cube")
+            if dev_cube is not None and dev_cube.shape == cube.shape:
+                wf = dev_cube.astype(jnp.float32)
+                ph, pw = Hp - H, Wp - W
+                if ph or pw:
+                    wf = jnp.pad(wf, ((0, 0), (0, ph), (0, pw)),
+                                 mode="edge")
+            else:
+                wf = jnp.asarray(work.astype(np.float32))
+            coefs_dev = dwtk.dwt2(wf, "97", LEVELS)
+            target = None
+            if fit_mode:
+                if rate.key == "bpp":
+                    target = rate.value * H * W * B / 8.0
+                else:
+                    target = (W * H * B * 2.0) / max(rate.value, 1e-6)
+                perm_scale = jnp.asarray(scale_host.ravel()[order])
+                perm_coefs = jnp.take(coefs_dev.reshape(B, -1), order_dev,
+                                      axis=1)
+                base = float(_fit_base_device(perm_coefs, perm_scale,
+                                              jnp.float32(target)))
+                q_used = None
+            else:
+                base = base_step_for_quality(q_used, peak)
+            inv_base = np.float32(1.0) / np.float32(base)
+            sizes = _device_point_sizes(
+                coefs_dev, order_dev,
+                jnp.asarray(inv_scale_host.ravel()[order]),
+                jnp.float32(inv_base))
+            sum_bytes = int(np.asarray(sizes).sum())
+        t_comp = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        with mem_phase("dec"):
+            recons, _, _ = _device_requant_recon_ladder(
+                coefs_dev, jnp.asarray(inv_scale_host),
+                jnp.asarray(scale_host),
+                jnp.asarray([inv_base], np.float32),
+                jnp.asarray([np.float32(base)], np.float32),
+                LEVELS, H0, W0, int(info.min), int(info.max),
+                cube.dtype.name)
+            recon = recons[0]
+            recon.block_until_ready()
+        t_dec = time.perf_counter() - t0
+
+        extras = {"quality_used": (int(q_used) if q_used is not None
+                                   else None)}
+        if fit_mode:
+            extras.update(rate_fit=1, base_step=float(base),
+                          target_bytes=int(target))
+        return CodecResult(
+            codec="j2k_gdal", encoder=self.encoder_desc,
+            bitstream_bytes=sum_bytes, recon=recon,
+            t_comp_s=t_comp, t_dec_s=t_dec, bitstreams=None,
+            extras=extras)
