@@ -214,3 +214,12 @@ def test_j2k_device_point_matches_materializing_path(smooth_tile):
         assert a.bitstream_bytes == sum(len(v)
                                         for v in b.bitstreams.values())
         np.testing.assert_array_equal(np.asarray(a.recon), b.recon)
+
+
+def test_j2k_lossless_device_matches_materializing_path(smooth_tile):
+    a = J2KCodec().run(smooth_tile, "uint16", RateSpec.none())
+    b = J2KCodec().run(smooth_tile, "uint16", RateSpec.none(),
+                       keep_bitstream=True)
+    assert a.bitstream_bytes == b.bitstream_bytes
+    np.testing.assert_array_equal(np.asarray(a.recon), smooth_tile)
+    np.testing.assert_array_equal(b.recon, smooth_tile)

@@ -179,6 +179,17 @@ def _device_point_sizes(coefs: jax.Array, order: jax.Array,
     return bpc_size_bytes(qc)
 
 
+@jax.jit
+def _device_lossless_sizes(coefs: jax.Array, order: jax.Array) -> jax.Array:
+    """Per-band exact byte counts of the full (reversible) embedded
+    streams over the device-resident 5/3 coefficients."""
+    from tpukit.codecs.bitplane_model import bpc_size_bytes
+
+    B = coefs.shape[0]
+    perm = jnp.take(coefs.reshape(B, -1).astype(jnp.int32), order, axis=1)
+    return bpc_size_bytes(perm)
+
+
 class J2KCodec(Codec):
     name = "j2k"
     encoder_desc = "tpukit J2K-class (device 5/3 & 9/7 DWT + embedded bit-plane coder)"
@@ -467,7 +478,10 @@ class J2KCodec(Codec):
         streams: Dict[str, bytes] = {}
         sum_bytes = 0
 
-        if not lossless and not keep_bitstream:
+        if not keep_bitstream:
+            if lossless:
+                return self._run_lossless_device(cube, work, H0, W0,
+                                                 Hp, Wp, order, **opts)
             return self._run_lossy_device(cube, dtype_name, rate, q_used,
                                           work, H0, W0, Hp, Wp, order,
                                           **opts)
@@ -644,3 +658,41 @@ class J2KCodec(Codec):
             bitstream_bytes=sum_bytes, recon=recon,
             t_comp_s=t_comp, t_dec_s=t_dec, bitstreams=None,
             extras=extras)
+
+    def _run_lossless_device(self, cube, work, H0, W0, Hp, Wp, order,
+                             **opts):
+        """Reversible point without bulk transfers: device 5/3 DWT, exact
+        stream sizes from the embedded-coder model, and the reconstruction
+        synthesized back through the inverse transform on device (the 5/3
+        lifting is integer-reversible, so this IS the decoder's output for
+        the untruncated stream — the same budget=0 semantics as the
+        CCSDS-122 device ladder). keep_bitstream materializes and
+        round-trips real streams instead."""
+        info = np.iinfo(cube.dtype)
+        t0 = time.perf_counter()
+        with mem_phase("comp"):
+            dev_cube = opts.get("device_cube")
+            if dev_cube is not None and dev_cube.shape == cube.shape:
+                wi = dev_cube.astype(jnp.int32)
+                ph, pw = Hp - cube.shape[1], Wp - cube.shape[2]
+                if ph or pw:
+                    wi = jnp.pad(wi, ((0, 0), (0, ph), (0, pw)),
+                                 mode="edge")
+            else:
+                wi = jnp.asarray(work)
+            coefs_dev = dwtk.dwt2(wi, "53", LEVELS)
+            sizes = _device_lossless_sizes(coefs_dev, jnp.asarray(order))
+            sum_bytes = int(np.asarray(sizes).sum())
+        t_comp = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        with mem_phase("dec"):
+            rec = dwtk.idwt2(coefs_dev, "53", LEVELS)[:, :H0, :W0]
+            recon = rec.astype(cube.dtype.name)
+            recon.block_until_ready()
+        t_dec = time.perf_counter() - t0
+        return CodecResult(
+            codec="j2k_gdal", encoder=self.encoder_desc,
+            bitstream_bytes=sum_bytes, recon=recon,
+            t_comp_s=t_comp, t_dec_s=t_dec, bitstreams=None,
+            extras={"quality_used": None})
