@@ -245,3 +245,43 @@ def test_sweep_rows_match_caseb_spectral_single_vs_mesh(tmp_path, rng):
             assert a[k] == b[k], k
         for k in ("psnr_global", "ssim_global", "sam_deg", "sid", "lmse"):
             np.testing.assert_allclose(a[k], b[k], rtol=1e-4, err_msg=k)
+
+
+def test_sharded_ccsds122_ladder_matches_host_coder(rng):
+    """dp x sp sharded CCSDS-122 point: reconstruction and per-band byte
+    counts equal the native encode->truncated-decode round trip."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpukit.codecs import wavelet_common as wc
+    from tpukit.kernels import dwt as dwtk
+    from tpukit.parallel.mesh import make_mesh, sharded_ccsds122_ladder
+
+    T, B, H, W = 4, 2, 32, 32
+    tiles = rng.integers(0, 4096, (T, B, H, W)).astype(np.int32)
+    budget = int(1.5 * H * W / 8.0)
+    mesh = make_mesh(jax.devices("cpu")[:8], dp=4, sp=2)
+    step = sharded_ccsds122_ladder(mesh, levels=3)
+
+    order = wc.scan_order(H, W, 3)
+    inv = wc.inverse_scan_order(H, W, 3)
+    rep = NamedSharding(mesh, P())
+    rec, sizes = step(
+        jax.device_put(tiles, NamedSharding(mesh, P("dp", "sp", None, None))),
+        jax.device_put(order.astype(np.int32), rep),
+        jax.device_put(inv.astype(np.int32), rep),
+        jax.device_put(np.int32(budget), rep))
+    rec, sizes = np.asarray(rec), np.asarray(sizes)
+
+    for t in range(T):
+        coefs = np.asarray(dwtk.dwt2(jnp.asarray(tiles[t]), "97m", 3))
+        for b in range(B):
+            c = coefs[b].ravel()[order].astype(np.int32)
+            bs = wc.bpc_encode(c, budget)
+            assert int(sizes[t, b]) == len(bs)
+            dec = np.zeros(H * W, np.int32)
+            dec[order] = wc.bpc_decode(bs, H * W)
+        want = np.asarray(dwtk.idwt2(jnp.asarray(np.stack([
+            wc.bpc_decode(wc.bpc_encode(
+                coefs[b].ravel()[order].astype(np.int32), budget),
+                H * W)[inv].reshape(H, W) for b in range(B)])), "97m", 3))
+        np.testing.assert_array_equal(rec[t], want)

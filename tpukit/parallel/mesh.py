@@ -160,6 +160,38 @@ def sharded_j2k_model(mesh: Mesh, levels: int = 5):
                    out_shardings=out)
 
 
+def sharded_ccsds122_ladder(mesh: Mesh, levels: int = 3):
+    """Sharded CCSDS-122 rate point: tiles (T,B,Hp,Wp) int32 shard over
+    dp (tiles) x sp (bands — every stage is band-independent, so the
+    spectral axis shards with zero collectives). Per tile the step runs
+    the reversible 9/7M DWT, the EXACT truncated-decode model of the
+    embedded coder at the given per-band byte budget
+    (codecs/bitplane_model.bpc_truncated_decode), and the inverse DWT.
+    Returns step(tiles, order, inv, budget) -> (recon_planes (T,B,Hp,Wp)
+    float32-free int32, per-band bytes (T,B))."""
+    from tpukit.codecs.bitplane_model import bpc_truncated_decode
+    from tpukit.kernels import dwt as dwtk
+
+    tl = NamedSharding(mesh, P("dp", "sp", None, None))
+    rep = NamedSharding(mesh, P())
+    szs = NamedSharding(mesh, P("dp", "sp"))
+
+    def fn(tiles, order, inv, budget):
+        def per_tile(cube):
+            coefs = dwtk.dwt2(cube, "97m", levels)
+            B = coefs.shape[0]
+            perm = jnp.take(coefs.reshape(B, -1), order, axis=1)
+            rec, nbytes = jax.vmap(
+                lambda c: bpc_truncated_decode(c, budget))(perm)
+            planes = jnp.take(rec, inv, axis=1).reshape(coefs.shape)
+            return dwtk.idwt2(planes, "97m", levels), nbytes
+
+        return jax.vmap(per_tile)(tiles)
+
+    return jax.jit(fn, in_shardings=(tl, rep, rep, rep),
+                   out_shardings=(tl, szs))
+
+
 def run_sharded_batch(tiles: np.ndarray, recons: np.ndarray,
                       valid: np.ndarray, mesh: Optional[Mesh] = None):
     """Host entry: place a (T,B,H,W) batch on the mesh and run the step.
