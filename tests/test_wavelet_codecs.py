@@ -223,3 +223,18 @@ def test_j2k_lossless_device_matches_materializing_path(smooth_tile):
     assert a.bitstream_bytes == b.bitstream_bytes
     np.testing.assert_array_equal(np.asarray(a.recon), smooth_tile)
     np.testing.assert_array_equal(b.recon, smooth_tile)
+
+
+def test_j2k_sweep_model_matches_materializing_sweep(smooth_tile):
+    """The model-first quality ladder must match the stream-materializing
+    ladder in sizes and reconstructions exactly."""
+    qs = [30, 55, 80]
+    a = J2KCodec().sweep_qualities(smooth_tile, "uint16", qs)
+    b = J2KCodec().sweep_qualities(smooth_tile, "uint16", qs,
+                                   keep_bitstream=True)
+    for ra, rb in zip(a, b):
+        assert ra.bitstream_bytes == rb.bitstream_bytes
+        assert rb.bitstream_bytes == sum(len(v)
+                                         for v in rb.bitstreams.values())
+        np.testing.assert_array_equal(np.asarray(ra.recon),
+                                      np.asarray(rb.recon))
