@@ -125,15 +125,13 @@ def bpc_size_bytes_host(coefs: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def bpc_truncated_decode(coefs: jax.Array, budget_bytes: jax.Array,
-                         valid: jax.Array | None = None):
-    """Model bpc_decode(bpc_encode(coefs, budget_bytes)) on device.
-
-    ``coefs``: (n,) int32 in scan order. ``budget_bytes``: scalar int32
-    (<=0 means untruncated). Returns ``(recon, nbytes)`` where ``recon``
-    is the (n,) int32 reconstruction and ``nbytes`` the exact encoded
-    byte length (header included, truncation applied).
-    """
+def bpc_stream_layout(coefs: jax.Array, valid: jax.Array | None = None):
+    """Budget-INDEPENDENT stream geometry for one band: everything
+    `bpc_decode_at` needs to evaluate any byte budget — per-coefficient
+    magnitude/MSB/sign, acquisition-unit end positions, refinement-pass
+    start positions, acquisition ranks, and the full stream length. A
+    rate ladder computes this once and prices/reconstructs every budget
+    from it (the cut comparisons are the only budget-dependent work)."""
     n = coefs.shape[-1]
     mag = jnp.abs(coefs).astype(jnp.uint32)
     if valid is None:
@@ -188,14 +186,6 @@ def bpc_truncated_decode(coefs: jax.Array, budget_bytes: jax.Array,
 
     total_bits = jnp.sum(seg_len)
     full_bytes = 1 + (total_bits + 7) // 8
-    budget = jnp.asarray(budget_bytes, jnp.int32)
-    nbytes = jnp.where(budget > 0, jnp.minimum(full_bytes, budget),
-                       full_bytes)
-    # int32-safe cut sentinel: a budget beyond 2^27 bytes (1 Gbit) is
-    # always past the whole stream, so clamping keeps 8*(budget-1) exact
-    INF = jnp.int32(2**31 - 1)
-    bclamp = jnp.minimum(budget, jnp.int32(1 << 27))
-    cut = jnp.where(budget > 0, 8 * jnp.maximum(bclamp - 1, 0), INF)
 
     # acquisition rank: msb descending, scan position ascending (stable)
     order = jnp.argsort(-msb_flat, stable=True)
@@ -204,7 +194,39 @@ def bpc_truncated_decode(coefs: jax.Array, budget_bytes: jax.Array,
 
     gidx = jnp.arange(npad, dtype=jnp.int32) // GROUP
     msb_c = jnp.clip(msb_flat, 0, 31)
-    acq = (msb_flat >= 0) & (unit_end[msb_c, gidx] <= cut)
+    neg = (jnp.pad(coefs, (0, pad)) if pad else coefs) < 0
+    # NOTE: every entry is an array (vmap-friendly pytree); padded length
+    # npad = ceil(n/GROUP)*GROUP — callers slice [:n] themselves
+    return {
+        "mag": mag,                              # (npad,) uint32
+        "msb": msb_flat,                         # (npad,) int32; -1 for 0
+        "msb_c": msb_c,
+        "neg": neg,
+        "rank": rank,                            # acquisition order index
+        "unit_end_i": unit_end[msb_c, gidx],     # per-coef unit end bit
+        "start_ref": start_ref,                  # (32,)
+        "full_bytes": full_bytes,
+    }
+
+
+def bpc_decode_at(layout: dict, budget_bytes: jax.Array):
+    """Evaluate one byte budget against a precomputed stream layout.
+    Returns (recon (npad,) int32 — group-padded, slice [:n] yourself —
+    and the exact encoded nbytes)."""
+    budget = jnp.asarray(budget_bytes, jnp.int32)
+    nbytes = jnp.where(budget > 0,
+                       jnp.minimum(layout["full_bytes"], budget),
+                       layout["full_bytes"])
+    # int32-safe cut sentinel: a budget beyond 2^27 bytes (1 Gbit) is
+    # always past the whole stream, so clamping keeps 8*(budget-1) exact
+    INF = jnp.int32(2**31 - 1)
+    bclamp = jnp.minimum(budget, jnp.int32(1 << 27))
+    cut = jnp.where(budget > 0, 8 * jnp.maximum(bclamp - 1, 0), INF)
+
+    mag, msb_flat = layout["mag"], layout["msb"]
+    msb_c, rank = layout["msb_c"], layout["rank"]
+    start_ref = layout["start_ref"]
+    acq = (msb_flat >= 0) & (layout["unit_end_i"] <= cut)
 
     # refinement reception: bit of plane q incorporated iff its absolute
     # position start_ref[q] + rank is below the cut (and q < msb). All of
@@ -220,8 +242,22 @@ def bpc_truncated_decode(coefs: jax.Array, budget_bytes: jax.Array,
     m = rec + jnp.where(acq & (known > 0),
                         jnp.uint32(1) << jnp.clip(known - 1, 0).astype(jnp.uint32),
                         jnp.uint32(0))
-    neg = (jnp.pad(coefs, (0, pad)) if pad else coefs) < 0
     out = jnp.where(acq,
-                    jnp.where(neg, -m.astype(jnp.int32), m.astype(jnp.int32)),
+                    jnp.where(layout["neg"], -m.astype(jnp.int32),
+                              m.astype(jnp.int32)),
                     0)
-    return out[:n], nbytes
+    return out, nbytes
+
+
+def bpc_truncated_decode(coefs: jax.Array, budget_bytes: jax.Array,
+                         valid: jax.Array | None = None):
+    """Model bpc_decode(bpc_encode(coefs, budget_bytes)) on device.
+
+    ``coefs``: (n,) int32 in scan order. ``budget_bytes``: scalar int32
+    (<=0 means untruncated). Returns ``(recon, nbytes)`` where ``recon``
+    is the (n,) int32 reconstruction and ``nbytes`` the exact encoded
+    byte length (header included, truncation applied).
+    """
+    out, nbytes = bpc_decode_at(bpc_stream_layout(coefs, valid),
+                                budget_bytes)
+    return out[:coefs.shape[-1]], nbytes
