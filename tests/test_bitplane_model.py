@@ -90,10 +90,8 @@ def test_truncated_decode_fuzz(rng, trunc_fn):
             c = rng.integers(-2**28, 2**28, n)
         c = c.astype(np.int32)
         full = len(wc.bpc_encode(c, 0))
-        for b in {0, 2, 3, full // 3 + 2, full // 2 + 2, full - 1, full,
-                  full + 10, int(rng.integers(2, max(3, full)))}:
-            if b == 1:
-                continue
+        for b in {0, 1, 2, 3, full // 3 + 2, full // 2 + 2, full - 1,
+                  full, full + 10, int(rng.integers(2, max(3, full)))}:
             _check_trunc(c, b, trunc_fn)
 
 

@@ -276,10 +276,7 @@ def test_sharded_ccsds122_ladder_matches_host_coder(rng):
         coefs = np.asarray(dwtk.dwt2(jnp.asarray(tiles[t]), "97m", 3))
         for b in range(B):
             c = coefs[b].ravel()[order].astype(np.int32)
-            bs = wc.bpc_encode(c, budget)
-            assert int(sizes[t, b]) == len(bs)
-            dec = np.zeros(H * W, np.int32)
-            dec[order] = wc.bpc_decode(bs, H * W)
+            assert int(sizes[t, b]) == len(wc.bpc_encode(c, budget))
         want = np.asarray(dwtk.idwt2(jnp.asarray(np.stack([
             wc.bpc_decode(wc.bpc_encode(
                 coefs[b].ravel()[order].astype(np.int32), budget),

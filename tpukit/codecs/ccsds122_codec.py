@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpukit.codecs.base import Codec, CodecResult, RateSpec
+from tpukit.codecs.base import Codec, CodecResult, RateSpec, device_work
 from tpukit.codecs import bitplane_model as bm
 from tpukit.codecs import wavelet_common as wc
 from tpukit.kernels import dwt as dwtk
@@ -45,37 +45,26 @@ from tpukit.sweep.proc import mem_phase
 
 LEVELS = 3
 
-# scan-order permutations live on device, one per padded shape
-_ORDER_CACHE: Dict[tuple, tuple] = {}
-
-
-def _device_orders(Hp: int, Wp: int):
-    key = (Hp, Wp, LEVELS)
-    hit = _ORDER_CACHE.get(key)
-    if hit is None:
-        order = wc.scan_order(Hp, Wp, LEVELS)
-        inv = wc.inverse_scan_order(Hp, Wp, LEVELS)
-        hit = (jnp.asarray(order), jnp.asarray(inv))
-        _ORDER_CACHE[key] = hit
-    return hit
-
 
 @partial(jax.jit, static_argnames=())
 def _analyze_ladder_device(work, order, budgets):
-    """(B,Hp,Wp) int32 + (Q,) budgets -> ((Q,B,n) recon coefs, (Q,B) bytes).
+    """(B,Hp,Wp) int32 + (Q,) budgets -> ((Q,B,n) recon coefs, (Q,B) bytes,
+    (B,n) scan-ordered coefficients).
 
     The budget-independent stream layout (MSB geometry, bit offsets,
     acquisition ranks — including the per-band argsort) is computed ONCE
     and shared across the whole ladder; each budget point only pays the
     cut comparisons (bpc_decode_at). One compile serves any ladder of the
-    same length: budgets are traced scalars.
+    same length: budgets are traced scalars. The coefficients stay a
+    device output — only keep_bitstream callers fetch them.
     """
     B = work.shape[0]
     coefs = dwtk.dwt2(work, "97m", LEVELS)
     perm = coefs.reshape(B, -1)[:, order]
     layouts = jax.vmap(bm.bpc_stream_layout)(perm)
-    return jax.vmap(lambda b: jax.vmap(
+    rec, nbytes = jax.vmap(lambda b: jax.vmap(
         lambda l: bm.bpc_decode_at(l, b))(layouts))(budgets)
+    return rec, nbytes, perm
 
 
 @partial(jax.jit, static_argnames=("Hp", "Wp", "H0", "W0", "out_dtype"))
@@ -106,22 +95,6 @@ class CCSDS122Codec(Codec):
         budget = 0 if lossless_req else int(target_bpp_band * H * W / 8.0)
         return target_bpp_band, budget
 
-    def _device_work(self, cube: np.ndarray, opts):
-        """(B,Hp,Wp) int32 device array, edge-padded to the DWT multiple;
-        rides the runner's HBM-resident cube when shapes match."""
-        m = 1 << LEVELS
-        dev_cube = opts.get("device_cube")
-        H, W = cube.shape[-2:]
-        ph, pw = (-H) % m, (-W) % m
-        if dev_cube is not None and dev_cube.shape == cube.shape:
-            work = dev_cube.astype(jnp.int32)
-            if ph or pw:
-                work = jnp.pad(work, ((0, 0), (0, ph), (0, pw)),
-                               mode="edge")
-            return work, H, W
-        padded, H0, W0 = wc.pad_to_multiple(cube.astype(np.int32), m)
-        return jnp.asarray(padded), H0, W0
-
     def sweep_rates(self, cube: np.ndarray, dtype_name: str, specs,
                     keep_bitstream: bool = False, **opts) -> list:
         """Rate ladder, device-resident end to end: one DWT feeds every
@@ -129,26 +102,27 @@ class CCSDS122Codec(Codec):
         on-device truncated-decode model; host streams only on demand."""
         specs = list(specs)
         B, H, W = cube.shape
-        work, H0, W0 = self._device_work(cube, opts)
+        work = device_work(cube, opts, 1 << LEVELS, "int32")
+        H0, W0 = H, W
         Hp, Wp = work.shape[-2:]
-        order, inv = _device_orders(Hp, Wp)
+        order, inv = wc.device_scan_orders(Hp, Wp, LEVELS)
         info = np.iinfo(cube.dtype)
-
-        host_perm = None
-        if keep_bitstream:
-            coefs = np.asarray(dwtk.dwt2(work, "97m", LEVELS))
-            host_perm = coefs.reshape(B, -1)[:, np.asarray(order)]
 
         points = [self.budget_for(spec, B, H, W, dtype_name)
                   for spec in specs]
         Q = max(len(points), 1)
 
+        host_perm = None
         t0 = time.perf_counter()
         with mem_phase("comp"):
-            rec, nbytes = _analyze_ladder_device(
+            rec, nbytes, perm = _analyze_ladder_device(
                 work, order,
                 jnp.asarray([b for _, b in points], jnp.int32))
             nbytes_host = np.asarray(nbytes)            # (Q, B)
+            if keep_bitstream:
+                # the ladder already holds the scan-ordered coefficients;
+                # this fetch is the materializing path's only bulk transfer
+                host_perm = np.asarray(perm)
         t_model = time.perf_counter() - t0
 
         t0 = time.perf_counter()

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpukit.codecs.base import Codec, CodecResult, RateSpec
+from tpukit.codecs.base import Codec, CodecResult, RateSpec, device_work
 from tpukit.codecs import wavelet_common as wc
 from tpukit.kernels import dwt as dwtk
 from tpukit.sweep.proc import mem_phase
@@ -165,17 +165,15 @@ def _device_requant_recon_ladder(coefs: jax.Array, inv_scale_map: jax.Array,
 
 
 @jax.jit
-def _device_point_sizes(coefs: jax.Array, order: jax.Array,
-                        inv_scale_perm: jax.Array,
-                        inv_base: jax.Array) -> jax.Array:
-    """Per-band exact stream byte counts for one quantization point,
-    computed from the device-resident coefficients (scan-order gather +
-    the same f32 multiply-quantizer as the coder + bpc_size_bytes)."""
+def _device_perm_sizes(perm_coefs: jax.Array, inv_scale_perm: jax.Array,
+                       inv_base: jax.Array) -> jax.Array:
+    """Per-band exact stream byte counts for one quantization point from
+    coefficients ALREADY in scan order (the same f32 multiply-quantizer
+    as the coder + bpc_size_bytes)."""
     from tpukit.codecs.bitplane_model import bpc_size_bytes
 
-    B = coefs.shape[0]
-    perm = jnp.take(coefs.reshape(B, -1), order, axis=1)
-    qc = jnp.trunc(perm * (inv_scale_perm * inv_base)[None]).astype(jnp.int32)
+    qc = jnp.trunc(perm_coefs *
+                   (inv_scale_perm * inv_base)[None]).astype(jnp.int32)
     return bpc_size_bytes(qc)
 
 
@@ -301,7 +299,8 @@ class J2KCodec(Codec):
             res = self.sweep_qualities(cube, dtype_name,
                                        [qmap[i] for i in lossy_ix],
                                        keep_bitstream=keep_bitstream,
-                                       cache=opts.get("device_plan_cache"))
+                                       cache=opts.get("device_plan_cache"),
+                                       device_cube=opts.get("device_cube"))
             for i, r in zip(lossy_ix, res):
                 out[i] = r
         for i, s in enumerate(specs):
@@ -312,7 +311,8 @@ class J2KCodec(Codec):
 
     def sweep_qualities(self, cube: np.ndarray, dtype_name: str,
                         qualities, keep_bitstream: bool = False,
-                        cache: dict | None = None) -> list:
+                        cache: dict | None = None,
+                        device_cube=None) -> list:
         """Rate sweep with the transform amortized and transfers minimized.
 
         The reference re-runs the full codec per rate point
@@ -332,8 +332,9 @@ class J2KCodec(Codec):
         entropy decode + an equal share of the batched device
         reconstruction wall time."""
         B, H, W = cube.shape
-        work, H0, W0 = wc.pad_to_multiple(cube.astype(np.int32), 1 << LEVELS)
-        Hp, Wp = work.shape[-2:]
+        m = 1 << LEVELS
+        H0, W0 = H, W
+        Hp, Wp = H + (-H) % m, W + (-W) % m
         order = wc.scan_order(Hp, Wp, LEVELS)
         peak = float(np.abs(cube.astype(np.float64)).max()) or 1.0
         info = np.iinfo(cube.dtype)
@@ -343,8 +344,9 @@ class J2KCodec(Codec):
             coefs_dev, perm_coefs, t_dwt = cache[ckey]
         else:
             t0 = time.perf_counter()
-            coefs_dev = dwtk.dwt2(jnp.asarray(work.astype(np.float32)),
-                                  "97", LEVELS)
+            wf = device_work(cube, {"device_cube": device_cube}, m,
+                             "float32")
+            coefs_dev = dwtk.dwt2(wf, "97", LEVELS)
             coefs_dev.block_until_ready()
             perm_coefs = None
             t_dwt = time.perf_counter() - t0
@@ -524,20 +526,19 @@ class J2KCodec(Codec):
         q_used = self.quality_for(rate)
         lossless = q_used is None
 
-        work, H0, W0 = wc.pad_to_multiple(cube.astype(np.int32), 1 << LEVELS)
-        Hp, Wp = work.shape[-2:]
-        order = wc.scan_order(Hp, Wp, LEVELS)
-
-        streams: Dict[str, bytes] = {}
-        sum_bytes = 0
+        m = 1 << LEVELS
+        Hp, Wp = H + (-H) % m, W + (-W) % m
 
         if not keep_bitstream:
             if lossless:
-                return self._run_lossless_device(cube, work, H0, W0,
-                                                 Hp, Wp, order, **opts)
+                return self._run_lossless_device(cube, Hp, Wp, **opts)
             return self._run_lossy_device(cube, dtype_name, rate, q_used,
-                                          work, H0, W0, Hp, Wp, order,
-                                          **opts)
+                                          Hp, Wp, **opts)
+
+        work, H0, W0 = wc.pad_to_multiple(cube.astype(np.int32), m)
+        order = wc.scan_order(Hp, Wp, LEVELS)
+        streams: Dict[str, bytes] = {}
+        sum_bytes = 0
         recon = np.empty_like(cube)
 
         if lossless:
@@ -637,7 +638,7 @@ class J2KCodec(Codec):
         )
 
     def _run_lossy_device(self, cube, dtype_name, rate, q_used,
-                          work, H0, W0, Hp, Wp, order, **opts):
+                          Hp, Wp, **opts):
         """Single lossy point with ZERO bulk transfers: device 9/7 DWT,
         deadzone quantize + EXACT embedded-coder size model
         (bitplane_model.bpc_size_bytes, fuzz-pinned byte-exact vs the host
@@ -652,20 +653,18 @@ class J2KCodec(Codec):
         fit_mode = self.rate_fit and rate.key in ("bpp", "cr")
         scale_host = _subband_steps(Hp, Wp, 1.0)
         inv_scale_host = np.float32(1.0) / scale_host
-        order_dev = jnp.asarray(order)
+        order_dev, _ = wc.device_scan_orders(Hp, Wp, LEVELS)
+        order = np.asarray(order_dev)
 
         t0 = time.perf_counter()
         with mem_phase("comp"):
-            dev_cube = opts.get("device_cube")
-            if dev_cube is not None and dev_cube.shape == cube.shape:
-                wf = dev_cube.astype(jnp.float32)
-                ph, pw = Hp - H, Wp - W
-                if ph or pw:
-                    wf = jnp.pad(wf, ((0, 0), (0, ph), (0, pw)),
-                                 mode="edge")
-            else:
-                wf = jnp.asarray(work.astype(np.float32))
+            wf = device_work(cube, opts, 1 << LEVELS, "float32")
             coefs_dev = dwtk.dwt2(wf, "97", LEVELS)
+            # one scan-order gather serves the fit search AND the size
+            # model
+            perm_coefs = jnp.take(coefs_dev.reshape(B, -1), order_dev,
+                                  axis=1)
+            inv_scale_perm = jnp.asarray(inv_scale_host.ravel()[order])
             target = None
             if fit_mode:
                 if rate.key == "bpp":
@@ -673,18 +672,14 @@ class J2KCodec(Codec):
                 else:
                     target = (W * H * B * 2.0) / max(rate.value, 1e-6)
                 perm_scale = jnp.asarray(scale_host.ravel()[order])
-                perm_coefs = jnp.take(coefs_dev.reshape(B, -1), order_dev,
-                                      axis=1)
                 base = float(_fit_base_device(perm_coefs, perm_scale,
                                               jnp.float32(target)))
                 q_used = None
             else:
                 base = base_step_for_quality(q_used, peak)
             inv_base = np.float32(1.0) / np.float32(base)
-            sizes = _device_point_sizes(
-                coefs_dev, order_dev,
-                jnp.asarray(inv_scale_host.ravel()[order]),
-                jnp.float32(inv_base))
+            sizes = _device_perm_sizes(perm_coefs, inv_scale_perm,
+                                       jnp.float32(inv_base))
             sum_bytes = int(np.asarray(sizes).sum())
         t_comp = time.perf_counter() - t0
 
@@ -695,7 +690,7 @@ class J2KCodec(Codec):
                 jnp.asarray(scale_host),
                 jnp.asarray([inv_base], np.float32),
                 jnp.asarray([np.float32(base)], np.float32),
-                LEVELS, H0, W0, int(info.min), int(info.max),
+                LEVELS, H, W, int(info.min), int(info.max),
                 cube.dtype.name)
             recon = recons[0]
             recon.block_until_ready()
@@ -712,8 +707,7 @@ class J2KCodec(Codec):
             t_comp_s=t_comp, t_dec_s=t_dec, bitstreams=None,
             extras=extras)
 
-    def _run_lossless_device(self, cube, work, H0, W0, Hp, Wp, order,
-                             **opts):
+    def _run_lossless_device(self, cube, Hp, Wp, **opts):
         """Reversible point without bulk transfers: device 5/3 DWT, exact
         stream sizes from the embedded-coder model, and the reconstruction
         synthesized back through the inverse transform on device (the 5/3
@@ -721,20 +715,13 @@ class J2KCodec(Codec):
         the untruncated stream — the same budget=0 semantics as the
         CCSDS-122 device ladder). keep_bitstream materializes and
         round-trips real streams instead."""
-        info = np.iinfo(cube.dtype)
+        H0, W0 = cube.shape[-2:]
         t0 = time.perf_counter()
         with mem_phase("comp"):
-            dev_cube = opts.get("device_cube")
-            if dev_cube is not None and dev_cube.shape == cube.shape:
-                wi = dev_cube.astype(jnp.int32)
-                ph, pw = Hp - cube.shape[1], Wp - cube.shape[2]
-                if ph or pw:
-                    wi = jnp.pad(wi, ((0, 0), (0, ph), (0, pw)),
-                                 mode="edge")
-            else:
-                wi = jnp.asarray(work)
+            wi = device_work(cube, opts, 1 << LEVELS, "int32")
+            order_dev, _ = wc.device_scan_orders(Hp, Wp, LEVELS)
             coefs_dev = dwtk.dwt2(wi, "53", LEVELS)
-            sizes = _device_lossless_sizes(coefs_dev, jnp.asarray(order))
+            sizes = _device_lossless_sizes(coefs_dev, order_dev)
             sum_bytes = int(np.asarray(sizes).sum())
         t_comp = time.perf_counter() - t0
 

@@ -41,6 +41,24 @@ def inverse_scan_order(H: int, W: int, levels: int) -> np.ndarray:
     return inv
 
 
+_DEV_ORDER_CACHE: dict = {}
+
+
+def device_scan_orders(H: int, W: int, levels: int):
+    """(order, inverse) scan permutations as DEVICE-resident arrays,
+    cached per padded shape — uploaded once per process, shared by every
+    codec that codes in embedded scan order."""
+    import jax.numpy as jnp
+
+    key = (H, W, levels)
+    hit = _DEV_ORDER_CACHE.get(key)
+    if hit is None:
+        hit = (jnp.asarray(scan_order(H, W, levels)),
+               jnp.asarray(inverse_scan_order(H, W, levels)))
+        _DEV_ORDER_CACHE[key] = hit
+    return hit
+
+
 def pad_to_multiple(img: np.ndarray, m: int):
     H, W = img.shape[-2:]
     ph = (-H) % m
