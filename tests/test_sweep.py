@@ -185,3 +185,55 @@ def test_failed_item_keeps_finished_tiles_artifacts(tmp_path, rng):
     assert (d / "recon.tif").exists()
     with tiff.open(d / "recon.tif") as ds:
         np.testing.assert_array_equal(ds.read(), cube)
+
+
+def test_float_rate_values_survive_normalization(tmp_path, caseb_setup):
+    """API callers pass real floats (the CLI passes strings): a fractional
+    bpp must NOT be truncated to int (rate_value drives the codec and the
+    run-dir slug)."""
+    from tpukit.sweep.runner import _normalize_rates
+    assert _normalize_rates("bpp", [0.75]) == [0.75]
+    assert _normalize_rates("bpp", [2.0]) == [2]      # slug parity w/ CLI
+    assert _normalize_rates("bpp", ["0.75"]) == [0.75]
+    assert _normalize_rates("quality", [60]) == [60]
+
+    idx, tiles = caseb_setup
+    cfg = SweepConfig(
+        indices=idx, codec=create("ccsds122"),
+        codec_label="ccsds122_ext", outdir=tmp_path / "runs_frac",
+        rate_key="bpp", rates=[0.75], reps=1, quicklooks=False,
+        write_artifacts=False,
+    )
+    rows = run_sweep(cfg)["rows"]
+    assert all(row["rate_value"] == 0.75 for row in rows)
+    B, H, W = next(iter(tiles.values())).shape
+    for row in rows:
+        assert row["bitstream_bytes"] <= int(0.75 * H * W / 8) * B + B
+
+
+def test_resume_ignores_corrupt_recon(tmp_path, caseb_setup):
+    """An interrupted writer's leftover recon.tif (headerless/IFD-less)
+    must be re-encoded, not trusted (and not crash the sweep)."""
+    idx, tiles = caseb_setup
+    outdir = tmp_path / "runs_corrupt"
+    cfg = SweepConfig(
+        indices=idx,
+        codec=create("ccsds121", tile=32, interleave="bip", preproc="none"),
+        codec_label="ccsds121_ext", outdir=outdir,
+        reps=1, quicklooks=False, write_artifacts=True,
+        keep_bitstream=True,
+    )
+    rows1 = run_sweep(cfg)["rows"]
+    # corrupt one recon in place (simulates a kill mid-write of an older,
+    # non-atomic writer)
+    victim = next(outdir.rglob("recon.tif"))
+    victim.write_bytes(b"II*\x00garbage")
+    rows2 = run_sweep(cfg)["rows"]
+    assert len(rows2) == len(rows1)
+    for a, b in zip(rows1, rows2):
+        assert a["bitstream_bytes"] == b["bitstream_bytes"]
+        assert b["lossless"] == 1
+    # the corrupt file was replaced by a valid re-encode
+    from tpukit.io import tiff
+    with tiff.open(victim) as ds:
+        assert ds.read().shape[0] == 12

@@ -165,3 +165,25 @@ def test_sparse_output_zero_fill_without_nodata(tmp_path):
     tiff.write_geotiff(p, arr, blockxsize=16, blockysize=16, sparse_ok=True)
     with tiff.open(p) as ds:
         np.testing.assert_array_equal(ds.read(1), arr)
+
+
+def test_stripwriter_is_crash_safe(tmp_path, rng):
+    """An unclosed StripWriter must never leave a final-named file: strips
+    stream into .part and only close() (which emits the IFD) renames."""
+    data = rng.integers(0, 65535, (2, 8, 16)).astype(np.uint16)
+    p = tmp_path / "out.tif"
+    w = tiff.StripWriter(p, count=2, height=8, width=16, dtype=np.uint16,
+                         rows_per_strip=4)
+    w.write(0, data[:, :4])
+    assert not p.exists()
+    assert p.with_name("out.tif.part").exists()
+    w.abort()
+    assert not p.with_name("out.tif.part").exists()
+    # full write-close produces the final file, readable
+    w = tiff.StripWriter(p, count=2, height=8, width=16, dtype=np.uint16,
+                         rows_per_strip=4)
+    w.write(0, data[:, :4])
+    w.write(4, data[:, 4:])
+    assert w.close() == p
+    with tiff.open(p) as ds:
+        np.testing.assert_array_equal(ds.read(), data)

@@ -1015,7 +1015,12 @@ class StripWriter:
         else:
             self._big = total > (1 << 32) - (1 << 26)
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        self._f = open_file(self.path, "wb")
+        # crash-safe: strips stream into a .part file; only close() (which
+        # emits the IFD) renames it to the final name. An interrupted
+        # writer therefore never leaves a final-named, IFD-less TIFF for
+        # a later resume to trust (sweep resume checks path existence).
+        self._tmp = self.path.with_name(self.path.name + ".part")
+        self._f = open_file(self._tmp, "wb")
         if self._big:
             self._f.write(b"II" + struct.pack("<HHHQ", 43, 8, 0, 0))
             self._pos = 16
@@ -1078,6 +1083,20 @@ class StripWriter:
             srows = min(self.rps, rows - s0)
             self._mask_chunks[sy] = zlib.compress(
                 mk[s0:s0 + srows].tobytes(), 6)
+
+    def abort(self) -> None:
+        """Drop an unfinished write: close the handle and remove the .part
+        file. The final path is never created. Safe to call twice."""
+        if self._closed:
+            return
+        self._closed = True
+        try:
+            self._f.close()
+        finally:
+            try:
+                self._tmp.unlink(missing_ok=True)
+            except OSError:
+                pass
 
     def close(self) -> Path:
         if self._closed:
@@ -1176,6 +1195,8 @@ class StripWriter:
         self._f.seek(8 if big else 4)
         self._f.write(struct.pack(bo + ("Q" if big else "I"), main_ifd_off))
         self._f.close()
+        import os as _os
+        _os.replace(self._tmp, self.path)
         self._closed = True
         return self.path
 

@@ -113,14 +113,60 @@ def _normalize_rates(rate_key: str, rates) -> List:
         return [None]
     out = []
     for r in (rates or []):
-        try:
-            if isinstance(r, str) and ("." in r or "e" in r.lower()):
+        if isinstance(r, float) or isinstance(r, np.floating):
+            # API callers pass real floats (the CLI passes strings);
+            # integral floats collapse to int so run-dir slugs match the
+            # CLI's, fractional ones MUST stay fractional
+            out.append(int(r) if float(r).is_integer() else float(r))
+        elif isinstance(r, (int, np.integer)):
+            out.append(int(r))
+        else:
+            try:
+                if isinstance(r, str) and ("." in r or "e" in r.lower()):
+                    out.append(float(r))
+                else:
+                    out.append(int(r))
+            except (TypeError, ValueError):
                 out.append(float(r))
-            else:
-                out.append(int(r))
-        except (TypeError, ValueError):
-            out.append(float(r))
     return out
+
+
+def resume_recon(run_dir: Path, write_artifacts: bool, log,
+                 load: bool = False, cache: Dict | None = None):
+    """Shared resume probe for the batched and streaming paths
+    (reference run_codec.py:489-492 semantics): a (tile, rate, rep) run
+    is reused iff artifacts are on AND its recon.tif both exists and
+    parses as a TIFF — an interrupted writer can leave a headerless/
+    IFD-less file behind, which must re-encode, not wedge every retry.
+    Returns ``(reused, recon_or_None, bs_bytes_or_None)``; with
+    ``load=True`` the recon cube is read (deduped across hardlinked rep
+    replicas via the inode cache, so resuming R reps of a deterministic
+    codec holds ONE copy, not R)."""
+    recon_path = run_dir / "recon.tif"
+    if not (write_artifacts and recon_path.exists()):
+        return False, None, None
+    recon = None
+    try:
+        with tiff.open(recon_path) as rds:
+            if load:
+                st = recon_path.stat()
+                key = (st.st_dev, st.st_ino)
+                recon = None if cache is None else cache.get(key)
+                if recon is None:
+                    recon = rds.read()
+                    if cache is not None:
+                        cache[key] = recon
+    except Exception as e:
+        log(f"[WARN] Ignoring unreadable reconstruction "
+            f"{recon_path} ({e}); re-encoding")
+        return False, None, None
+    log(f"[SKIP] Reusing reconstruction: {recon_path}")
+    bs_bytes = None
+    bit_dir = run_dir / "bit"
+    if bit_dir.exists():
+        bs_bytes = sum(p.stat().st_size for p in bit_dir.rglob("*")
+                       if p.is_file())
+    return True, recon, bs_bytes
 
 
 def _pick_rgb_order(ds: tiff.Dataset, case_key: str) -> List[int]:
@@ -421,12 +467,14 @@ def _write_artifacts_phase(cfg: "SweepConfig", jobs: Dict[tuple, "_Job"],
                 descriptions=descriptions,
                 # validity-mask passthrough (ccsds123_wrap.py:279-283)
                 mask=(src_mask if mask_passthrough else None))
+            import shutil
+            bit_dir = run_dir / "bit"
+            # fresh encode owns the dir: drop stale files from an
+            # interrupted earlier run so resume's byte sum stays exact —
+            # also when this run keeps no bitstreams (a stale bit/ next
+            # to a fresh recon would corrupt a later resume's byte sum)
+            shutil.rmtree(bit_dir, ignore_errors=True)
             if cfg.keep_bitstream and job.bitstreams:
-                import shutil
-                bit_dir = run_dir / "bit"
-                # fresh encode owns the dir: drop stale files from an
-                # interrupted earlier run so resume's byte sum stays exact
-                shutil.rmtree(bit_dir, ignore_errors=True)
                 bit_dir.mkdir(parents=True, exist_ok=True)
                 for name, data in job.bitstreams.items():
                     (bit_dir / name).write_bytes(data)
@@ -463,8 +511,14 @@ def _write_artifacts_phase(cfg: "SweepConfig", jobs: Dict[tuple, "_Job"],
                 log(f"[WARN] Quicklooks failed in {run_dir}: {e}")
         job.recon = None
 
-    primaries = [js[0] for js in by_lane.values()]
-    replicas = [(js[0], j) for js in by_lane.values() for j in js[1:]]
+    # reused jobs always render individually: their run_dirs already hold
+    # arbitrary on-disk state (recon, bit/, older quicklooks) that a
+    # replica hardlink pass must never mix with another rep's files —
+    # only fresh jobs (identical content by construction) become replicas
+    primaries = [js[0] for js in by_lane.values()] + \
+        [j for js in by_lane.values() for j in js[1:] if j.reused]
+    replicas = [(js[0], j) for js in by_lane.values()
+                for j in js[1:] if not j.reused]
     nthread = min(8, os.cpu_count() or 1, max(1, len(primaries)))
     if nthread > 1:
         with ThreadPoolExecutor(max_workers=nthread) as pool:
@@ -473,6 +527,11 @@ def _write_artifacts_phase(cfg: "SweepConfig", jobs: Dict[tuple, "_Job"],
         for j in primaries:
             render(j)
     for src_job, dst_job in replicas:
+        # replica dirs may hold stale bit/ files (differently named, so
+        # _link_tree's same-name unlink would miss them) from an
+        # interrupted earlier run — the fresh replica owns the dir
+        import shutil
+        shutil.rmtree(dst_job.run_dir / "bit", ignore_errors=True)
         _link_tree(src_job.run_dir, dst_job.run_dir)
         dst_job.bitstreams = None
         dst_job.recon = None
@@ -622,25 +681,24 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
             # per-tile scratch shared across reps (e.g. ccsds121's device
             # encode plan — identical for identical input, so reps reuse it)
             tile_plan_cache: Dict[tuple, object] = {}
+            resume_cache: Dict[tuple, np.ndarray] = {}
             for rep in range(cfg.reps):
                 fresh_ix: List[int] = []
                 for ri, r in enumerate(rates):
                     run_dir = (outdir / tile_id / rate_slug(rk, r)
                                / f"rep_{rep+1:02d}")
                     job = _Job(ri=ri, rep=rep, run_dir=run_dir)
-                    recon_path = run_dir / "recon.tif"
-                    if cfg.write_artifacts and recon_path.exists():
-                        # resume: reuse recon, zero wrapper timing
-                        # (reference run_codec.py:489-492)
-                        log(f"[SKIP] Reusing reconstruction: {recon_path}")
-                        with tiff.open(recon_path) as rds:
-                            job.recon = rds.read()
+                    # resume: reuse recon, zero wrapper timing (reference
+                    # run_codec.py:489-492); hardlinked rep replicas share
+                    # one host cube via the inode cache
+                    reused, recon, bs = resume_recon(
+                        run_dir, cfg.write_artifacts, log, load=True,
+                        cache=resume_cache)
+                    if reused:
+                        job.recon = recon
                         job.reused = True
-                        bit_dir = run_dir / "bit"
-                        if bit_dir.exists():
-                            job.bs_bytes = sum(p.stat().st_size
-                                               for p in bit_dir.rglob("*")
-                                               if p.is_file())
+                        if bs is not None:
+                            job.bs_bytes = bs
                     else:
                         fresh_ix.append(ri)
                     jobs[(ri, rep)] = job
@@ -686,7 +744,10 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
             lane_of: Dict[tuple, int] = {}
             lanes: List[object] = []
             for (ri, rep), job in sorted(jobs.items()):
-                key = ("reused", ri, rep) if job.reused else ("fresh", ri)
+                # reused lanes key on the recon ARRAY identity: hardlinked
+                # rep replicas resolved to one cube share one metric lane
+                key = (("reused", id(job.recon)) if job.reused
+                       else ("fresh", ri))
                 if key not in lane_of:
                     lane_of[key] = len(lanes)
                     lanes.append(job.recon)

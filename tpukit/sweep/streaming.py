@@ -138,7 +138,8 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
     from tpukit.metrics.spectral import (merge_spectral_stats,
                                          spectral_stats_strip)
     from tpukit.sweep.proc import MemorySampler
-    from tpukit.sweep.runner import build_csv_row, rate_slug
+    from tpukit.sweep.runner import build_csv_row, rate_slug, \
+        resume_recon
 
     outdir = Path(cfg.outdir).resolve()
     tile_id = item["tile_id"]
@@ -184,18 +185,13 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
         for ri, r in enumerate(rates):
             run_dir = outdir / tile_id / rate_slug(rk, r) / f"rep_{rep+1:02d}"
             recon_path = run_dir / "recon.tif"
-            reused = cfg.write_artifacts and recon_path.exists()
+            # shared validated probe (runner.resume_recon): an interrupted
+            # writer's leftover must re-encode, not wedge every retry
+            reused, _, bs = resume_recon(run_dir, cfg.write_artifacts, log)
             key = ("reused", ri, rep) if reused else ("fresh", ri)
             job = {"ri": ri, "rep": rep, "run_dir": run_dir,
                    "reused": reused, "meta": {}, "t_wrap": 0.0,
-                   "bs_bytes": None, "lane": key}
-            if reused:
-                log(f"[SKIP] Reusing reconstruction: {recon_path}")
-                bit_dir = run_dir / "bit"
-                if bit_dir.exists():
-                    job["bs_bytes"] = sum(p.stat().st_size
-                                          for p in bit_dir.rglob("*")
-                                          if p.is_file())
+                   "bs_bytes": bs, "lane": key}
             if key not in lanes:
                 lanes[key] = {"acc": _LaneAcc(),
                               "src": (recon_path if reused else None)}
@@ -240,14 +236,15 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
         needs_metrics = is_metric_rep or any(
             metric_rep_ri[ri] == rep for ri in rep_ri)
         writers: Dict[int, tiff.StripWriter] = {}
-        if cfg.keep_bitstream:
-            # a fresh (re-)encode owns its bit/ dir: clear strip files left
-            # by an interrupted earlier run (possibly on a different strip
-            # grid) so the dir stays a valid stream concatenation and
-            # resume's recursive byte sum stays exact
-            import shutil
-            for job in rep_jobs:
-                shutil.rmtree(job["run_dir"] / "bit", ignore_errors=True)
+        # a fresh (re-)encode owns its bit/ dir: clear strip files left
+        # by an interrupted earlier run (possibly on a different strip
+        # grid) so the dir stays a valid stream concatenation and
+        # resume's recursive byte sum stays exact — also when THIS run
+        # keeps no bitstreams (stale bit/ next to a fresh recon would
+        # corrupt a later resume's byte sum)
+        import shutil
+        for job in rep_jobs:
+            shutil.rmtree(job["run_dir"] / "bit", ignore_errors=True)
         if cfg.write_artifacts:
             for job in rep_jobs:
                 job["run_dir"].mkdir(parents=True, exist_ok=True)
@@ -343,6 +340,9 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
             mib = lambda x: None if not x else round(x / (1 << 20), 2)
             meta["mem_comp_peak_mb"] = mib(meta["mem_comp_peak_bytes"])
             meta["mem_dec_peak_mb"] = mib(meta["mem_dec_peak_bytes"])
+            # keep the wrapper-JSON parity fields (reference
+            # ccsds121_wrap.py:221-237) consistent with the whole-item
+            # sums; the CSV schema deliberately excludes them
             if "bpp_effective_total" in meta:
                 bpp = sum_b[ri] * 8.0 / max(W * H, 1)
                 meta["bpp_effective_total"] = float(bpp)
