@@ -113,3 +113,20 @@ def test_baseline_a_from_jp2_bands(tmp_path, rng):
     with tiff.open(out["scene12"]) as ds:
         assert ds.count == 4
         assert (ds.width, ds.height) == (48, 40)
+
+
+def test_zero_decomposition_levels(tmp_path, rng):
+    """NL=0 codestreams (num_resolutions=1): the whole tile-component is
+    one LL band; band_rect's half-step term must vanish, not crash."""
+    a = rng.integers(0, 32768, (40, 52)).astype(np.uint16)
+    p = tmp_path / "nl0.jp2"
+    _write_jp2(p, a, num_resolutions=1)
+    np.testing.assert_array_equal(read_jp2(p), a)
+
+
+def test_dataset_reuses_parsed_decoder(tmp_path, rng):
+    a = rng.integers(0, 32768, (24, 24)).astype(np.uint16)
+    p = tmp_path / "ds.jp2"
+    _write_jp2(p, a)
+    ds = open_raster(p)
+    np.testing.assert_array_equal(ds.read()[0], a)

@@ -249,9 +249,10 @@ def sr2d_53(ll: np.ndarray, hl: np.ndarray, lh: np.ndarray, hh: np.ndarray,
 
 
 def band_rect(tcx0, tcy0, tcx1, tcy1, nb, xob, yob):
-    """Subband rectangle (B-15)."""
+    """Subband rectangle (B-15). nb==0 is the NL=0 LL band (the whole
+    tile-component): xob==yob==0 there, so the half-step term vanishes."""
     d = 1 << nb
-    h = 1 << (nb - 1)
+    h = (1 << (nb - 1)) if nb > 0 else 0
     return (ceil_div(tcx0 - h * xob, d), ceil_div(tcy0 - h * yob, d),
             ceil_div(tcx1 - h * xob, d), ceil_div(tcy1 - h * yob, d))
 
@@ -358,6 +359,14 @@ class JP2Decoder:
         st.xcb = (b[6] & 0x0F) + 2
         st.ycb = (b[7] & 0x0F) + 2
         st.cblksty = b[8]
+        if st.cblksty & 0x05:
+            # bypass/termall produce multiple codeword segments per
+            # code-block, which the single-segment packet-header decode
+            # cannot slice — fail here with a clear message instead of a
+            # downstream tier-1 error
+            raise NotImplementedError(
+                f"code-block style 0x{st.cblksty:02X} (bypass/termall) "
+                f"unsupported")
         st.transform = 1 if b[9] == 1 else 0  # SPcod: 1 = reversible 5/3
         if scod & 1:
             st.precw = []
@@ -442,10 +451,16 @@ class JP2Decoder:
             if psot == 0:
                 psot = len(cs) - pos
             body0 = pos + 2 + ln
-            # find SOD
+            # walk to SOD; tile-part header overrides (COD/COC/QCD/QCC/
+            # POC/PPT) would silently change the decode parameters, so
+            # reject them loudly like the main-header POC/PPM paths
             (mk2,) = struct.unpack_from(">H", cs, body0)
             p2 = body0
             while mk2 != SOD:
+                if mk2 in (0xFF52, 0xFF53, 0xFF5C, 0xFF5D, 0xFF5F, 0xFF61):
+                    raise NotImplementedError(
+                        f"tile-part marker 0x{mk2:04X} overrides "
+                        f"unsupported")
                 (l2,) = struct.unpack_from(">H", cs, p2 + 2)
                 p2 += 2 + l2
                 (mk2,) = struct.unpack_from(">H", cs, p2)
@@ -772,7 +787,8 @@ class JP2Dataset:
 
     def _plane(self, i: int) -> np.ndarray:
         if i not in self._cache:
-            self._cache[i] = read_jp2(self.path, band=i)
+            # reuse the parsed decoder: no second file read/header scan
+            self._cache[i] = read_jp2(self.path, band=i, dec=self._dec)
         return self._cache[i]
 
     def read(self, indexes=None, window=None) -> np.ndarray:
@@ -818,11 +834,15 @@ def open_raster(path):
 
 
 # ---------------------------------------------------------------------------
-def read_jp2(path, band: Optional[int] = None) -> np.ndarray:
+def read_jp2(path, band: Optional[int] = None,
+             dec: "JP2Decoder | None" = None) -> np.ndarray:
     """Decode a JP2/J2K file to a (H, W) (single component) or (C, H, W)
-    array, full image (all tiles stitched)."""
-    data = Path(path).read_bytes()
-    dec = JP2Decoder(data)
+    array, full image (all tiles stitched). A caller that already holds
+    the parsed ``JP2Decoder`` (JP2Dataset) passes it to avoid re-reading
+    and re-parsing the file."""
+    if dec is None:
+        data = Path(path).read_bytes()
+        dec = JP2Decoder(data)
     H = dec.ysiz - dec.yosiz
     W = dec.xsiz - dec.xosiz
     comps = range(dec.ncomp) if band is None else [band]

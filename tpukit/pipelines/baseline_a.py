@@ -54,23 +54,31 @@ def write_window_stack(cfg: CaseAConfig, out_path: Path) -> Path:
     from tpukit.io.jp2 import open_raster
     # band sources may be GeoTIFFs or Sentinel-2 .jp2 files (the reference
     # reads the JP2s via rasterio/GDAL, make_baseline_A.py:13-19)
-    dss = [open_raster(p) for p in cfg.band_paths]
-    ref = dss[0]
-    W, H = ref.width, ref.height
-    for ds, p in zip(dss, cfg.band_paths):
-        if (ds.width, ds.height) != (W, H):
-            raise ValueError(f"Different size in {p}")
-    col = cfg.col_off if cfg.col_off is not None else max(0, (W - cfg.scene_w) // 2)
-    row = cfg.row_off if cfg.row_off is not None else max(0, (H - cfg.scene_h) // 2)
-    col = min(col, max(0, W - cfg.scene_w))
-    row = min(row, max(0, H - cfg.scene_h))
-    win = tiff.Window(col, row, min(cfg.scene_w, W), min(cfg.scene_h, H))
-    data = np.stack([ds.read(1, window=win).astype(np.uint16) for ds in dss])
-    tr = tiff.window_transform(win, ref.transform)
-    tiff.write_geotiff(out_path, data, transform=tr, nodata=ref.nodata,
-                       blockxsize=512, blockysize=512, bigtiff="IF_SAFER")
-    for ds in dss:
-        ds.close()
+    from contextlib import ExitStack, closing
+    with ExitStack() as stack:
+        # datasets mmap whole files — release them on EVERY exit path,
+        # not only after a successful stack
+        dss = [stack.enter_context(closing(open_raster(p)))
+               for p in cfg.band_paths]
+        ref = dss[0]
+        W, H = ref.width, ref.height
+        for ds, p in zip(dss, cfg.band_paths):
+            if (ds.width, ds.height) != (W, H):
+                raise ValueError(f"Different size in {p}")
+        col = cfg.col_off if cfg.col_off is not None \
+            else max(0, (W - cfg.scene_w) // 2)
+        row = cfg.row_off if cfg.row_off is not None \
+            else max(0, (H - cfg.scene_h) // 2)
+        col = min(col, max(0, W - cfg.scene_w))
+        row = min(row, max(0, H - cfg.scene_h))
+        win = tiff.Window(col, row, min(cfg.scene_w, W),
+                          min(cfg.scene_h, H))
+        data = np.stack([ds.read(1, window=win).astype(np.uint16)
+                         for ds in dss])
+        tr = tiff.window_transform(win, ref.transform)
+        tiff.write_geotiff(out_path, data, transform=tr, nodata=ref.nodata,
+                           blockxsize=512, blockysize=512,
+                           bigtiff="IF_SAFER")
     return out_path
 
 

@@ -174,7 +174,16 @@ def mosaic(paths: Sequence[Path], band_indices: Optional[List[int]] = None,
             data = ds.read(band_indices) if band_indices else ds.read()
         c0 = int(round((tr[2] - x0) / px))
         r0 = int(round((tr[5] - y0) / py))
-        out[:, r0:r0 + h, c0:c0 + w] = data
+        src_nd = ndv if ndv is not None else nodata
+        if src_nd is None:
+            out[:, r0:r0 + h, c0:c0 + w] = data
+        else:
+            # nodata-aware compositing, like the gdalbuildvrt path this
+            # replaces: a later tile's fill pixels must not overwrite an
+            # earlier tile's valid data in the overlap
+            dst = out[:, r0:r0 + h, c0:c0 + w]
+            valid = data != np.asarray(src_nd, data.dtype)
+            np.copyto(dst, data, where=valid)
     transform = (px, 0.0, x0, 0.0, py, y0)
     return out, transform, nd
 
@@ -339,6 +348,11 @@ def _find(input_dir: Path, pattern: str):
 
 
 def find_bit(substrs, bit_map: Dict[int, str]) -> Optional[int]:
+    """First bit whose meaning contains all substrings — deliberately the
+    reference's exact heuristic incl. its quirks (e.g. 'cloud' can bind a
+    'cloud shadow' bit when that one enumerates first; both bits are
+    queried separately so the union mask is unaffected in practice).
+    Reference make_baseline_B.py:518-523."""
     for b, name in bit_map.items():
         if all(ss in name for ss in substrs):
             return b
@@ -376,10 +390,17 @@ def run(cfg: CaseBConfig) -> dict:
     # companion mosaics
     def companions(subs):
         out = []
+        missing = []
         for p in spectral:
             cand = p.with_name(p.name.replace(subs[0], subs[1]))
-            if cand.exists():
-                out.append(cand)
+            (out if cand.exists() else missing).append(cand)
+        if out and missing:
+            # a partial companion set would leave silent holes in the
+            # validity mask (flag value 0 == "all clear"); the reference
+            # opens these paths unconditionally and would raise too
+            raise FileNotFoundError(
+                f"missing {len(missing)} companion file(s), e.g. "
+                f"{missing[0]}")
         return out
 
     invalid = np.zeros((H, W), bool)
@@ -451,8 +472,10 @@ def run(cfg: CaseBConfig) -> dict:
         from PIL import Image
         Image.fromarray(u8, mode="L").save(err_png)
         artifacts["scene_err"] = err_png
-    except Exception:
-        pass
+    except Exception as e:
+        # warn-and-continue policy (§5.3): quicklook artifacts are
+        # non-fatal, but a silent miss hides disk/permission errors
+        print(f"[WARN] scene error-map PNG failed: {e}")
 
     # tiles
     items = []
@@ -481,9 +504,10 @@ def run(cfg: CaseBConfig) -> dict:
                                        vt, "max", cfg.k, cfg.err_scale)
             try:
                 from PIL import Image
-                Image.fromarray(u8t, mode="L").save(tpath.with_suffix(".ERRmax_vs16.png"))
-            except Exception:
-                pass
+                Image.fromarray(u8t, mode="L").save(
+                    tpath.with_suffix(".ERRmax_vs16.png"))
+            except Exception as e:
+                print(f"[WARN] tile error-map PNG failed: {e}")
         items.append({"tile_id": tid, "path": tpath, "mask": mpath})
 
     index = out_dir / "index_caseB.json"
