@@ -205,3 +205,27 @@ def test_no_preprocess_plan_parallel_encode(rng):
         assert plan is not None
         assert ck.encode_parallel(x, plan) == \
             ck.encode(x, 16, 8, 2, flags=0), (trial, n, chunk)
+
+
+def test_encode_device_chunked_misaligned_tail(rng):
+    """n not a multiple of J*rsi no longer forces a monolithic pack: full
+    chunks end on reference-sample intervals and the tail chunk carries
+    the leftover blocks — still byte-identical to the sequential coder."""
+    for trial in range(6):
+        step = 8 * 2                         # J=8, rsi=2
+        chunk = step * int(rng.integers(3, 9))
+        # tail misaligned vs step but whole blocks (J multiples)
+        n = chunk * int(rng.integers(2, 4)) + 8 * int(rng.integers(1, 2 * 2))
+        x = _gen(rng, n, int(rng.integers(0, 4)))
+        bs, plan = dev.encode_device(jnp.asarray(x), chunk=chunk,
+                                     return_plan=True)
+        assert bs == ck.encode(x, 16, 8, 2), (trial, n, chunk)
+        np.testing.assert_array_equal(ck.decode_parallel(bs, plan), x)
+
+
+def test_encode_device_monolithic_overflow_guard():
+    class FakeArr:
+        shape = (1 << 28,)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="too large"):
+        dev.encode_device(FakeArr(), chunk=0)

@@ -452,7 +452,14 @@ def encode_device(x, bits: int = 16, J: int = 8, rsi: int = 2,
     step = J * rsi
     assert n % J == 0, "whole blocks required"
     chunk -= chunk % step
-    if chunk <= 0 or n <= chunk or n % step != 0:
+    if chunk <= 0 or n <= chunk:
+        # monolithic pack: analyze()'s bit accounting is int32, so refuse
+        # streams whose worst-case output could cross 2^31 bits instead
+        # of silently corrupting offsets (chunked callers never get here)
+        if pack_cap_words(n, bits, J) * 32 >= (1 << 31):
+            raise ValueError(
+                f"stream of {n} samples too large for a monolithic pack; "
+                f"pass a positive chunk size")
         words, total_bits, _, _ = pack_words(
             x, jnp.int32(0), bits=bits, J=J, rsi=rsi,
             out_words=pack_cap_words(n, bits, J), preprocess=preprocess)

@@ -118,7 +118,9 @@ struct BitReader {
             bytepos += adv;
             avail += adv << 3;
         } else {
-            while (avail <= 56 && bytepos < nbytes) {
+            // cap at 63 bits: avail must never reach 64, or downstream
+            // full-window shifts (w << (z+1) with z+1 == 64) become UB
+            while (avail <= 55 && bytepos < nbytes) {
                 window |= (uint64_t)buf[bytepos++] << (56 - avail);
                 avail += 8;
             }
@@ -169,7 +171,10 @@ struct BitReader {
                 int z = __builtin_clzll(w);
                 if (z + 1 > av) break;   // code spans the refill boundary
                 vals[i++] = (uint32_t)z;
-                w <<= (z + 1);           // z+1 <= av <= 63 here
+                // z+1 <= av <= 63 (refill caps avail at 63), but keep the
+                // guard so a future refill change cannot reintroduce the
+                // shift-by-64 UB
+                w = (z + 1 >= 64) ? 0 : (w << (z + 1));
                 av -= z + 1;
             }
             window = w;

@@ -33,7 +33,9 @@
 //   * per-plane ELIGIBLE-GROUP lists — groups are bucketed by their max
 //     member's MSB plane at setup; each plane visits only groups that have
 //     activated (merge of the surviving list with this plane's bucket),
-//     and fully-significant groups drop off the list. Inactive groups'
+//     (fully-significant groups stay listed — the inactive-gap accounting
+//    counts every unlisted group as one gate bit, so they must pass
+//    through at zero bits, not fall into the gap). Inactive groups'
 //     gate zeros are accounted as bulk zero runs (encoder: put_zeros
 //     memset; decoder: 64-bit window CLZ scans that only pay per
 //     *activation*, not per group).
@@ -492,7 +494,8 @@ extern "C" int64_t bpc_decode(const uint8_t* in, int64_t nbytes, int32_t* coef,
                 }
                 int z = __builtin_clzll(w);   // w != 0 within `take` bits
                 // z zeros, then an activation at group gfrom + z
-                br.window = w << (z + 1);
+                // (z+1 < 64 since avail is capped at 63, but guard the UB)
+                br.window = (z + 1 >= 64) ? 0 : (w << (z + 1));
                 br.avail -= z + 1;
                 int64_t g = gfrom + z;
                 gfrom = g + 1;

@@ -561,7 +561,12 @@ static int64_t decode_stream(BitReader& br, const Params& p,
 extern "C" int64_t ck121_decode(const uint8_t* in, int64_t nbytes, int bits,
                                 int block_size, int rsi, int flags,
                                 uint16_t* out, int64_t n) {
-    if (bits < 5 || bits > 16 || n <= 0) return -1;
+    // J outside the standard's {8,16,32,64} would overflow the fixed
+    // per-block gs[] buffers in the SE path — reject like bits
+    if (bits < 5 || bits > 16 || n <= 0 || rsi < 1 ||
+        !(block_size == 8 || block_size == 16 || block_size == 32 ||
+          block_size == 64))
+        return -1;
     Params p = make_params(bits, block_size, rsi, flags);
     BitReader br(in, nbytes);
     return decode_stream(br, p, out, n);
@@ -579,7 +584,10 @@ extern "C" int64_t ck121_decode_seg(const uint8_t* in, int64_t nbytes,
                                     int64_t bit_off, int bits,
                                     int block_size, int rsi, int flags,
                                     uint16_t* out, int64_t n) {
-    if (bits < 5 || bits > 16 || n <= 0 || bit_off < 0) return -1;
+    if (bits < 5 || bits > 16 || n <= 0 || bit_off < 0 || rsi < 1 ||
+        !(block_size == 8 || block_size == 16 || block_size == 32 ||
+          block_size == 64))
+        return -1;
     Params p = make_params(bits, block_size, rsi, flags);
     int64_t byte0 = bit_off >> 3;
     if (byte0 >= nbytes) return -7;

@@ -5,8 +5,11 @@
 // (reference tools/make_baseline_A.py:13-19 reads them via rasterio/GDAL —
 // tpukit decodes the codestream in-framework instead). Scope: the styles
 // those products and OpenJPEG defaults use — MQ-coded passes with optional
-// segmentation symbols, predictable termination, reset, vertically causal
-// contexts, and selective arithmetic-coding bypass (raw passes).
+// segmentation symbols, predictable termination, reset, and vertically
+// causal contexts. Selective AC bypass and termall are NOT decodable yet:
+// the entry check rejects them (the packet layer cannot slice their
+// multi-segment lengths); RawDec and the cur_raw branches are the
+// scaffolding for when that lands.
 //
 // Output: sign-magnitude int32 per coefficient; for truncated blocks the
 // caller applies the dequant midpoint. The decoder is exact for complete
@@ -215,6 +218,7 @@ extern "C" int64_t j2k_t1_decode(const uint8_t* data, int64_t nbytes,
                                  int passes, int numbps, int orient,
                                  int style, int w, int h, int32_t* out) {
     if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return -1;
+    if (numbps > 32) return -5;   // int32 magnitudes: 1u<<plane is UB past 31
     if (numbps <= 0 || passes <= 0) {
         std::memset(out, 0, sizeof(int32_t) * (size_t)w * h);
         return 0;

@@ -376,12 +376,18 @@ static int64_t jls_decode_impl(const uint8_t* in, int64_t nbytes, uint16_t* img,
         if (in[pos] != 0xFF) return -2;
         int marker = in[pos + 1];
         int len = rd16(pos + 2);
+        // every segment read below must stay inside the buffer — a
+        // truncated/hostile stream must fail cleanly, not overread
+        if (len < 2 || pos + 2 + len > nbytes) return -2;
         if (marker == 0xF7) {                 // SOF55
+            if (len < 7) return -2;
             bits = in[pos + 4];
             H = rd16(pos + 5);
             W = rd16(pos + 7);
         } else if (marker == 0xDA) {          // SOS
+            if (len < 4) return -2;
             int ns = in[pos + 4];
+            if (len < 2 + 1 + 2 * ns + 3) return -2;
             near = in[pos + 5 + 2 * ns];
             got_sos = true;
         } else if (marker == 0xD9) {
@@ -390,7 +396,11 @@ static int64_t jls_decode_impl(const uint8_t* in, int64_t nbytes, uint16_t* img,
         pos += 2 + len;
     }
     if (!got_sos || W <= 0 || H <= 0 || bits < 2 || bits > 16) return -4;
-    if (expect_w > 0 && (W != expect_w || H != expect_h)) return -5;
+    // dimension-discovery mode (expect_w <= 0) has no output-capacity
+    // contract; reject it for decode so a stream-declared size can never
+    // overflow the caller's buffer (callers probe headers separately)
+    if (expect_w <= 0) return -7;
+    if (W != expect_w || H != expect_h) return -5;
     *out_w = W; *out_h = H;
 
     int maxval = (1 << bits) - 1;
