@@ -159,8 +159,10 @@ def compute_all_arrays(arr: np.ndarray, nodata: Optional[float] = None,
     :262-288 surface, minus file I/O)."""
     arr = np.asarray(arr, dtype=np.float32)
     if nodata is not None:
-        valid = ~np.all(arr == nodata, axis=0)
-        valid &= (arr != nodata).all(axis=0)
+        # a pixel is valid iff NO band holds nodata (the reference masks
+        # per band; for real products nodata pixels are nodata in every
+        # band, where the two rules coincide — pinned by test_complexity)
+        valid = (arr != nodata).all(axis=0)
     else:
         valid = np.ones(arr.shape[1:], bool)
     out = _compute_device(jnp.asarray(arr), jnp.asarray(valid),

@@ -168,8 +168,10 @@ def merge_spectral_stats(parts: list) -> Dict[str, float]:
         lsum += float(np.asarray(p["lmse_sum"], np.float64))
         ln += float(np.asarray(p["lmse_n"], np.float64))
     if n == 0:
+        # no valid pixels: all-NaN, matching compute_sam_sid_lmse and
+        # assemble_spectral_many (the tile path's reference fallback)
         return {"sam_deg": float("nan"), "sid": float("nan"),
-                "lmse": (lsum / ln) if ln else float("nan")}
+                "lmse": float("nan")}
     return {"sam_deg": float(np.degrees(sam / n)), "sid": sid / n,
             "lmse": (lsum / ln) if ln else float("nan")}
 

@@ -210,6 +210,9 @@ def write_mean_csv(path, rows: List[dict], decimal: str = ",") -> Path:
     """Aggregate per-rep rows and write metrics_mean.csv."""
     path = Path(path)
     mean_rows = aggregate_rows(rows)
+    # NOTE lexicographic sort and no 63-band cap, UNLIKE the per-run file:
+    # this asymmetry is the reference's own contract (run_codec.py:613
+    # sorted() vs :581 range(1,64)) and downstream tools depend on it
     band_keys = sorted({k for r in rows for k in r
                        if k.startswith(("psnr_b", "ssim_b", "maxerr_b"))})
     header = MEAN_COLS_HEAD + [k + "_rep" for k in band_keys]

@@ -81,7 +81,18 @@ def norm_tile(s) -> str:
 
 
 def normalize_df(df: pd.DataFrame) -> pd.DataFrame:
-    """Derive plotting helper columns (reference overlay_means.py:91-128)."""
+    """Derive plotting helper columns (reference overlay_means.py:91-128).
+
+    Inputs are AGGREGATED metrics_mean.csv frames; like the reference
+    tools (rd_curve.py:43-46 raises SystemExit), a per-run metrics.csv
+    is rejected with a clear message instead of a downstream KeyError."""
+    need = ["bpp_mean", "psnr_global_rep"]
+    missing = [c for c in need if c not in df.columns]
+    if missing:
+        raise ValueError(
+            "Missing required column(s): " + ", ".join(missing) +
+            " — pass metrics_mean.csv (aggregated), not a per-run "
+            "metrics.csv")
     d = df.copy()
     if "bpp" not in d.columns and "bpp_mean" in d.columns:
         d["bpp"] = pd.to_numeric(d["bpp_mean"], errors="coerce")
@@ -398,6 +409,17 @@ def iso_rate_psnr_bars(df: pd.DataFrame, out_prefix, tile="HC",
     ax.set_title(f"Iso-rate: PSNR at fixed CR ({', '.join(map(str, cr_list))}) – {tile}")
     ax.legend(title="Fixed CR")
     ax.grid(axis="y", linewidth=0.3)
+    # clamp the axis to the finite values (reference overlay_means.py:
+    # 425-433) — lossless rows carry PSNR=inf, which must not blow up the
+    # scale
+    finite_vals = mat[np.isfinite(mat)]
+    if finite_vals.size:
+        ymin = max(0.0, np.floor(finite_vals.min() - 1))
+        ymax = min(100.0, np.ceil(finite_vals.max() + 1))
+        if ymin < ymax:
+            ax.set_ylim(ymin, ymax)
+    else:
+        ax.set_ylim(0, 100)
     out_prefix = Path(out_prefix)
     out_prefix.parent.mkdir(parents=True, exist_ok=True)
     p = out_prefix.parent / f"{out_prefix.name}_IsoRate_{tile}.png"
