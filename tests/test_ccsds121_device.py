@@ -229,3 +229,15 @@ def test_encode_device_monolithic_overflow_guard():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="too large"):
         dev.encode_device(FakeArr(), chunk=0)
+
+
+def test_codec_device_size_matches_run_diff1_tiled(tile_caseB):
+    """encode_size_device must honor diff1 preprocessing AND the
+    independent tile grid — the configuration run() actually codes."""
+    from tpukit.codecs.base import RateSpec
+    from tpukit.codecs.ccsds121_codec import CCSDS121Codec
+    for preproc, tile in (("diff1", 32), ("diff1", 16), ("none", 16)):
+        codec = CCSDS121Codec(tile=tile, interleave="bip", preproc=preproc)
+        res = codec.run(tile_caseB, "int16", RateSpec.none())
+        sz = int(codec.encode_size_device(jnp.asarray(tile_caseB)))
+        assert sz == res.bitstream_bytes, (preproc, tile)

@@ -98,7 +98,11 @@ class CCSDS121Codec(Codec):
                 t0 = time.perf_counter()
                 with mem_phase("comp"):
                     plan = None
+                    # the device model supports 8 < bits <= 16; other
+                    # nbit values stay on the host coder (which handles
+                    # the full 5..16 range) instead of crashing at trace
                     if (device_cube is not None
+                            and 8 < self.nbit <= 16
                             and flat.size % (self.block_size * self.rsi) == 0):
                         ck = (y0, x0, th, tw, self.preproc, self.interleave,
                               self.nbit, self.block_size, self.rsi)
@@ -185,21 +189,38 @@ class CCSDS121Codec(Codec):
                                rsi=self.rsi)
 
     def encode_size_device(self, cube, interleave: Optional[str] = None):
-        """Exact compressed size from the TPU model (no packing). cube may be
+        """Exact compressed size from the TPU model (no packing), honoring
+        the codec's FULL configuration: diff1 preprocessing and the
+        independent tile grid (run() codes each tile as its own stream, so
+        the modeled total is the sum of per-tile model sizes). cube may be
         a jax array already in HBM; returns a traced/jittable scalar."""
+        import jax
         import jax.numpy as jnp
         from tpukit.codecs import ccsds121 as dev
+        from tpukit.kernels.diff1 import diff1_forward
 
         itl = interleave or self.interleave
         c = cube
         if hasattr(c, "dtype") and c.dtype == jnp.int16:
-            import jax
             c = jax.lax.bitcast_convert_type(c, jnp.uint16)
-        if itl == "bip":
-            flat = jnp.moveaxis(c, 0, -1).reshape(-1)
-        elif itl == "bil":
-            flat = jnp.moveaxis(c, 0, 1).reshape(-1)
-        else:
-            flat = c.reshape(-1)
-        return dev.encode_size(flat, bits=self.nbit, J=self.block_size,
-                               rsi=self.rsi)
+        if self.preproc == "diff1":
+            c = diff1_forward(c)
+        B, H, W = c.shape
+        tile = int(self.tile) if self.tile else max(H, W)
+
+        def flat_of(t):
+            if itl == "bip":
+                return jnp.moveaxis(t, 0, -1).reshape(-1)
+            if itl == "bil":
+                return jnp.moveaxis(t, 0, 1).reshape(-1)
+            return t.reshape(-1)
+
+        total = jnp.int32(0)
+        for y0 in range(0, H, tile):
+            for x0 in range(0, W, tile):
+                t = c[:, y0:y0 + min(tile, H - y0),
+                      x0:x0 + min(tile, W - x0)]
+                total = total + dev.encode_size(
+                    flat_of(t), bits=self.nbit, J=self.block_size,
+                    rsi=self.rsi)
+        return total

@@ -97,8 +97,9 @@ def derive_near(rate: RateSpec, band1: np.ndarray, dtype_name: str,
     def size_bpp(n):
         return (8.0 * len(jls_encode(probe, _clamp_near(n), bits))) / (H * W)
 
-    best_n, best_err = 0, abs(size_bpp(0) - bpp_target)
-    prev_n, prev_bpp = 0, size_bpp(0)
+    bpp0 = size_bpp(0)   # the most expensive (lossless) probe: run once
+    best_n, best_err = 0, abs(bpp0 - bpp_target)
+    prev_n, prev_bpp = 0, bpp0
     pick = 0
     for n in _NEAR_LADDER[1:]:
         cur = size_bpp(n)
@@ -121,6 +122,9 @@ def derive_near(rate: RateSpec, band1: np.ndarray, dtype_name: str,
             break
         prev_n, prev_bpp = n, cur
     pick = _clamp_near(pick)
+    # NEAR=0 deliberately coerces to 1 here — the reference behaves the
+    # same way (jpegls_wrap.py:89 `pick or 1`): a cr/bpp rate request is
+    # treated as an explicitly lossy ask even when lossless meets it
     return 1 if (pick == 0 and bpp_target < prev_bpp) else (pick or 1)
 
 

@@ -259,7 +259,8 @@ def _parse_gdal_metadata(xml: Optional[str]) -> Dict[int, Dict[str, str]]:
         attrs = dict(re.findall(r'(\w+)="([^"]*)"', m.group(1)))
         name = attrs.get("name", "")
         band = int(attrs.get("sample", -1)) + 1  # GDAL uses 0-based "sample"
-        out.setdefault(band, {})[name] = m.group(2).strip()
+        from xml.sax.saxutils import unescape
+        out.setdefault(band, {})[name] = unescape(m.group(2).strip())
     return out
 
 
@@ -444,6 +445,8 @@ class Dataset:
                     arr = arr.reshape(rows, cols, spp).astype(dtype)
                 if pred == 2:
                     arr = _undo_predictor2(arr)
+                elif pred not in (0, 1):
+                    raise ValueError(f"Unsupported TIFF predictor {pred}")
                 plane = arr[..., band_idx0] if planar == 1 else arr[..., 0]
                 y0, x0 = ty * th, tx * tw
                 hh = min(rows, H - y0)
@@ -527,6 +530,8 @@ class Dataset:
                     arr = arr.reshape(rows, cols, spp).astype(dtype)
                 if pred == 2:
                     arr = _undo_predictor2(arr)
+                elif pred not in (0, 1):
+                    raise ValueError(f"Unsupported TIFF predictor {pred}")
                 plane = arr[..., band_idx0] if planar == 1 else arr[..., 0]
                 out[sy0 - win.row_off:sy1 - win.row_off,
                     sx0 - win.col_off:sx1 - win.col_off] = \
@@ -554,16 +559,24 @@ class Dataset:
             idx = [int(i) for i in indexes]
         if window is not None:
             w = Window.coerce(window)
+            # .copy(): never hand out views of the plane cache (mutation
+            # through the returned array must not corrupt later reads —
+            # rasterio returns fresh arrays too)
             planes = [
                 (self._cache[i][w.row_off:w.row_off + w.height,
-                                w.col_off:w.col_off + w.width]
+                                w.col_off:w.col_off + w.width].copy()
                  if i in self._cache else
                  self._decode_window_ifd(self._main, i - 1, self._dtype,
                                          self.count, w))
                 for i in idx]
         else:
             planes = [self._band(i) for i in idx]
-        arr = planes[0][None] if len(planes) == 1 else np.stack(planes, axis=0)
+        if len(planes) == 1:
+            arr = (planes[0].copy() if planes[0].base is not None
+                   or planes[0] is self._cache.get(idx[0]) else planes[0])
+            arr = arr[None]
+        else:
+            arr = np.stack(planes, axis=0)   # stack copies
         if out_dtype is not None:
             arr = arr.astype(out_dtype)
         return arr[0] if single else arr
@@ -620,20 +633,28 @@ def open(path) -> Dataset:  # noqa: A001 — mirrors rasterio.open
 # ---------------------------------------------------------------------------
 
 def _gdal_metadata_xml(descriptions, band_metadata=None) -> Optional[str]:
+    from xml.sax.saxutils import escape, quoteattr
+
+    def _txt(v):        # XML-escape item payloads ('&', '<', '>')
+        return escape(str(v))
+
     items = []
     if descriptions:
         for i, d in enumerate(descriptions):
             if d:
-                items.append(f'<Item name="DESCRIPTION" sample="{i}" role="description">{d}</Item>')
+                items.append(f'<Item name="DESCRIPTION" sample="{i}" '
+                             f'role="description">{_txt(d)}</Item>')
     if band_metadata:
         for band, kv in band_metadata.items():
             for k, v in kv.items():
                 if k == "DESCRIPTION":
                     continue
+                nm = quoteattr(str(k))
                 if band == 0:
-                    items.append(f'<Item name="{k}">{v}</Item>')
+                    items.append(f'<Item name={nm}>{_txt(v)}</Item>')
                 else:
-                    items.append(f'<Item name="{k}" sample="{band-1}">{v}</Item>')
+                    items.append(f'<Item name={nm} sample="{band-1}">'
+                                 f'{_txt(v)}</Item>')
     if not items:
         return None
     return "<GDALMetadata>\n  " + "\n  ".join(items) + "\n</GDALMetadata>\n"
@@ -1222,9 +1243,15 @@ def update_band_descriptions(path, descriptions, band_metadata=None):
     mask = None
     if ds._mask_ifd is not None:
         mask = ds.dataset_mask()
+    # carry existing per-band/dataset metadata through the rewrite (the
+    # reference's rasterio r+ edit keeps everything else untouched);
+    # caller-provided entries win
+    merged_md = {b: dict(kv) for b, kv in (ds.band_metadata or {}).items()}
+    for b, kv in (band_metadata or {}).items():
+        merged_md.setdefault(b, {}).update(kv)
     ds.close()
     write_geotiff(path, data, nodata=meta["nodata"], descriptions=descriptions,
-                  band_metadata=band_metadata, geo=meta["geo"], mask=mask)
+                  band_metadata=merged_md or None, geo=meta["geo"], mask=mask)
 
 
 def window_transform(win: Window, transform) -> tuple:

@@ -52,16 +52,6 @@ def _sym_l(a, axis):
     return jnp.concatenate([first, shifted], axis=axis)
 
 
-def _interleave(even, odd, axis):
-    stacked = jnp.stack([even, odd], axis=axis + 1 if axis >= 0 else axis)
-    # reshape even/odd interleave along axis
-    ax = axis % stacked.ndim
-    shape = list(even.shape)
-    shape[axis % even.ndim] *= 2
-    perm_shape = stacked.shape
-    return stacked.reshape(shape) if ax == len(perm_shape) - 2 else _interleave_general(even, odd, axis)
-
-
 def _interleave_general(even, odd, axis):
     axis = axis % even.ndim
     shape = list(even.shape)
@@ -126,13 +116,39 @@ def _round_half_up(x):
     return jnp.floor(x + 0.5).astype(jnp.int32)
 
 
+def _sym_l2(a, axis):
+    """a[i-1] with WHOLE-SAMPLE symmetric head: a[-1] := a[1] (the full
+    signal's x[-2] = x[2] maps to the even subsequence's s[1] — CCSDS
+    122.0-B §3.3 edge extension for the 4-tap predict)."""
+    n = a.shape[axis]
+    if n == 1:
+        return a
+    head = jax.lax.slice_in_dim(a, 1, 2, 1, axis)
+    rest = jax.lax.slice_in_dim(a, 0, n - 1, 1, axis)
+    return jnp.concatenate([head, rest], axis=axis)
+
+
+def _sym_r2(a, axis):
+    """a[i+2] with whole-sample symmetric tail: a[n] := a[n-1] (x[2n] =
+    x[2n-2]) and a[n+1] := a[n-2] (x[2n+2] = x[2n-4])."""
+    n = a.shape[axis]
+    if n == 1:
+        return a
+    body = jax.lax.slice_in_dim(a, 2, n, 1, axis)
+    t1 = jax.lax.slice_in_dim(a, n - 1, n, 1, axis)
+    t2 = jax.lax.slice_in_dim(a, n - 2, n - 1, 1, axis)
+    return jnp.concatenate([body, t1, t2], axis=axis)
+
+
 def _fwd97m_1d(x, axis):
     """Integer 9/7M (CCSDS 122.0-B §3.3): 4-tap predict, 2-tap update,
-    nonlinear rounding — reversible."""
+    nonlinear rounding — reversible. Edge neighbors use the standard's
+    whole-sample symmetric extension (s[-1]=s[1], s[n]=s[n-1],
+    s[n+1]=s[n-2]; d[-1]=d[0])."""
     s, d = _split(x, axis)
     s_r = _sym_r(s, axis)
-    s_rr = _sym_r(s_r, axis)
-    s_l = _sym_l(s, axis)
+    s_rr = _sym_r2(s, axis)
+    s_l = _sym_l2(s, axis)
     d = d - _round_half_up((9.0 / 16.0) * (s + s_r) - (1.0 / 16.0) * (s_l + s_rr))
     d_l = _sym_l(d, axis)
     s = s - _round_half_up(-0.25 * (d_l + d))
@@ -143,8 +159,8 @@ def _inv97m_1d(s, d, axis):
     d_l = _sym_l(d, axis)
     s = s + _round_half_up(-0.25 * (d_l + d))
     s_r = _sym_r(s, axis)
-    s_rr = _sym_r(s_r, axis)
-    s_l = _sym_l(s, axis)
+    s_rr = _sym_r2(s, axis)
+    s_l = _sym_l2(s, axis)
     d = d + _round_half_up((9.0 / 16.0) * (s + s_r) - (1.0 / 16.0) * (s_l + s_rr))
     return _interleave_general(s, d, axis)
 
