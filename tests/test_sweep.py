@@ -237,3 +237,26 @@ def test_resume_ignores_corrupt_recon(tmp_path, caseb_setup):
     from tpukit.io import tiff
     with tiff.open(victim) as ds:
         assert ds.read().shape[0] == 12
+
+
+def test_single_csv_override(tmp_path, caseb_setup):
+    """--single-csv redirects metrics.csv; metrics_mean.csv lands next to
+    it (reference run_codec.py:402, :635)."""
+    idx, _ = caseb_setup
+    target = tmp_path / "elsewhere" / "my_metrics.csv"
+    cfg = SweepConfig(
+        indices=idx,
+        codec=create("ccsds121", tile=32, interleave="bip", preproc="none"),
+        codec_label="ccsds121_ext",
+        outdir=tmp_path / "runs_sc",
+        rate_key="none",
+        reps=2,
+        write_artifacts=False,
+        quicklooks=False,
+        single_csv=target,
+    )
+    res = run_sweep(cfg)
+    assert res["metrics_csv"] == target.resolve()
+    assert target.exists()
+    assert (target.parent / "metrics_mean.csv").exists()
+    assert not (tmp_path / "runs_sc" / "metrics.csv").exists()

@@ -52,6 +52,10 @@ def run_codec_main(argv=None):
     ap.add_argument("--ql-rgb", action="store_true")
     ap.add_argument("--no-artifacts", action="store_true",
                     help="skip recon.tif/quicklooks on disk (fast in-memory mode)")
+    ap.add_argument("--single-csv", default=None,
+                    help="path to the per-run CSV (default "
+                         "<outdir>/metrics.csv; metrics_mean.csv is "
+                         "written next to it — reference run_codec.py:402)")
     ap.add_argument("--csv-decimal", choices=[",", "."], default=",")
     # codec options pass through
     ap.add_argument("--tile", type=int, default=None)
@@ -126,6 +130,7 @@ def run_codec_main(argv=None):
         ql_rgb=args.ql_rgb, ql_err_global=args.ql_err_global,
         ql_err_zoom=args.ql_err_zoom, case=args.case, asset=args.asset,
         link_mbps=link_mbps, link_eff=link_eff, csv_decimal=args.csv_decimal,
+        single_csv=(Path(args.single_csv) if args.single_csv else None),
         mesh=args.mesh, stream_rows=args.stream_rows)
     if args.profile:
         import jax

@@ -16,6 +16,8 @@ import json
 import sys
 from pathlib import Path
 
+import numpy as np
+
 from tpukit.codecs.base import RateSpec
 from tpukit.codecs.registry import create
 from tpukit.io import tiff
@@ -45,7 +47,8 @@ def _rate_from_args(args) -> RateSpec:
 
 
 def run_wrapper(codec_name: str, argv=None, codec_opts_fn=None,
-                extra_args_fn=None, sparse_flag: bool = False):
+                extra_args_fn=None, sparse_flag: bool = False,
+                codec_factory=None, pre_check_fn=None):
     ap = argparse.ArgumentParser(description=f"tpukit {codec_name} wrapper")
     _common(ap)
     if extra_args_fn:
@@ -53,12 +56,16 @@ def run_wrapper(codec_name: str, argv=None, codec_opts_fn=None,
     args = ap.parse_args(argv)
 
     opts = codec_opts_fn(args) if codec_opts_fn else {}
-    codec = create(codec_name, **opts)
+    codec = codec_factory(args, opts) if codec_factory else None
+    if codec is None:
+        codec = create(codec_name, **opts)
     rate = _rate_from_args(args)
     keep = args.keep_bitstream is not None
 
     with tiff.open(args.inp) as ds:
         cube = ds.read()
+        if pre_check_fn:
+            pre_check_fn(args, cube)
         dtype_name = ds.dtypes[0]
         meta = {"nodata": ds.nodata, "geo": ds.geo,
                 "descriptions": ds.descriptions,
@@ -93,17 +100,63 @@ def run_wrapper(codec_name: str, argv=None, codec_opts_fn=None,
 
 # -- per-codec entry points --------------------------------------------------
 
+def _add_tpl_args(ap, enc_help: str, dec_help: str):
+    """--enc-cmd/--dec-cmd templates: the external-binary rebinding seam
+    (reference ccsds121_wrap.py:117-118, ccsds122_wrap.py:59-62,
+    ccsds123_wrap.py:106-109). Omitted => tpukit's native codec."""
+    ap.add_argument("--enc-cmd", default=None, help=enc_help)
+    ap.add_argument("--dec-cmd", default=None, help=dec_help)
+
+
+def _require_both_tpls(a):
+    if (a.enc_cmd is None) != (a.dec_cmd is None):
+        raise SystemExit("--enc-cmd and --dec-cmd must be given together")
+    return a.enc_cmd is not None
+
+
 def ccsds121_main(argv=None):
     def extra(ap):
         ap.add_argument("--tile", type=int, default=512)
         ap.add_argument("--interleave", choices=["bip", "bil", "bsq"], default="bip")
         ap.add_argument("--preproc", choices=["none", "diff1"], default="diff1")
         ap.add_argument("--nbit", type=int, default=16)
+        ap.add_argument("--validate-14bit", dest="validate_14bit",
+                        action="store_true",
+                        help="warn if DN exceed the 14-bit effective range "
+                             "(reference ccsds121_wrap.py:151-158)")
+        _add_tpl_args(ap, 'e.g. "aec -n {nbit} {in} {out}"',
+                      'e.g. "aec -d -n {nbit} {in} {out}"')
 
     def opts(a):
         return dict(tile=a.tile, interleave=a.interleave, preproc=a.preproc,
                     nbit=a.nbit)
-    return run_wrapper("ccsds121", argv, opts, extra)
+
+    def factory(a, o):
+        if not _require_both_tpls(a):
+            return None
+        from tpukit.codecs.extern import ExternalCodec
+        return ExternalCodec(a.enc_cmd, a.dec_cmd, structure="tile",
+                             tile=a.tile, interleave=a.interleave,
+                             preproc=a.preproc, nbit=a.nbit,
+                             bit_ext="aec", name="ccsds121_ext")
+
+    def pre_check(a, cube):
+        # sample-window 14-bit range warning (ccsds121_wrap.py:151-158)
+        if not a.validate_14bit:
+            return
+        s = cube[:, :1024, :1024]
+        if np.issubdtype(s.dtype, np.signedinteger):
+            ok = (s >= -8192).all() and (s <= 8191).all()
+            kind = "signed"
+        else:
+            ok = (s >= 0).all() and (s <= 16383).all()
+            kind = "unsigned"
+        if not ok:
+            print(f"[WARN] Values exceed {kind} 14-bit range",
+                  file=sys.stderr)
+
+    return run_wrapper("ccsds121", argv, opts, extra, codec_factory=factory,
+                       pre_check_fn=pre_check)
 
 
 def jpegls_main(argv=None):
@@ -141,7 +194,18 @@ def j2k_main(argv=None):
 
 
 def ccsds122_main(argv=None):
-    return run_wrapper("ccsds122", argv, None, None)
+    def extra(ap):
+        _add_tpl_args(ap,
+                      'e.g. "bpe -e {in} -o {out} -r {bpp} -w {w} -h {h}"',
+                      'e.g. "bpe -d {in} -o {out} -w {w} -h {h}"')
+
+    def factory(a, o):
+        if not _require_both_tpls(a):
+            return None
+        from tpukit.codecs.extern import ExternalCodec
+        return ExternalCodec(a.enc_cmd, a.dec_cmd, structure="band",
+                             name="ccsds122_ext", use_uss=True)
+    return run_wrapper("ccsds122", argv, None, extra, codec_factory=factory)
 
 
 def ccsds123_main(argv=None):
@@ -156,8 +220,23 @@ def ccsds123_main(argv=None):
                         action="store_true",
                         help="write the recon GeoTIFF with sparse blocks "
                              "(GDAL SPARSE_OK equivalent)")
+        _add_tpl_args(ap,
+                      'e.g. "enc123 -i {in} -o {out} -w {w} -h {h} '
+                      '-b {bands} --mode {mode} --dtype {dtype}"',
+                      'e.g. "dec123 -i {in} -o {out} -w {w} -h {h} '
+                      '-b {bands} --mode {mode} --dtype {dtype}"')
 
     def opts(a):
         return dict(tile=a.tile, interleave=a.interleave,
                     crop_nodata=a.crop_nodata)
-    return run_wrapper("ccsds123", argv, opts, extra, sparse_flag=True)
+
+    def factory(a, o):
+        if not _require_both_tpls(a):
+            return None
+        from tpukit.codecs.extern import ExternalCodec
+        return ExternalCodec(a.enc_cmd, a.dec_cmd, structure="tile",
+                             tile=a.tile, interleave=a.interleave,
+                             preproc="none", crop_nodata=a.crop_nodata,
+                             bit_ext="bin", name="ccsds123_ext")
+    return run_wrapper("ccsds123", argv, opts, extra, sparse_flag=True,
+                       codec_factory=factory)

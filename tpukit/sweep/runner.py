@@ -79,6 +79,9 @@ class SweepConfig:
     link_mbps: Optional[float] = None
     link_eff: Optional[float] = None
     csv_decimal: str = ","
+    # per-run CSV path override (reference run_codec.py:402: --single-csv;
+    # metrics_mean.csv is written next to it)
+    single_csv: Optional[Path] = None
     codec_opts: Dict[str, object] = field(default_factory=dict)
     # "dp" or "dp,sp": shard the (rates × reps) metric ladder over a
     # device mesh (tpukit/parallel/mesh.py). Falls back to the virtual CPU
@@ -898,12 +901,14 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
         raise
     _flush_pending()
 
-    metrics_csv = csvio.write_metrics_csv(outdir / "metrics.csv", rows,
-                                          cfg.csv_decimal)
+    single_csv = (Path(cfg.single_csv).resolve() if cfg.single_csv
+                  else outdir / "metrics.csv")
+    single_csv.parent.mkdir(parents=True, exist_ok=True)
+    metrics_csv = csvio.write_metrics_csv(single_csv, rows, cfg.csv_decimal)
     log(f"[OK] Wrote CSV: {metrics_csv.as_posix()} ({len(rows)} rows)")
     mean_csv = None
     if cfg.reps > 1 and rows:
-        mean_csv = csvio.write_mean_csv(outdir / "metrics_mean.csv", rows,
-                                        cfg.csv_decimal)
+        mean_csv = csvio.write_mean_csv(
+            single_csv.with_name("metrics_mean.csv"), rows, cfg.csv_decimal)
         log(f"[OK] Wrote aggregated CSV: {mean_csv.as_posix()}")
     return {"rows": rows, "metrics_csv": metrics_csv, "mean_csv": mean_csv}
