@@ -4,9 +4,11 @@
 // The reference encodes/decodes per-band planes through CharLS via
 // imagecodecs (reference tools/codecs/jpegls/encode_one_band.py:56,
 // decode_one_band.py:30). This is a clean-room implementation of the same
-// interchange format (SOI/SOF55/SOS/EOI, default preset parameters,
-// RESET=64) so streams are standard JPEG-LS; round-trip and NEAR-bound
-// properties are enforced in tests/test_jpegls.py.
+// interchange format (SOI/SOF55/SOS/EOI framing, LSE preset parsing on
+// decode, run mode, NEAR) whose entropy-coded payload is BYTE-IDENTICAL
+// to libcharls's output — fuzz-pinned across bit depths 2..16, NEAR
+// 0..255, and content classes in tests/test_jpegls_charls_parity.py;
+// round-trip and NEAR-bound properties in tests/test_jpegls.py.
 
 #include <cmath>
 #include <cstdint>
@@ -16,7 +18,7 @@
 
 namespace {
 
-constexpr int RESET = 64;
+constexpr int DEFAULT_RESET = 64;
 constexpr int MIN_C = -128, MAX_C = 127;
 
 const int J[32] = {0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
@@ -24,7 +26,7 @@ const int J[32] = {0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
 
 struct Params {
     int maxval, near, range, qbpp, bpp, limit;
-    int t1, t2, t3;
+    int t1, t2, t3, reset;
 };
 
 static int clampv(int v, int lo, int hi) { return v < lo ? lo : (v > hi ? hi : v); }
@@ -33,6 +35,7 @@ static Params make_params(int maxval, int near) {
     Params p;
     p.maxval = maxval;
     p.near = near;
+    p.reset = DEFAULT_RESET;
     p.range = (maxval + 2 * near) / (2 * near + 1) + 1;
     int v = 1;
     p.qbpp = 0;
@@ -41,20 +44,22 @@ static Params make_params(int maxval, int near) {
     while (v < maxval + 1) { v <<= 1; ++p.bpp; }
     if (p.bpp < 2) p.bpp = 2;
     p.limit = 2 * (p.bpp + (p.bpp < 8 ? 8 : p.bpp));
-    // default thresholds (T.87 C.2.4.1.1.1)
+    // Default thresholds (T.87 C.2.4.1.1.1 formulas, WITHOUT the CLAMP to
+    // [NEAR+1, MAXVAL]). CharLS — the de-facto interchange reference and
+    // the engine the reference pipeline runs through imagecodecs — applies
+    // the raw formulas only; applying the clamps breaks interop whenever
+    // they are active (empirically pinned byte-for-byte against libcharls
+    // across maxval 3..65535, NEAR 0..255 — tests/test_jpegls_charls_parity.py).
     if (maxval >= 128) {
         int factor = ((maxval < 4095 ? maxval : 4095) + 128) / 256;
-        p.t1 = clampv(factor * (3 - 2) + 2 + 3 * near, near + 1, maxval);
-        p.t2 = clampv(factor * (7 - 3) + 3 + 5 * near, p.t1, maxval);
-        p.t3 = clampv(factor * (21 - 4) + 4 + 7 * near, p.t2, maxval);
+        p.t1 = factor * (3 - 2) + 2 + 3 * near;
+        p.t2 = factor * (7 - 3) + 3 + 5 * near;
+        p.t3 = factor * (21 - 4) + 4 + 7 * near;
     } else {
         int factor = 256 / (maxval + 1);
-        int t1 = 3 / factor; if (t1 < 2) t1 = 2;
-        int t2 = 7 / factor; if (t2 < 3) t2 = 3;
-        int t3 = 21 / factor; if (t3 < 4) t3 = 4;
-        p.t1 = clampv(t1 + 3 * near, near + 1, maxval);
-        p.t2 = clampv(t2 + 5 * near, p.t1, maxval);
-        p.t3 = clampv(t3 + 7 * near, p.t2, maxval);
+        p.t1 = 3 / factor + 3 * near; if (p.t1 < 2) p.t1 = 2;
+        p.t2 = 7 / factor + 5 * near; if (p.t2 < 3) p.t2 = 3;
+        p.t3 = 21 / factor + 7 * near; if (p.t3 < 4) p.t3 = 4;
     }
     return p;
 }
@@ -195,10 +200,11 @@ struct Scan {
     }
 };
 
-static inline void regular_update(Ctx& cx, int q, int errval, int near) {
+static inline void regular_update(Ctx& cx, int q, int errval, int near,
+                                  int reset) {
     cx.B[q] += errval * (2 * near + 1);
     cx.A[q] += std::abs(errval);
-    if (cx.N[q] == RESET) {
+    if (cx.N[q] == reset) {
         cx.A[q] >>= 1;
         cx.B[q] = cx.B[q] >= 0 ? cx.B[q] >> 1 : -((1 - cx.B[q]) >> 1);
         cx.N[q] >>= 1;
@@ -278,7 +284,6 @@ static int64_t jls_encode_impl(const uint16_t* img, int W, int H, int near,
                 if (!hit_eol) {
                     bw.put_bit(0);
                     bw.put_bits((uint32_t)runcnt, J[run_index]);
-                    if (run_index > 0) --run_index;
                     // ---- run interruption sample ----
                     s.neighbors(col, a, b, c, d);
                     int ritype = (std::abs(a - b) <= p.near) ? 1 : 0;
@@ -305,13 +310,19 @@ static int64_t jls_encode_impl(const uint16_t* img, int W, int H, int near,
                     else if (errval < 0 && k != 0) map = 1;
                     else map = 0;
                     uint32_t emerr = (uint32_t)(2 * std::abs(errval) - ritype - map);
-                    encode_golomb(bw, emerr, k, p.limit - J[run_index] - 1, p.qbpp);
+                    // T.87 A.7.3: the run-interruption LIMIT is
+                    // LIMIT - J[RUNindex] - 1, and A.5.3's escape threshold
+                    // subtracts a further qbpp + 1 from the LIMIT in effect
+                    encode_golomb(bw, emerr, k,
+                                  p.limit - J[run_index] - 1 - p.qbpp - 1,
+                                  p.qbpp);
                     if (errval < 0) ++cx.Nn[ritype];
                     cx.A[ctx] += ((int)emerr + 1 - ritype) >> 1;
-                    if (cx.N[ctx] == RESET) {
+                    if (cx.N[ctx] == p.reset) {
                         cx.A[ctx] >>= 1; cx.N[ctx] >>= 1; cx.Nn[ritype] >>= 1;
                     }
                     ++cx.N[ctx];
+                    if (run_index > 0) --run_index;
                     ++col;
                 } else {
                     if (runcnt > 0) bw.put_bit(1);
@@ -346,7 +357,7 @@ static int64_t jls_encode_impl(const uint16_t* img, int W, int H, int near,
                                      : (uint32_t)(-2 * errval - 1);
             }
             encode_golomb(bw, merr, k, p.limit - p.qbpp - 1, p.qbpp);
-            regular_update(cx, q, errval, p.near);
+            regular_update(cx, q, errval, p.near, p.reset);
             ++col;
         }
         s.next_line();
@@ -371,6 +382,9 @@ static int64_t jls_decode_impl(const uint8_t* in, int64_t nbytes, uint16_t* img,
     if (nbytes < 4 || in[0] != 0xFF || in[1] != 0xD8) return -1;
     pos = 2;
     int bits = 0, W = 0, H = 0, near = 0;
+    // LSE (0xFFF8 id=1) preset overrides; -1 == absent, 0 == keep default
+    int lse_maxval = -1, lse_t1 = -1, lse_t2 = -1, lse_t3 = -1,
+        lse_reset = -1;
     bool got_sos = false;
     while (pos + 4 <= nbytes && !got_sos) {
         if (in[pos] != 0xFF) return -2;
@@ -384,6 +398,15 @@ static int64_t jls_decode_impl(const uint8_t* in, int64_t nbytes, uint16_t* img,
             bits = in[pos + 4];
             H = rd16(pos + 5);
             W = rd16(pos + 7);
+        } else if (marker == 0xF8 && len >= 3 && in[pos + 4] == 1) {
+            // LSE preset coding parameters (T.87 C.2.4.1.1); CharLS emits
+            // one on >12-bit streams. A field value of 0 keeps the default.
+            if (len < 13) return -2;
+            lse_maxval = rd16(pos + 5);
+            lse_t1 = rd16(pos + 7);
+            lse_t2 = rd16(pos + 9);
+            lse_t3 = rd16(pos + 11);
+            lse_reset = rd16(pos + 13);
         } else if (marker == 0xDA) {          // SOS
             if (len < 4) return -2;
             int ns = in[pos + 4];
@@ -404,8 +427,17 @@ static int64_t jls_decode_impl(const uint8_t* in, int64_t nbytes, uint16_t* img,
     *out_w = W; *out_h = H;
 
     int maxval = (1 << bits) - 1;
+    if (lse_maxval > 0) {
+        if (lse_maxval > maxval) return -9;
+        maxval = lse_maxval;               // lowers RANGE/qbpp/LIMIT too
+    }
     Scan s;
     s.init(W, H, maxval, near);
+    if (lse_t1 > 0) s.p.t1 = lse_t1;
+    if (lse_t2 > 0) s.p.t2 = lse_t2;
+    if (lse_t3 > 0) s.p.t3 = lse_t3;
+    if (lse_reset > 2) s.p.reset = lse_reset;
+    if (s.p.t1 < near + 1 || s.p.t2 < s.p.t1 || s.p.t3 < s.p.t2) return -9;
     const Params& p = s.p;
     Ctx& cx = s.cx;
     JlsReader br(in + pos, nbytes - pos);
@@ -444,7 +476,6 @@ static int64_t jls_decode_impl(const uint8_t* in, int64_t nbytes, uint16_t* img,
                         if (cnt > W - col) return -7;
                         for (int i = 0; i < cnt; ++i) s.cur[col + i] = (uint16_t)runval;
                         col += cnt;
-                        if (run_index > 0) --run_index;
                         interrupted = true;
                         break;
                     }
@@ -459,7 +490,11 @@ static int64_t jls_decode_impl(const uint8_t* in, int64_t nbytes, uint16_t* img,
                     int temp = ritype ? (cx.A[366] + (cx.N[366] >> 1)) : cx.A[365];
                     int k = 0;
                     while ((cx.N[ctx] << k) < temp) ++k;
-                    uint32_t emerr = decode_golomb(br, k, p.limit - J[run_index] - 1, p.qbpp);
+                    // A.7.3 + A.5.3: escape threshold is
+                    // (LIMIT - J[RUNindex] - 1) - qbpp - 1
+                    uint32_t emerr = decode_golomb(
+                        br, k, p.limit - J[run_index] - 1 - p.qbpp - 1,
+                        p.qbpp);
                     if (br.error) return -8;
                     // invert EMErrval = 2|e| - RItype - map
                     int tmp = (int)emerr + ritype;
@@ -473,10 +508,11 @@ static int64_t jls_decode_impl(const uint8_t* in, int64_t nbytes, uint16_t* img,
                     s.cur[col] = (uint16_t)clampv(rx, 0, p.maxval);
                     if (errval < 0) ++cx.Nn[ritype];
                     cx.A[ctx] += ((int)emerr + 1 - ritype) >> 1;
-                    if (cx.N[ctx] == RESET) {
+                    if (cx.N[ctx] == p.reset) {
                         cx.A[ctx] >>= 1; cx.N[ctx] >>= 1; cx.Nn[ritype] >>= 1;
                     }
                     ++cx.N[ctx];
+                    if (run_index > 0) --run_index;
                     ++col;
                 }
                 continue;
@@ -501,7 +537,7 @@ static int64_t jls_decode_impl(const uint8_t* in, int64_t nbytes, uint16_t* img,
             if (rx < -p.near) rx += wrap;
             else if (rx > p.maxval + p.near) rx -= wrap;
             s.cur[col] = (uint16_t)clampv(rx, 0, p.maxval);
-            regular_update(cx, q, errval, p.near);
+            regular_update(cx, q, errval, p.near, p.reset);
             ++col;
         }
         uint16_t* outrow = img + (int64_t)row * W;
