@@ -69,15 +69,50 @@ def base_step_for_quality(q: int, data_peak: float) -> float:
     return max(0.5, data_peak / 4096.0) * (2.0 ** ((70 - q) / 8.0))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _subband_norms(levels: int = LEVELS) -> Dict[str, float]:
+    """Interior L2 norm of the 9/7 synthesis basis per subband name.
+
+    Measured numerically (one batched idwt of unit impulses on a small
+    tile, averaged over the 2x2 polyphase positions); the interior norms
+    are independent of tile size, so one measurement serves every shape.
+    This is the same per-subband energy weighting OpenJPEG applies to its
+    quantization steps — L2-optimal bit allocation needs step_b ∝ 1/norm_b
+    (the previous 2^-level map overweighted coarse levels up to 64x)."""
+    # coarse-level subbands must be big enough that a centered impulse's
+    # synthesis footprint clears the tile edges (at S = 4<<levels the
+    # level-5 subbands are 4x4 and boundary extension inflates the norm)
+    S = max(64, 8 << levels)
+    subs = dwtk.subband_slices(S, S, levels)
+    imps = []
+    for name, lv, sl in subs:
+        ys, xs = sl
+        y0, x0 = (ys.start + ys.stop) // 2, (xs.start + xs.stop) // 2
+        for dy in (0, 1):
+            for dx in (0, 1):
+                z = np.zeros((S, S), np.float32)
+                z[y0 + dy, x0 + dx] = 1.0
+                imps.append(z)
+    recs = np.asarray(dwtk.idwt2(jnp.asarray(np.stack(imps)), "97", levels),
+                      np.float64)
+    norms: Dict[str, float] = {}
+    for i, (name, lv, sl) in enumerate(subs):
+        e = (recs[4 * i:4 * i + 4] ** 2).sum(axis=(1, 2)).mean()
+        norms[name] = float(np.sqrt(e))
+    return norms
+
+
 def _subband_steps(H: int, W: int, base: float) -> np.ndarray:
-    """Per-coefficient quantization step map for the packed layout; coarser
-    levels get finer steps (~1/2 per level, tracking 9/7 synthesis gain)."""
+    """Per-coefficient quantization step map for the packed layout:
+    step_b = base / (synthesis basis L2 norm of subband b), the L2-optimal
+    per-subband weighting (matching OpenJPEG's basis-gain step scaling)."""
     steps = np.empty((H, W), np.float32)
-    subs = dwtk.subband_slices(H, W, LEVELS)
-    for name, lv, sl in subs[:-1]:
-        steps[sl] = base / (2.0 ** lv)
-    ll = subs[-1]
-    steps[ll[2]] = base / (2.0 ** (LEVELS + 1))
+    norms = _subband_norms(LEVELS)
+    for name, lv, sl in dwtk.subband_slices(H, W, LEVELS):
+        steps[sl] = base / norms[name]
     return steps
 
 
