@@ -51,8 +51,9 @@ def tiles(rng):
 
 
 # max PSNR deficit vs OpenJPEG at its achieved bpp (dB); headroom ~1 dB
-# over the measured gap so only real regressions trip
-BOUNDS = {4: 6.5, 8: 4.6, 16: 3.5, 32: 2.6}
+# over the measured gap (-1.2..-2.1 dB with the Rice entropy backend) so
+# only real regressions trip
+BOUNDS = {4: 3.1, 8: 2.7, 16: 2.9, 32: 3.1}
 
 
 @pytest.mark.parametrize("rate", sorted(BOUNDS))

@@ -175,7 +175,8 @@ def test_sharded_j2k_model_matches_host_coder(rng):
     for t in range(T):
         coefs = np.asarray(dwtk.dwt2(jnp.asarray(tiles[t]), "97", LEVELS))
         qc = np.trunc(coefs / (scale * np.float32(base))[None]).astype(np.int32)
-        expect = sum(len(wc.bpc_encode(qc[b].ravel()[order]))
+        # the mesh model prices the dual entropy backend (wenc)
+        expect = sum(len(wc.wenc_encode(qc[b].ravel()[order]))
                      for b in range(B))
         assert int(sizes[t]) == expect
 

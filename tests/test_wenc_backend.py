@@ -1,0 +1,71 @@
+# -*- coding: utf-8 -*-
+"""Dual entropy backend for the J2K wavelet codec (wavelet_common.wenc_*):
+auto-selection between the CCSDS-121 Rice backend (zigzag fits 16 bits)
+and the embedded bit-plane coder, round-trip exactness, and byte-exact
+agreement between the host coder and the device size model
+(j2k_codec.wenc_size_bytes)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpukit.codecs import wavelet_common as wc
+from tpukit.codecs.j2k_codec import wenc_size_bytes
+
+
+def test_rice_selected_and_roundtrip(rng):
+    q = (rng.standard_t(3, 4096) * 40).astype(np.int32)
+    bs = wc.wenc_encode(q)
+    assert bs[0] == wc.RICE_MARK
+    assert np.array_equal(wc.wenc_decode(bs, q.size), q)
+
+
+def test_overflow_falls_back_to_bitplane(rng):
+    q = (rng.standard_t(3, 4096) * 40).astype(np.int32)
+    q[7] = 1 << 20                       # zigzag > 16 bits
+    bs = wc.wenc_encode(q)
+    assert bs[0] != wc.RICE_MARK
+    assert np.array_equal(wc.wenc_decode(bs, q.size), q)
+
+
+def test_budget_forces_embedded_backend(rng):
+    """A byte budget (CCSDS-122-style truncation) must use the embedded
+    coder — the Rice stream is not truncatable."""
+    q = (rng.standard_t(3, 4096) * 40).astype(np.int32)
+    bs = wc.wenc_encode(q, max_bytes=256)
+    assert bs[0] != wc.RICE_MARK and len(bs) <= 256
+
+
+def test_zigzag_involution(rng):
+    q = rng.integers(-32768, 32768, 10000).astype(np.int32)
+    assert np.array_equal(wc.unzigzag_np(wc.zigzag_np(q)), q)
+
+
+def test_model_matches_coder_both_backends(rng):
+    for t in range(24):
+        n = 4096 if t % 2 else 512
+        scale = 10 ** rng.uniform(0, 4.5)
+        q = np.clip((rng.standard_t(3, n) * scale).astype(np.int64),
+                    -2 ** 28, 2 ** 28 - 1).astype(np.int32)
+        bs = wc.wenc_encode(q)
+        model = int(np.asarray(wenc_size_bytes(jnp.asarray(q[None]))))
+        assert model == len(bs), (t, scale, hex(bs[0]))
+        assert np.array_equal(wc.wenc_decode(bs, n), q)
+
+
+def test_quant_encode_ck_matches_plain(rng):
+    """wenc_quant_encode_ck's quantization + checksums match the separate
+    numpy quantize + wenc_encode route bit-for-bit."""
+    coefs = rng.normal(0, 300, 4096).astype(np.float32)
+    inv_steps = (1.0 / rng.uniform(0.5, 8.0, 4096)).astype(np.float32)
+    for inv_base in (np.float32(0.25), np.float32(1 / 24.0)):
+        bs, qc, s1, s2 = wc.wenc_quant_encode_ck(coefs, inv_steps, inv_base)
+        qc2 = np.trunc(coefs * (inv_steps * inv_base)).astype(np.int32)
+        assert np.array_equal(qc, qc2)
+        assert bs == wc.wenc_encode(qc2)
+        u = qc2.astype(np.uint32)
+        exp1 = int(u.sum(dtype=np.uint64) & 0xFFFFFFFF)
+        exp2 = int((u * u).sum(dtype=np.uint64) & 0xFFFFFFFF)
+        to_i32 = lambda v: v - (1 << 32) if v >= (1 << 31) else v
+        assert (s1, s2) == (to_i32(exp1), to_i32(exp2))

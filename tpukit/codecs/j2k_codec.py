@@ -8,10 +8,15 @@ mapping is not bit-defined, and the BASELINE target for lossy paths is
 RD-curve parity, not bitstream parity — so tpukit implements the same
 codec *class* natively and TPU-first:
 
-  * reversible: 5-level CDF 5/3 integer DWT on device + full embedded
-    bit-plane coding (exactly lossless)
+  * reversible: 5-level CDF 5/3 integer DWT on device, exactly lossless
   * lossy: 5-level CDF 9/7 DWT on device, per-subband deadzone
-    quantization driven by QUALITY 1..100, embedded bit-plane coding
+    quantization (steps weighted by exact synthesis-basis L2 norms)
+    driven by QUALITY 1..100
+  * entropy backend: auto-selected per band between the byte-exact
+    CCSDS-121 Rice coder over zigzag-mapped coefficients (~0.55 bpp
+    tighter, used whenever the zigzag fits 16 bits) and the embedded
+    bit-plane coder (wavelet_common.wenc_encode; exact device size model
+    for both in wenc_size_bytes)
   * the reference's CR→quality and bpp→quality heuristics are preserved
     verbatim so sweep configurations translate 1:1 (j2k_wrap.py:32-47)
 
@@ -130,13 +135,11 @@ def _fit_base_device(perm_coefs: jax.Array, perm_scale: jax.Array,
     perm_scale: (N,) base=1 step map in the same order (so the loop body is
     pure elementwise math + reductions — the scan-order gather happens once,
     outside the loop)."""
-    from tpukit.codecs.bitplane_model import bpc_size_bytes
-
     def size_of(base):
         # same multiply-quantizer as the coding path: trunc(c * inv_step)
         inv = (jnp.float32(1.0) / perm_scale)[None] * (jnp.float32(1.0) / base)
         qc = jnp.trunc(perm_coefs * inv).astype(jnp.int32)
-        return jnp.sum(bpc_size_bytes(qc))
+        return jnp.sum(wenc_size_bytes(qc))
 
     def body(_, lohi):
         lo, hi = lohi
@@ -199,17 +202,35 @@ def _device_requant_recon_ladder(coefs: jax.Array, inv_scale_map: jax.Array,
     return jax.vmap(one)(inv_bases, bases)
 
 
+def wenc_size_bytes(qc: jax.Array) -> jax.Array:
+    """Exact per-band stream byte length of wavelet_common.wenc_encode
+    over the last axis of scan-ordered int32 coefficients: the Rice/GPO2
+    backend's exact CCSDS-121 size model (+1 header byte) where the zigzag
+    fits 16 bits, the embedded bit-plane model otherwise — the same purely
+    coefficient-driven selection the host coder makes, so model and coder
+    agree byte-for-byte (tests/test_wenc_backend.py)."""
+    from tpukit.codecs import ccsds121 as ck_dev
+    from tpukit.codecs.bitplane_model import bpc_size_bytes
+    from tpukit.codecs.wavelet_common import RICE_BITS
+
+    z = jnp.where(qc >= 0, 2 * qc, -2 * qc - 1)
+    fits = (jnp.max(z, axis=-1) <= 65535)
+    zc = jnp.clip(z, 0, 65535).astype(jnp.uint16)
+    size_rice = 1 + jax.vmap(
+        lambda v: ck_dev.encode_size(v, bits=RICE_BITS, preprocess=False)
+    )(zc.reshape(-1, zc.shape[-1])).reshape(fits.shape)
+    return jnp.where(fits, size_rice, bpc_size_bytes(qc))
+
+
 @jax.jit
 def _device_perm_sizes(perm_coefs: jax.Array, inv_scale_perm: jax.Array,
                        inv_base: jax.Array) -> jax.Array:
     """Per-band exact stream byte counts for one quantization point from
     coefficients ALREADY in scan order (the same f32 multiply-quantizer
-    as the coder + bpc_size_bytes)."""
-    from tpukit.codecs.bitplane_model import bpc_size_bytes
-
+    as the coder + the dual-backend size model)."""
     qc = jnp.trunc(perm_coefs *
                    (inv_scale_perm * inv_base)[None]).astype(jnp.int32)
-    return bpc_size_bytes(qc)
+    return wenc_size_bytes(qc)
 
 
 @jax.jit
@@ -219,33 +240,30 @@ def _device_ladder_sizes(coefs: jax.Array, order: jax.Array,
     """(Q, B) exact stream byte counts for a whole quality ladder in one
     dispatch — the scan-order gather runs once, each point is then one
     fused quantize + size reduction."""
-    from tpukit.codecs.bitplane_model import bpc_size_bytes
-
     B = coefs.shape[0]
     perm = jnp.take(coefs.reshape(B, -1), order, axis=1)
 
     def one(inv_base):
         qc = jnp.trunc(perm * (inv_scale_perm * inv_base)[None]) \
             .astype(jnp.int32)
-        return bpc_size_bytes(qc)
+        return wenc_size_bytes(qc)
 
     return jax.vmap(one)(inv_bases)
 
 
 @jax.jit
 def _device_lossless_sizes(coefs: jax.Array, order: jax.Array) -> jax.Array:
-    """Per-band exact byte counts of the full (reversible) embedded
-    streams over the device-resident 5/3 coefficients."""
-    from tpukit.codecs.bitplane_model import bpc_size_bytes
-
+    """Per-band exact byte counts of the full (reversible) streams over
+    the device-resident 5/3 coefficients (dual-backend)."""
     B = coefs.shape[0]
     perm = jnp.take(coefs.reshape(B, -1).astype(jnp.int32), order, axis=1)
-    return bpc_size_bytes(perm)
+    return wenc_size_bytes(perm)
 
 
 class J2KCodec(Codec):
     name = "j2k"
-    encoder_desc = "tpukit J2K-class (device 5/3 & 9/7 DWT + embedded bit-plane coder)"
+    encoder_desc = ("tpukit J2K-class (device 5/3 & 9/7 DWT + "
+                    "Rice/bit-plane entropy backend)")
     supports_lossy = True
 
     def __init__(self, tilex: Optional[int] = None,
@@ -460,15 +478,15 @@ class J2KCodec(Codec):
                 # The wraparound-int32 checksums (vs the device's whole-
                 # cube reduction) accumulate inside the same native pass.
                 enc_qc = list(pmap(
-                    lambda cf: wc.bpc_encode_quant_ck(cf, inv_scale_perm,
-                                                      inv_base), perm_coefs))
+                    lambda cf: wc.wenc_quant_encode_ck(cf, inv_scale_perm,
+                                                       inv_base), perm_coefs))
                 encoded = [e for e, _, _, _ in enc_qc]
                 perm = [qv for _, qv, _, _ in enc_qc]
             t_comp = time.perf_counter() - t0 + t_dwt
             t0 = time.perf_counter()
             with mem_phase("dec"):
                 decs = list(pmap(
-                    lambda e: wc.bpc_decode(e, Hp * Wp), encoded))
+                    lambda e: wc.wenc_decode(e, Hp * Wp), encoded))
                 for b in range(B):
                     if not np.array_equal(decs[b], perm[b]):
                         raise RuntimeError(
@@ -580,7 +598,7 @@ class J2KCodec(Codec):
             t0 = time.perf_counter()
             with mem_phase("comp"):
                 coefs = np.asarray(dwtk.dwt2(jnp.asarray(work), "53", LEVELS))
-                encoded = [wc.bpc_encode(coefs[b].ravel()[order])
+                encoded = [wc.wenc_encode(coefs[b].ravel()[order])
                            for b in range(B)]
             t_comp = time.perf_counter() - t0
             sum_bytes = sum(len(e) for e in encoded)
@@ -590,7 +608,7 @@ class J2KCodec(Codec):
                 planes = []
                 for b in range(B):
                     c = np.zeros(Hp * Wp, np.int32)
-                    c[order] = wc.bpc_decode(encoded[b], Hp * Wp)
+                    c[order] = wc.wenc_decode(encoded[b], Hp * Wp)
                     planes.append(c.reshape(Hp, Wp))
                 rec = np.asarray(dwtk.idwt2(jnp.asarray(np.stack(planes)),
                                             "53", LEVELS))
@@ -626,7 +644,7 @@ class J2KCodec(Codec):
                     (np.float32(1.0) / np.float32(base))
                 coefs = np.asarray(coefs_dev)
                 qc = np.trunc(coefs * inv_steps[None]).astype(np.int32)
-                encoded = [wc.bpc_encode(qc[b].ravel()[order])
+                encoded = [wc.wenc_encode(qc[b].ravel()[order])
                            for b in range(B)]
             t_comp = time.perf_counter() - t0
             sum_bytes = sum(len(e) for e in encoded)
@@ -636,7 +654,7 @@ class J2KCodec(Codec):
                 planes = []
                 for b in range(B):
                     c = np.zeros(Hp * Wp, np.int32)
-                    c[order] = wc.bpc_decode(encoded[b], Hp * Wp)
+                    c[order] = wc.wenc_decode(encoded[b], Hp * Wp)
                     planes.append(c.reshape(Hp, Wp))
                 deq = np.stack(planes).astype(np.float32)
                 # pure-f32 dequant, bit-identical to the device path

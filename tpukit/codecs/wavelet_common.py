@@ -143,3 +143,84 @@ def bpc_decode(bitstream: bytes, n: int) -> np.ndarray:
     if r != n:
         raise RuntimeError(f"bpc_decode failed: {r}")
     return c
+
+
+# ---------------------------------------------------------------------------
+# Dual entropy backend for NON-truncating wavelet codecs (J2K).
+#
+# Quantized 9/7 (and reversible 5/3) coefficients are near-Laplacian, and
+# the block-adaptive Rice/GPO2 coder (CCSDS-121 backend, byte-exact vs
+# libaec, with an exact on-device size model) codes them ~0.55 bpp tighter
+# than the embedded bit-plane coder at every rate (measured; see
+# docs/SCALING.md §7b). J2K's rate control is a bisection over the base
+# quantization step priced by the size model — it never truncates streams —
+# so embeddedness buys it nothing. Backend selection is per band and purely
+# a function of the quantized coefficients (Rice needs the zigzag to fit 16
+# bits), so the device size model and the host coder always agree:
+#
+#   header 0x80            -> zigzag + CCSDS-121 backend (nbit=16, no
+#                             preprocessing — the DWT already decorrelated)
+#   header 0x40|nplanes    -> embedded bit-plane backend (bitplane.cpp;
+#                             also the only backend CCSDS-122 uses, since
+#                             its -r bpp surface requires truncation)
+# ---------------------------------------------------------------------------
+
+RICE_MARK = 0x80
+RICE_BITS = 16
+
+
+def _fits_rice(qc: np.ndarray) -> bool:
+    """Rice backend applies iff zigzag(qc) fits RICE_BITS (qc in int16
+    range). Mirrored on device by wenc_size_bytes."""
+    return bool(qc.min() >= -32768 and qc.max() <= 32767)
+
+
+def zigzag_np(qc: np.ndarray) -> np.ndarray:
+    q = qc.astype(np.int32)
+    return np.where(q >= 0, 2 * q, -2 * q - 1).astype(np.uint16)
+
+
+def unzigzag_np(z: np.ndarray) -> np.ndarray:
+    z = z.astype(np.int32)
+    return (z >> 1) ^ -(z & 1)
+
+
+def wenc_encode(qc: np.ndarray, max_bytes: int = 0) -> bytes:
+    """Entropy-encode scan-ordered int32 coefficients with the
+    auto-selected backend. ``max_bytes`` (byte budget) forces the embedded
+    backend — only it has truncation semantics."""
+    qc = np.ascontiguousarray(qc.ravel(), np.int32)
+    if max_bytes == 0 and qc.size % 8 == 0 and _fits_rice(qc):
+        from tpukit.native import ccsds121_host as ck
+        return bytes([RICE_MARK]) + ck.encode(zigzag_np(qc), RICE_BITS,
+                                              flags=0)
+    return bpc_encode(qc, max_bytes)
+
+
+def wenc_decode(bitstream: bytes, n: int) -> np.ndarray:
+    if bitstream[:1] == bytes([RICE_MARK]):
+        from tpukit.native import ccsds121_host as ck
+        z = ck.decode(bitstream[1:], n, RICE_BITS, flags=0)
+        return unzigzag_np(z)
+    return bpc_decode(bitstream, n)
+
+
+def wenc_quant_encode_ck(coefs: np.ndarray, inv_steps: np.ndarray,
+                         inv_base: float):
+    """Deadzone-quantize + auto-backend encode; returns
+    (bitstream, qc, s1, s2) with the same wraparound-int32 checksums (and
+    the same f32 multiply association order) as the fused native path and
+    the device requantizer."""
+    qc = np.trunc(coefs * (inv_steps * np.float32(inv_base))) \
+        .astype(np.int32)
+    if qc.size % 8 == 0 and _fits_rice(qc):
+        u = qc.astype(np.uint32)
+        s1 = int(u.sum(dtype=np.uint64) & 0xFFFFFFFF)
+        s2 = int((u * u).sum(dtype=np.uint64) & 0xFFFFFFFF)
+        to_i32 = lambda v: v - (1 << 32) if v >= (1 << 31) else v
+        from tpukit.native import ccsds121_host as ck
+        bs = bytes([RICE_MARK]) + ck.encode(zigzag_np(qc), RICE_BITS,
+                                            flags=0)
+        return bs, qc, to_i32(s1), to_i32(s2)
+    # overflow (very fine quantization): fused embedded path
+    return bpc_encode_quant_ck(coefs, inv_steps, inv_base)

@@ -140,7 +140,7 @@ def sharded_j2k_model(mesh: Mesh, levels: int = 5):
     closed-form size model (codecs/bitplane_model.py). Returns
     step(tiles, scale_map (Hp,Wp), base scalar, order (Hp*Wp,)) ->
     (T,) total bytes, without running the host coder at all."""
-    from tpukit.codecs.bitplane_model import bpc_size_bytes
+    from tpukit.codecs.j2k_codec import wenc_size_bytes
     from tpukit.kernels import dwt as dwtk
 
     tl = NamedSharding(mesh, P("dp", None, None, None))
@@ -152,7 +152,7 @@ def sharded_j2k_model(mesh: Mesh, levels: int = 5):
             coefs = dwtk.dwt2(cube, "97", levels)
             qc = jnp.trunc(coefs / (scale_map * base)[None]).astype(jnp.int32)
             perm = jnp.take(qc.reshape(qc.shape[0], -1), order, axis=1)
-            return jnp.sum(bpc_size_bytes(perm))
+            return jnp.sum(wenc_size_bytes(perm))
 
         return jax.vmap(per_tile)(tiles)
 
