@@ -273,13 +273,17 @@ def test_sharded_ccsds122_ladder_matches_host_coder(rng):
         jax.device_put(np.int32(budget), rep))
     rec, sizes = np.asarray(rec), np.asarray(sizes)
 
+    from tpukit.codecs.ccsds122_codec import subband_weight_map
+    wmap = subband_weight_map(H, W)
+    wperm = wmap.ravel()[order]
     for t in range(T):
-        coefs = np.asarray(dwtk.dwt2(jnp.asarray(tiles[t]), "97m", 3))
+        coefs = np.asarray(dwtk.dwt2(jnp.asarray(tiles[t]), "97m", 3)) * wmap
         for b in range(B):
             c = coefs[b].ravel()[order].astype(np.int32)
             assert int(sizes[t, b]) == len(wc.bpc_encode(c, budget))
         want = np.asarray(dwtk.idwt2(jnp.asarray(np.stack([
-            wc.bpc_decode(wc.bpc_encode(
+            np.rint(wc.bpc_decode(wc.bpc_encode(
                 coefs[b].ravel()[order].astype(np.int32), budget),
-                H * W)[inv].reshape(H, W) for b in range(B)])), "97m", 3))
+                H * W).astype(np.float32) / wperm).astype(np.int32)
+            [inv].reshape(H, W) for b in range(B)])), "97m", 3))
         np.testing.assert_array_equal(rec[t], want)

@@ -188,13 +188,18 @@ def test_ccsds122_streams_match_device_model(smooth_tile):
     assert res.bitstreams is not None
     assert sum(len(v) for v in res.bitstreams.values()) == res.bitstream_bytes
 
-    # host decode of the real streams -> inverse DWT == device recon
+    # host decode of the real streams (weighted coefficients for rate
+    # points — unweight with rounding) -> inverse DWT == device recon
+    from tpukit.codecs.ccsds122_codec import subband_weight_map
     B, H, W = smooth_tile.shape
     work, H0, W0 = wc.pad_to_multiple(smooth_tile.astype(np.int32), 8)
     Hp, Wp = work.shape[-2:]
     inv = wc.inverse_scan_order(Hp, Wp, 3)
+    order = wc.scan_order(Hp, Wp, 3)
+    wperm = subband_weight_map(Hp, Wp).ravel()[order]
     planes = np.stack([
-        wc.bpc_decode(res.bitstreams[f"b{b+1:02d}.bit"], Hp * Wp)[inv]
+        np.rint(wc.bpc_decode(res.bitstreams[f"b{b+1:02d}.bit"], Hp * Wp)
+                .astype(np.float32) / wperm).astype(np.int32)[inv]
         .reshape(Hp, Wp) for b in range(B)])
     rec = np.asarray(dwtk.idwt2(jnp.asarray(planes), "97m", 3))
     info = np.iinfo(smooth_tile.dtype)
@@ -238,3 +243,39 @@ def test_j2k_sweep_model_matches_materializing_sweep(smooth_tile):
                                          for v in rb.bitstreams.values())
         np.testing.assert_array_equal(np.asarray(ra.recon),
                                       np.asarray(rb.recon))
+
+
+def test_ccsds122_subband_weights_improve_rd(rng):
+    """Rate-limited points code subband-weighted coefficients (CCSDS
+    122.0-B §3.6); the weighting must beat unweighted coding by a clear
+    margin at low bpp (measured +3.5 dB at 0.5 bpp on this content) —
+    regression guard for the weight map."""
+    import jax.numpy as jnp
+    from tpukit.codecs.base import RateSpec
+    from tpukit.codecs.registry import create
+    from tpukit.kernels import dwt as dwtk
+    from tpukit.codecs import wavelet_common as wc
+
+    gy, gx = np.mgrid[0:128, 0:128]
+    img = np.clip(800 + 2.5 * gy + 1.5 * gx
+                  + rng.normal(0, 60, (128, 128)), 0, 4095).astype(np.uint16)
+    res = create("ccsds122").run(img[None], "uint16", RateSpec.of("bpp", 0.5))
+    rec = np.asarray(res.recon)[0]
+    mse = ((rec.astype(np.float64) - img) ** 2).mean()
+    psnr = 10 * np.log10(4095.0 ** 2 / mse)
+
+    # unweighted oracle at the same budget
+    budget = int(0.5 * img.size / 8)
+    coefs = np.asarray(dwtk.dwt2(jnp.asarray(img[None].astype(np.int32)),
+                                 "97m", 3))[0]
+    order = wc.scan_order(128, 128, 3)
+    dec = wc.bpc_decode(wc.bpc_encode(
+        coefs.ravel()[order].astype(np.int32), budget), img.size)
+    d = np.zeros(img.size, np.int32)
+    d[order] = dec
+    rec_u = np.asarray(dwtk.idwt2(jnp.asarray(d.reshape(1, 128, 128)),
+                                  "97m", 3))[0]
+    mse_u = ((np.clip(rec_u, 0, 65535).astype(np.float64) - img) ** 2).mean()
+    psnr_u = 10 * np.log10(4095.0 ** 2 / mse_u)
+    assert psnr >= psnr_u + 1.0, (psnr, psnr_u)
+    assert res.bitstream_bytes <= budget

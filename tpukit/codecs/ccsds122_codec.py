@@ -11,8 +11,11 @@ Behavior surface mirrors the reference wrapper
     rate limit entirely (:107, :121)
 
 The transform is the standard's reversible integer 9/7M DWT (3 levels,
-CCSDS 122.0-B §3.3) on device; the entropy stage is tpukit's embedded
-bit-plane coder, truncated at the per-band byte budget — functionally
+CCSDS 122.0-B §3.3) on device with the standard's subband weights applied
+on rate-limited points (§3.6 — bit-plane significance then tracks pixel
+distortion; measured +0.9..+3.5 dB at 0.5-2 bpp); the entropy stage is
+tpukit's embedded bit-plane coder, truncated at the per-band byte budget
+— functionally
 equivalent rate control to the BPE's `-r {bpp}` (the reference's BPE is a
 user-supplied Windows binary, so bitstream-level parity is out of scope
 by construction; rate/quality behavior is the contract).
@@ -45,11 +48,37 @@ from tpukit.sweep.proc import mem_phase
 
 LEVELS = 3
 
+# Integer-DWT subband weights (CCSDS 122.0-B §3.6 Γ, doubled so HH1 — whose
+# standard weight is ½ — stays at an exact ×1): bit-plane significance then
+# tracks pixel-domain distortion, matching the BPE's rate-distortion
+# behavior. Applied to RATE-LIMITED points only; effective-lossless streams
+# code the raw coefficients (a uniform ×2 would append an all-zero plane's
+# worth of refinement bits for nothing). Verified against the measured 9/7M
+# synthesis-basis L2 norms (within the pow2 rounding): LL3 6.42, HL3/LH3
+# 3.48, HH3 1.87, HL2/LH2 1.77, HH2 0.97, HL1/LH1 1.05, HH1 0.67.
+_WEIGHTS = {"LL3": 16, "HL3": 8, "LH3": 8, "HH3": 4,
+            "HL2": 4, "LH2": 4, "HH2": 2,
+            "HL1": 2, "LH1": 2, "HH1": 1}
 
-@partial(jax.jit, static_argnames=())
-def _analyze_ladder_device(work, order, budgets):
+_WMAP_CACHE: Dict[tuple, np.ndarray] = {}
+
+
+def subband_weight_map(Hp: int, Wp: int) -> np.ndarray:
+    """(Hp, Wp) int32 pow2 weight per coefficient of the packed layout."""
+    key = (Hp, Wp)
+    hit = _WMAP_CACHE.get(key)
+    if hit is None:
+        hit = np.empty((Hp, Wp), np.int32)
+        for name, lv, sl in dwtk.subband_slices(Hp, Wp, LEVELS):
+            hit[sl] = _WEIGHTS[name]
+        _WMAP_CACHE[key] = hit
+    return hit
+
+
+@partial(jax.jit, static_argnames=("weighted",))
+def _analyze_ladder_device(work, order, budgets, wmap, weighted: bool):
     """(B,Hp,Wp) int32 + (Q,) budgets -> ((Q,B,n) recon coefs, (Q,B) bytes,
-    (B,n) scan-ordered coefficients).
+    (B,n) scan-ordered coefficients as coded).
 
     The budget-independent stream layout (MSB geometry, bit offsets,
     acquisition ranks — including the per-band argsort) is computed ONCE
@@ -57,13 +86,23 @@ def _analyze_ladder_device(work, order, budgets):
     cut comparisons (bpc_decode_at). One compile serves any ladder of the
     same length: budgets are traced scalars. The coefficients stay a
     device output — only keep_bitstream callers fetch them.
+
+    ``weighted``: scale by the subband weight map before coding and divide
+    it back out (with rounding — midpoint fills need not stay multiples)
+    after the truncated decode.
     """
     B = work.shape[0]
     coefs = dwtk.dwt2(work, "97m", LEVELS)
+    if weighted:
+        coefs = coefs * wmap[None]
     perm = coefs.reshape(B, -1)[:, order]
     layouts = jax.vmap(bm.bpc_stream_layout)(perm)
     rec, nbytes = jax.vmap(lambda b: jax.vmap(
         lambda l: bm.bpc_decode_at(l, b))(layouts))(budgets)
+    if weighted:
+        wperm = wmap.reshape(-1)[order]
+        rec = jnp.rint(rec.astype(jnp.float32)
+                       / wperm[None, None]).astype(rec.dtype)
     return rec, nbytes, perm
 
 
@@ -110,47 +149,61 @@ class CCSDS122Codec(Codec):
 
         points = [self.budget_for(spec, B, H, W, dtype_name)
                   for spec in specs]
-        Q = max(len(points), 1)
+        wmap = jnp.asarray(subband_weight_map(Hp, Wp))
 
-        host_perm = None
-        t0 = time.perf_counter()
-        with mem_phase("comp"):
-            rec, nbytes, perm = _analyze_ladder_device(
-                work, order,
-                jnp.asarray([b for _, b in points], jnp.int32))
-            nbytes_host = np.asarray(nbytes)            # (Q, B)
-            if keep_bitstream:
-                # the ladder already holds the scan-ordered coefficients;
-                # this fetch is the materializing path's only bulk transfer
-                host_perm = np.asarray(perm)
-        t_model = time.perf_counter() - t0
+        # rate-limited points code SUBBAND-WEIGHTED coefficients (standard
+        # BPE behavior, see _WEIGHTS); effective-lossless points code raw
+        # coefficients — at most two device dispatches per ladder
+        out: list = [None] * len(points)
+        t_model_total = t_syn_total = 0.0
+        parts = {}
+        for i, (_, budget) in enumerate(points):
+            parts.setdefault(budget > 0, []).append(i)
+        for weighted, ixs in parts.items():
+            host_perm = None
+            t0 = time.perf_counter()
+            with mem_phase("comp"):
+                rec, nbytes, perm = _analyze_ladder_device(
+                    work, order,
+                    jnp.asarray([points[i][1] for i in ixs], jnp.int32),
+                    wmap, weighted)
+                nbytes_host = np.asarray(nbytes)        # (len(ixs), B)
+                if keep_bitstream:
+                    # the ladder already holds the scan-ordered
+                    # coefficients; this fetch is the materializing path's
+                    # only bulk transfer
+                    host_perm = np.asarray(perm)
+            t_model = time.perf_counter() - t0
+            t_model_total += t_model
 
-        t0 = time.perf_counter()
-        with mem_phase("dec"):
-            recons = jax.vmap(
-                lambda r: _synthesize_device(
-                    r, inv, Hp, Wp, H0, W0, cube.dtype.name,
-                    info.min, info.max))(rec)
-            recons.block_until_ready()
-        t_syn = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            with mem_phase("dec"):
+                recons = jax.vmap(
+                    lambda r: _synthesize_device(
+                        r, inv, Hp, Wp, H0, W0, cube.dtype.name,
+                        info.min, info.max))(rec)
+                recons.block_until_ready()
+            t_syn = time.perf_counter() - t0
+            t_syn_total += t_syn
 
-        out = []
-        for i, (target_bpp_band, budget) in enumerate(points):
-            streams = None
-            t_streams = 0.0
-            if keep_bitstream:
-                t0 = time.perf_counter()
-                streams = {f"b{b+1:02d}.bit":
-                           wc.bpc_encode(host_perm[b], budget)
-                           for b in range(B)}
-                t_streams = time.perf_counter() - t0
-            out.append(CodecResult(
-                codec="ccsds122_ext", encoder=self.encoder_desc,
-                bitstream_bytes=int(nbytes_host[i].sum()),
-                recon=recons[i], t_comp_s=t_model / Q + t_streams,
-                t_dec_s=t_syn / Q, bitstreams=streams,
-                extras={"bands": int(B),
-                        "bpp_target_band": float(target_bpp_band)}))
+            for k, i in enumerate(ixs):
+                target_bpp_band, budget = points[i]
+                streams = None
+                t_streams = 0.0
+                if keep_bitstream:
+                    t0 = time.perf_counter()
+                    streams = {f"b{b+1:02d}.bit":
+                               wc.bpc_encode(host_perm[b], budget)
+                               for b in range(B)}
+                    t_streams = time.perf_counter() - t0
+                out[i] = CodecResult(
+                    codec="ccsds122_ext", encoder=self.encoder_desc,
+                    bitstream_bytes=int(nbytes_host[k].sum()),
+                    recon=recons[k],
+                    t_comp_s=t_model / len(ixs) + t_streams,
+                    t_dec_s=t_syn / len(ixs), bitstreams=streams,
+                    extras={"bands": int(B),
+                            "bpp_target_band": float(target_bpp_band)})
         return out
 
     def run(self, cube: np.ndarray, dtype_name: str, rate: RateSpec,

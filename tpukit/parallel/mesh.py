@@ -164,12 +164,15 @@ def sharded_ccsds122_ladder(mesh: Mesh, levels: int = 3):
     """Sharded CCSDS-122 rate point: tiles (T,B,Hp,Wp) int32 shard over
     dp (tiles) x sp (bands — every stage is band-independent, so the
     spectral axis shards with zero collectives). Per tile the step runs
-    the reversible 9/7M DWT, the EXACT truncated-decode model of the
-    embedded coder at the given per-band byte budget
-    (codecs/bitplane_model.bpc_truncated_decode), and the inverse DWT.
-    Returns step(tiles, order, inv, budget) -> (recon_planes (T,B,Hp,Wp)
-    float32-free int32, per-band bytes (T,B))."""
+    the reversible 9/7M DWT, applies the standard's subband weights
+    (ccsds122_codec.subband_weight_map — rate points code weighted
+    coefficients), the EXACT truncated-decode model of the embedded coder
+    at the given per-band byte budget
+    (codecs/bitplane_model.bpc_truncated_decode), unweights, and runs the
+    inverse DWT. Returns step(tiles, order, inv, budget) ->
+    (recon_planes (T,B,Hp,Wp) int32, per-band bytes (T,B))."""
     from tpukit.codecs.bitplane_model import bpc_truncated_decode
+    from tpukit.codecs.ccsds122_codec import subband_weight_map
     from tpukit.kernels import dwt as dwtk
 
     tl = NamedSharding(mesh, P("dp", "sp", None, None))
@@ -177,12 +180,18 @@ def sharded_ccsds122_ladder(mesh: Mesh, levels: int = 3):
     szs = NamedSharding(mesh, P("dp", "sp"))
 
     def fn(tiles, order, inv, budget):
+        Hp, Wp = tiles.shape[-2:]
+        wmap = jnp.asarray(subband_weight_map(Hp, Wp))
+
         def per_tile(cube):
-            coefs = dwtk.dwt2(cube, "97m", levels)
+            coefs = dwtk.dwt2(cube, "97m", levels) * wmap[None]
             B = coefs.shape[0]
             perm = jnp.take(coefs.reshape(B, -1), order, axis=1)
             rec, nbytes = jax.vmap(
                 lambda c: bpc_truncated_decode(c, budget))(perm)
+            wperm = wmap.reshape(-1)[order]
+            rec = jnp.rint(rec.astype(jnp.float32)
+                           / wperm[None]).astype(rec.dtype)
             planes = jnp.take(rec, inv, axis=1).reshape(coefs.shape)
             return dwtk.idwt2(planes, "97m", levels), nbytes
 
