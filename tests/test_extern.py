@@ -166,3 +166,22 @@ def test_wrapper_validate_14bit_warns(tmp_path, capsys):
                    "--preproc", "none", "--tile", "16",
                    "--validate-14bit"])
     assert "exceed unsigned 14-bit range" in capsys.readouterr().err
+
+
+def test_tile_structure_rejects_rate(cube):
+    """Tile-structured external codecs are lossless-only (the reference
+    ccsds121/123 wrappers accept no rate flags) — a rate request must
+    raise, not be silently ignored."""
+    c = ExternalCodec(CP_ENC, CP_DEC, structure="tile", tile=32)
+    assert not c.supports_lossy
+    with pytest.raises(ValueError, match="lossless-only"):
+        c.run(cube, "uint16", RateSpec.of("bpp", 2.0))
+
+
+def test_band_structure_rejects_signed(cube):
+    """Band mode takes unsigned planes only — an int16 cube viewed as
+    uint16 would lossy-code across the 0/65535 wrap."""
+    c = ExternalCodec(CP_ENC, CP_DEC, structure="band")
+    assert c.supports_lossy
+    with pytest.raises(ValueError, match="uint16/uint8"):
+        c.run(cube.view(np.int16), "int16", RateSpec.none())

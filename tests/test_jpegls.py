@@ -88,3 +88,30 @@ def test_codec_keep_bitstream(tile_caseA):
     res = codec.run(tile_caseA, "uint16", RateSpec.none(), keep_bitstream=True)
     assert len(res.bitstreams) == 4
     assert sum(len(v) for v in res.bitstreams.values()) == res.bitstream_bytes
+
+
+def test_decoder_survives_corrupt_streams(rng):
+    """Truncated / bit-flipped / garbage streams must fail cleanly
+    (RuntimeError from a negative native rc), never crash or overrun —
+    includes the run-remainder bounds case (cnt == W - col)."""
+    from tpukit.codecs.jpegls_codec import jls_decode, jls_encode
+
+    img = rng.integers(0, 1 << 12, (24, 31)).astype(np.uint16)
+    good = jls_encode(img, 0, 12)
+    np.testing.assert_array_equal(jls_decode(good, 31, 24), img)
+    streams = [good[:k] for k in range(2, len(good), 7)]
+    for _ in range(300):
+        b = bytearray(good)
+        for _ in range(int(rng.integers(1, 6))):
+            b[int(rng.integers(2, len(b)))] ^= 1 << int(rng.integers(0, 8))
+        streams.append(bytes(b))
+    streams.append(bytes(rng.integers(0, 256, 64, dtype=np.uint8)))
+    ok = bad = 0
+    for s in streams:
+        try:
+            out = jls_decode(s, 31, 24)
+            assert out.shape == (24, 31)
+            ok += 1
+        except RuntimeError:
+            bad += 1
+    assert ok + bad == len(streams)

@@ -198,7 +198,7 @@ def test_ccsds122_streams_match_device_model(smooth_tile):
     order = wc.scan_order(Hp, Wp, 3)
     wperm = subband_weight_map(Hp, Wp).ravel()[order]
     planes = np.stack([
-        np.rint(wc.bpc_decode(res.bitstreams[f"b{b+1:02d}.bit"], Hp * Wp)
+        np.rint(wc.bpc_decode(res.bitstreams[f"b{b+1:02d}.wbit"], Hp * Wp)
                 .astype(np.float32) / wperm).astype(np.int32)[inv]
         .reshape(Hp, Wp) for b in range(B)])
     rec = np.asarray(dwtk.idwt2(jnp.asarray(planes), "97m", 3))

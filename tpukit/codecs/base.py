@@ -158,3 +158,20 @@ def device_work(cube: np.ndarray, opts: dict, multiple: int = 1,
     if ph or pw:
         host = np.pad(host, ((0, 0), (0, ph), (0, pw)), mode="edge")
     return jnp.asarray(np.ascontiguousarray(host))
+
+
+def per_band_bpp(rate: "RateSpec", bands: int, bits_per_sample: float):
+    """CCSDS-122-style per-band rate request -> (target_bpp_band,
+    lossless_requested): --bpp is taken per band; --cr converts via
+    bits·B/CR spread over B bands; no/insufficient rate == effectively
+    lossless (reference ccsds122_wrap.py:97-107). Shared by the native
+    codec and the external-binary band wrapper so the semantics can't
+    drift."""
+    if rate.key == "bpp" and rate.value is not None:
+        target = float(rate.value)
+    elif rate.key == "cr" and rate.value is not None:
+        target = (bits_per_sample * bands / max(float(rate.value), 1e-6)) \
+            / bands
+    else:
+        target = bits_per_sample
+    return target, target >= bits_per_sample - 1e-9

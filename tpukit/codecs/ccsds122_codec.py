@@ -123,14 +123,9 @@ class CCSDS122Codec(Codec):
                    dtype_name: str):
         """RateSpec → (target_bpp_band, per-band byte budget; 0 = lossless)
         per reference ccsds122_wrap.py:97-121."""
+        from tpukit.codecs.base import per_band_bpp
         bits_per_sample = 16.0 if dtype_name in ("uint16", "int16") else 8.0
-        if rate.key == "bpp" and rate.value is not None:
-            target_bpp_band = float(rate.value)
-        elif rate.key == "cr" and rate.value is not None:
-            target_bpp_band = (bits_per_sample * B / max(rate.value, 1e-6)) / B
-        else:
-            target_bpp_band = bits_per_sample  # effectively lossless
-        lossless_req = target_bpp_band >= (bits_per_sample - 1e-9)
+        target_bpp_band, lossless_req = per_band_bpp(rate, B, bits_per_sample)
         budget = 0 if lossless_req else int(target_bpp_band * H * W / 8.0)
         return target_bpp_band, budget
 
@@ -192,7 +187,12 @@ class CCSDS122Codec(Codec):
                 t_streams = 0.0
                 if keep_bitstream:
                     t0 = time.perf_counter()
-                    streams = {f"b{b+1:02d}.bit":
+                    # rate-point streams carry WEIGHTED coefficients —
+                    # the .wbit suffix keeps them distinguishable on disk
+                    # from raw-coefficient lossless streams (decode recipe:
+                    # bpc_decode, then /subband_weight_map, then idwt)
+                    ext = "wbit" if weighted else "bit"
+                    streams = {f"b{b+1:02d}.{ext}":
                                wc.bpc_encode(host_perm[b], budget)
                                for b in range(B)}
                     t_streams = time.perf_counter() - t0
@@ -203,7 +203,8 @@ class CCSDS122Codec(Codec):
                     t_comp_s=t_model / len(ixs) + t_streams,
                     t_dec_s=t_syn / len(ixs), bitstreams=streams,
                     extras={"bands": int(B),
-                            "bpp_target_band": float(target_bpp_band)})
+                            "bpp_target_band": float(target_bpp_band),
+                            "subband_weighted": bool(weighted)})
         return out
 
     def run(self, cube: np.ndarray, dtype_name: str, rate: RateSpec,

@@ -66,9 +66,12 @@ def drop_rate_flag(tokens: Sequence[str]) -> List[str]:
 
 
 class ExternalCodec(Codec):
-    """Tile- or band-structured external codec driven by cmd templates."""
+    """Tile- or band-structured external codec driven by cmd templates.
 
-    supports_lossy = True
+    Tile structure (CCSDS-121/123 shape) is LOSSLESS-ONLY, like the
+    reference wrappers it mirrors (their CLIs accept no rate flags); a
+    rate request raises rather than being silently ignored. Band
+    structure (CCSDS-122 shape) honors per-band bpp/cr via {bpp}."""
 
     def __init__(self, enc_cmd, dec_cmd, *, structure: str = "tile",
                  tile: int = 512, interleave: str = "bip",
@@ -88,6 +91,7 @@ class ExternalCodec(Codec):
         self.bit_ext = bit_ext
         self.name = name
         self.use_uss = use_uss
+        self.supports_lossy = structure == "band"
         self.encoder_desc = " ".join(self.enc_tpl)
 
     # mirrors ccsds123_wrap.py:279-283 (recon keeps the dataset mask)
@@ -107,6 +111,11 @@ class ExternalCodec(Codec):
             keep_bitstream: bool = False, **opts) -> CodecResult:
         if self.structure == "band":
             return self._run_bands(cube, dtype_name, rate, keep_bitstream)
+        if rate.key not in (None, "none"):
+            raise ValueError(
+                f"{self.name}: tile-structured external codecs are "
+                f"lossless-only (reference ccsds121/123 wrappers accept no "
+                f"rate flags); got --{rate.key}")
         return self._run_tiles(cube, dtype_name, rate, keep_bitstream,
                                nodata=opts.get("nodata"),
                                dataset_mask=opts.get("dataset_mask"))
@@ -190,16 +199,21 @@ class ExternalCodec(Codec):
     # ---- CCSDS-122 shape: band-by-band RAW planes ------------------------
     def _run_bands(self, cube: np.ndarray, dtype_name: str, rate: RateSpec,
                    keep_bitstream: bool) -> CodecResult:
+        from tpukit.codecs.base import per_band_bpp
+
         B, H, W = cube.shape
-        bits = 16.0 if dtype_name in ("uint16", "int16") else 8.0
-        if rate.key == "bpp":
-            bpp_band = float(rate.value)
-        elif rate.key == "cr":
-            # bpp_total = bits·B / CR; per band = /B (ccsds122_wrap.py:97-104)
-            bpp_band = (bits * B / max(float(rate.value), 1e-6)) / B
-        else:
-            bpp_band = bits                     # effectively lossless
-        lossless_req = bpp_band >= bits - 1e-9
+        # same dtype surface as the reference's band wrapper: unsigned
+        # planes only (ccsds122_wrap.py docstring "(uint16/uint8)") — an
+        # int16 cube viewed as uint16 would lossy-code across the 0/65535
+        # wrap, so reject instead of corrupting
+        if dtype_name not in ("uint16", "uint8"):
+            raise ValueError(
+                f"{self.name}: band-structured external codecs take "
+                f"uint16/uint8 planes (got {dtype_name}); convert signed "
+                f"data first (reference ccsds122_wrap.py input contract)")
+        bits = 16.0 if dtype_name == "uint16" else 8.0
+        # cr -> per-band bpp conversion shared with the native codec
+        bpp_band, lossless_req = per_band_bpp(rate, B, bits)
         enc_tpl = (drop_rate_flag(self.enc_tpl) if lossless_req
                    else self.enc_tpl)
 

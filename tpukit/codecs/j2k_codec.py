@@ -213,12 +213,17 @@ def wenc_size_bytes(qc: jax.Array) -> jax.Array:
     from tpukit.codecs.bitplane_model import bpc_size_bytes
     from tpukit.codecs.wavelet_common import RICE_BITS
 
-    z = jnp.where(qc >= 0, 2 * qc, -2 * qc - 1)
-    fits = (jnp.max(z, axis=-1) <= 65535)
-    zc = jnp.clip(z, 0, 65535).astype(jnp.uint16)
+    if qc.shape[-1] % 8:      # Rice model needs whole J=8 blocks; the
+        return bpc_size_bytes(qc)   # host coder makes the same choice
+    # fits-test on qc itself: zigzag of |qc| >= 2^30 would overflow int32
+    # and could wrap past the comparison (host check: _fits_rice)
+    fits = ((jnp.max(qc, axis=-1) <= 32767)
+            & (jnp.min(qc, axis=-1) >= -32768))
+    qcc = jnp.clip(qc, -32768, 32767)          # model input, garbage-proof
+    z = jnp.where(qcc >= 0, 2 * qcc, -2 * qcc - 1).astype(jnp.uint16)
     size_rice = 1 + jax.vmap(
         lambda v: ck_dev.encode_size(v, bits=RICE_BITS, preprocess=False)
-    )(zc.reshape(-1, zc.shape[-1])).reshape(fits.shape)
+    )(z.reshape(-1, z.shape[-1])).reshape(fits.shape)
     return jnp.where(fits, size_rice, bpc_size_bytes(qc))
 
 

@@ -473,7 +473,10 @@ static int64_t jls_decode_impl(const uint8_t* in, int64_t nbytes, uint16_t* img,
                         }
                     } else {
                         int cnt = (int)br.get_bits(J[run_index]);
-                        if (cnt > W - col) return -7;
+                        // the interruption SAMPLE must still fit on the
+                        // line (cnt == W - col would push col to W and
+                        // index past the row buffers)
+                        if (cnt >= W - col) return -7;
                         for (int i = 0; i < cnt; ++i) s.cur[col + i] = (uint16_t)runval;
                         col += cnt;
                         interrupted = true;

@@ -160,7 +160,8 @@ def sharded_j2k_model(mesh: Mesh, levels: int = 5):
                    out_shardings=out)
 
 
-def sharded_ccsds122_ladder(mesh: Mesh, levels: int = 3):
+def sharded_ccsds122_ladder(mesh: Mesh, levels: int = 3,
+                            weighted: bool = True):
     """Sharded CCSDS-122 rate point: tiles (T,B,Hp,Wp) int32 shard over
     dp (tiles) x sp (bands — every stage is band-independent, so the
     spectral axis shards with zero collectives). Per tile the step runs
@@ -170,7 +171,10 @@ def sharded_ccsds122_ladder(mesh: Mesh, levels: int = 3):
     at the given per-band byte budget
     (codecs/bitplane_model.bpc_truncated_decode), unweights, and runs the
     inverse DWT. Returns step(tiles, order, inv, budget) ->
-    (recon_planes (T,B,Hp,Wp) int32, per-band bytes (T,B))."""
+    (recon_planes (T,B,Hp,Wp) int32, per-band bytes (T,B)).
+
+    ``weighted=False`` matches the codec's effective-lossless (budget 0)
+    mode, which codes RAW coefficients (CCSDS122Codec.sweep_rates)."""
     from tpukit.codecs.bitplane_model import bpc_truncated_decode
     from tpukit.codecs.ccsds122_codec import subband_weight_map
     from tpukit.kernels import dwt as dwtk
@@ -184,14 +188,17 @@ def sharded_ccsds122_ladder(mesh: Mesh, levels: int = 3):
         wmap = jnp.asarray(subband_weight_map(Hp, Wp))
 
         def per_tile(cube):
-            coefs = dwtk.dwt2(cube, "97m", levels) * wmap[None]
+            coefs = dwtk.dwt2(cube, "97m", levels)
+            if weighted:
+                coefs = coefs * wmap[None]
             B = coefs.shape[0]
             perm = jnp.take(coefs.reshape(B, -1), order, axis=1)
             rec, nbytes = jax.vmap(
                 lambda c: bpc_truncated_decode(c, budget))(perm)
-            wperm = wmap.reshape(-1)[order]
-            rec = jnp.rint(rec.astype(jnp.float32)
-                           / wperm[None]).astype(rec.dtype)
+            if weighted:
+                wperm = wmap.reshape(-1)[order]
+                rec = jnp.rint(rec.astype(jnp.float32)
+                               / wperm[None]).astype(rec.dtype)
             planes = jnp.take(rec, inv, axis=1).reshape(coefs.shape)
             return dwtk.idwt2(planes, "97m", levels), nbytes
 
