@@ -125,8 +125,8 @@ def _subband_steps(H: int, W: int, base: float) -> np.ndarray:
 def _fit_base_device(perm_coefs: jax.Array, perm_scale: jax.Array,
                      target_bytes: jax.Array, iters: int = 24) -> jax.Array:
     """Rate targeting on device: geometric bisection over the base
-    quantization step, pricing every candidate with the EXACT embedded-coder
-    size model (codecs/bitplane_model.py) — no trial encodes. Returns the
+    quantization step, pricing every candidate with the EXACT dual-backend
+    size model (wenc_size_bytes) — no trial encodes. Returns the
     smallest probed step whose total stream size is <= target (meet-or-beat
     rate control; the reference can only map bpp->QUALITY heuristically,
     j2k_wrap.py:38-47).
@@ -160,9 +160,9 @@ def _device_recon(qc: jax.Array, scale_map: jax.Array, base: jax.Array,
     """Dequantize + inverse 9/7 DWT + clip/round, fused on device.
 
     ``qc`` is the (verified) quantized coefficient cube, ``scale_map`` the
-    per-coefficient step map for base=1 (steps are linear in base, and the
-    per-level factors are exact powers of two, so ``scale_map * base``
-    reproduces the host step map bit-exactly in float32)."""
+    per-coefficient step map for base=1 — the SAME float32 array the host
+    quantizer used (uploaded, not recomputed), so ``scale_map * base`` is
+    the identical f32 multiply on both sides."""
     steps = scale_map * base
     qf = qc.astype(jnp.float32)
     deq = jnp.where(qc != 0, (qf + jnp.sign(qf) * 0.5) * steps[None], 0.0)
