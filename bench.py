@@ -78,7 +78,46 @@ def reference_metrics_numpy(ref, tst, rng_peak):
     return m
 
 
+def _ensure_live_backend(deadline_s: float = 600.0):
+    """Probe the default JAX backend in a SUBPROCESS with a deadline; on a
+    hang/failure re-exec this process pinned to CPU.
+
+    On tunneled TPU attachments the accelerator can be half-up: the
+    interpreter boots but the first device op blocks forever (observed
+    during axon outages). The probe subprocess inherits the env, so it
+    hangs exactly like the main flow would; killing it and re-execing
+    with JAX_PLATFORMS=cpu guarantees the bench always produces its JSON
+    line, with the backend recorded in the output. The deadline is
+    generous because a healthy first contact can legitimately take
+    minutes (tunnel channel setup)."""
+    if os.environ.get("TPUKIT_BENCH_NOPROBE"):
+        return
+    import subprocess
+    import sys as _sys
+    deadline_s = float(os.environ.get("TPUKIT_BENCH_PROBE_S", deadline_s))
+    code = ("import jax, numpy as np, jax.numpy as jnp;"
+            "jax.devices();"
+            "print(int(np.asarray(jnp.arange(8).sum())))")
+    try:
+        r = subprocess.run([_sys.executable, "-c", code],
+                           timeout=deadline_s, capture_output=True)
+        if r.returncode == 0:
+            return
+        log(f"backend probe failed rc={r.returncode}: "
+            f"{(r.stderr or b'').decode()[-400:]}")
+    except subprocess.TimeoutExpired:
+        log(f"backend probe hung for {deadline_s:.0f}s "
+            f"(accelerator tunnel down?)")
+    log("falling back to CPU for this bench run")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # site hook dials it at boot
+    env["TPUKIT_BENCH_NOPROBE"] = "1"
+    os.execve(_sys.executable, [_sys.executable, __file__], env)
+
+
 def main():
+    _ensure_live_backend()
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       str(Path(__file__).parent / ".jax_cache"))
@@ -236,6 +275,7 @@ def main():
                 "anchor x3 reps, canonical run-codec CLI, artifacts on)",
         "vs_baseline": round(speedup, 2) if speedup else None,
         "detail": {
+            "backend": jax.default_backend(),
             "north_star_s": 60,
             "north_star_met": bool(t_total < 60),
             "t_caseA_canonical_s": round(t_caseA, 2),
