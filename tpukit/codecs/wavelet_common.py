@@ -209,18 +209,40 @@ def wenc_quant_encode_ck(coefs: np.ndarray, inv_steps: np.ndarray,
                          inv_base: float):
     """Deadzone-quantize + auto-backend encode; returns
     (bitstream, qc, s1, s2) with the same wraparound-int32 checksums (and
-    the same f32 multiply association order) as the fused native path and
-    the device requantizer."""
-    qc = np.trunc(coefs * (inv_steps * np.float32(inv_base))) \
-        .astype(np.int32)
-    if qc.size % 8 == 0 and _fits_rice(qc):
-        u = qc.astype(np.uint32)
-        s1 = int(u.sum(dtype=np.uint64) & 0xFFFFFFFF)
-        s2 = int((u * u).sum(dtype=np.uint64) & 0xFFFFFFFF)
-        to_i32 = lambda v: v - (1 << 32) if v >= (1 << 31) else v
-        from tpukit.native import ccsds121_host as ck
-        bs = bytes([RICE_MARK]) + ck.encode(zigzag_np(qc), RICE_BITS,
-                                            flags=0)
-        return bs, qc, to_i32(s1), to_i32(s2)
-    # overflow (very fine quantization): fused embedded path
-    return bpc_encode_quant_ck(coefs, inv_steps, inv_base)
+    the same f32 multiply association order) as the device requantizer.
+
+    The Rice case runs ONE fused native pass (ck121_quant_encode:
+    quantize + checksums + zigzag + encode, no numpy temporaries); when
+    the quantized values overflow int16 it reuses the already-quantized
+    qc through the embedded backend."""
+    c = np.ascontiguousarray(coefs.ravel(), np.float32)
+    s = np.ascontiguousarray(inv_steps.ravel(), np.float32)
+    n = c.size
+    to_i32 = lambda v: v - (1 << 32) if v >= (1 << 31) else v
+    if n % 8 == 0:
+        lib = native.load()
+        qc = np.empty(n, np.int32)
+        out = _tls_buf("wq", n * 4 + 4096, np.uint8)
+        sums = np.zeros(2, np.uint32)
+        fp = ct.POINTER(ct.c_float)
+        r = lib.ck121_quant_encode(
+            c.ctypes.data_as(fp), s.ctypes.data_as(fp),
+            ct.c_float(inv_base),
+            qc.ctypes.data_as(ct.POINTER(ct.c_int32)), n, 8, 2,
+            out.ctypes.data_as(ct.POINTER(ct.c_uint8)), out.size,
+            sums.ctypes.data_as(ct.POINTER(ct.c_uint32)))
+        if r > 0:
+            return (bytes([RICE_MARK]) + out[:r].tobytes(), qc,
+                    to_i32(int(sums[0])), to_i32(int(sums[1])))
+        if r != -3:
+            raise RuntimeError(f"ck121_quant_encode failed: {r}")
+        # int16 overflow (very fine quantization): qc and checksums are
+        # already computed — embedded backend over qc
+        return (bpc_encode(qc), qc,
+                to_i32(int(sums[0])), to_i32(int(sums[1])))
+    # odd tail (never hit by padded tiles): plain numpy route
+    qc = np.trunc(c * (s * np.float32(inv_base))).astype(np.int32)
+    u = qc.astype(np.uint32)
+    s1 = int(u.sum(dtype=np.uint64) & 0xFFFFFFFF)
+    s2 = int((u * u).sum(dtype=np.uint64) & 0xFFFFFFFF)
+    return wenc_encode(qc), qc, to_i32(s1), to_i32(s2)

@@ -78,12 +78,16 @@ def _declare(lib: ctypes.CDLL) -> None:
     u8p = ct.POINTER(ct.c_uint8)
     u16p = ct.POINTER(ct.c_uint16)
     u32p = ct.POINTER(ct.c_uint32)
+    i32p = ct.POINTER(ct.c_int32)
+    f32p = ct.POINTER(ct.c_float)
     i64 = ct.c_longlong
     i32 = ct.c_int
 
     for name, restype, argtypes in [
         ("ck121_encode", i64, [u16p, i64, i32, i32, i32, i32, u8p, i64]),
         ("ck121_encode_seg", i64, [u16p, i64, i32, i32, i32, i32, i32, u8p, i64]),
+        ("ck121_quant_encode", i64, [f32p, f32p, ct.c_float, i32p, i64,
+                                     i32, i32, u8p, i64, u32p]),
         ("ck121_splice", None, [u8p, i64, u8p, i64]),
         ("ck121_decode", i64, [u8p, i64, i32, i32, i32, i32, u16p, i64]),
         ("ck121_decode_seg", i64, [u8p, i64, i64, i32, i32, i32, i32,

@@ -387,6 +387,77 @@ extern "C" int64_t ck121_encode(const uint16_t* in, int64_t n, int bits,
     return (nbits + 7) / 8;
 }
 
+// Fused deadzone quantize + zigzag + CCSDS-121 encode: the J2K Rice
+// backend's host path (wavelet_common.wenc_quant_encode_ck) in ONE pass.
+// qc[i] = (int32)(coefs[i] * (inv_steps[i] * inv_base)) — the same f32
+// association order as the device requantizer — with wraparound sum /
+// sum-of-squares checksums accumulated in-pass; the zigzag
+// z = (q << 1) ^ (q >> 31) feeds encode_core (nbit=16, no preprocessing).
+// Returns byte length, or -3 when some qc falls outside int16 (the caller
+// falls back to the embedded bit-plane backend).
+extern "C" int64_t ck121_quant_encode(const float* coefs,
+                                      const float* inv_steps,
+                                      float inv_base, int32_t* qc,
+                                      int64_t n, int block_size, int rsi,
+                                      uint8_t* out, int64_t out_cap,
+                                      uint32_t* sums_out) {
+    if (n <= 0) return -1;
+    std::vector<uint16_t> z((size_t)n);
+    uint32_t s1 = 0, s2 = 0;
+    int64_t i = 0;
+    int32_t qmin = 0, qmax = 0;
+#ifdef __AVX2__
+    {
+        const __m256 ib = _mm256_set1_ps(inv_base);
+        __m256i a1 = _mm256_setzero_si256(), a2 = _mm256_setzero_si256();
+        __m256i mn = _mm256_setzero_si256(), mx = _mm256_setzero_si256();
+        for (; i + 8 <= n; i += 8) {
+            __m256 st = _mm256_mul_ps(_mm256_loadu_ps(inv_steps + i), ib);
+            __m256 c = _mm256_mul_ps(_mm256_loadu_ps(coefs + i), st);
+            __m256i q = _mm256_cvttps_epi32(c);
+            _mm256_storeu_si256((__m256i*)(qc + i), q);
+            a1 = _mm256_add_epi32(a1, q);
+            a2 = _mm256_add_epi32(a2, _mm256_mullo_epi32(q, q));
+            mn = _mm256_min_epi32(mn, q);
+            mx = _mm256_max_epi32(mx, q);
+            __m256i zz = _mm256_xor_si256(_mm256_slli_epi32(q, 1),
+                                          _mm256_srai_epi32(q, 31));
+            __m128i z16 = _mm_packus_epi32(
+                _mm256_castsi256_si128(
+                    _mm256_and_si256(zz, _mm256_set1_epi32(0xFFFF))),
+                _mm256_extracti128_si256(
+                    _mm256_and_si256(zz, _mm256_set1_epi32(0xFFFF)), 1));
+            _mm_storeu_si128((__m128i*)&z[(size_t)i], z16);
+        }
+        alignas(32) int32_t t[8];
+        alignas(32) uint32_t u1[8], u2[8];
+        _mm256_storeu_si256((__m256i*)u1, a1);
+        _mm256_storeu_si256((__m256i*)u2, a2);
+        for (int j = 0; j < 8; ++j) { s1 += u1[j]; s2 += u2[j]; }
+        _mm256_storeu_si256((__m256i*)t, mn);
+        for (int j = 0; j < 8; ++j) qmin = t[j] < qmin ? t[j] : qmin;
+        _mm256_storeu_si256((__m256i*)t, mx);
+        for (int j = 0; j < 8; ++j) qmax = t[j] > qmax ? t[j] : qmax;
+    }
+#endif
+    for (; i < n; ++i) {
+        float st = inv_steps[i] * inv_base;
+        int32_t q = (int32_t)(coefs[i] * st);
+        qc[i] = q;
+        s1 += (uint32_t)q;
+        s2 += (uint32_t)q * (uint32_t)q;
+        qmin = q < qmin ? q : qmin;
+        qmax = q > qmax ? q : qmax;
+        z[(size_t)i] = (uint16_t)((q << 1) ^ (q >> 31));
+    }
+    if (sums_out) { sums_out[0] = s1; sums_out[1] = s2; }
+    if (qmin < -32768 || qmax > 32767) return -3;
+    Params p = make_params(16, block_size, rsi, 0);
+    int64_t nbits = encode_core(z.data(), n, p, 0, out, out_cap);
+    if (nbits < 0) return nbits;
+    return (nbits + 7) / 8;
+}
+
 // Encode one chunk of a device-planned parallel encode: the chunk must
 // start at a reference-sample-interval boundary (the predictor restarts
 // there, so the only inter-chunk coupling is the split-k search state,
