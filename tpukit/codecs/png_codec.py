@@ -31,40 +31,39 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 def _filter_scanlines(byte_rows: np.ndarray, bpp: int) -> bytes:
     """Adaptive per-row filter via the minimum-sum-of-absolute-differences
-    heuristic (the standard encoder heuristic). byte_rows: (H, stride) u8."""
-    H = byte_rows.shape[0]
-    raw = byte_rows.tobytes()
-    stride = byte_rows.shape[1]
-    out = bytearray()
-    prev = bytes(stride)
-    for r in range(H):
-        row = raw[r * stride:(r + 1) * stride]
-        rb = np.frombuffer(row, np.uint8).astype(np.int16)
-        pb = np.frombuffer(prev, np.uint8).astype(np.int16)
-        left = np.concatenate([np.zeros(bpp, np.int16), rb[:-bpp]])
-        upleft = np.concatenate([np.zeros(bpp, np.int16), pb[:-bpp]])
-        cand = {}
-        cand[0] = rb
-        cand[1] = (rb - left) & 0xFF
-        cand[2] = (rb - pb) & 0xFF
-        cand[3] = (rb - ((left + pb) >> 1)) & 0xFF
-        p = left + pb - upleft
-        pa = np.abs(p - left)
-        pc_ = np.abs(p - upleft)
-        pb_ = np.abs(p - pb)
-        paeth = np.where((pa <= pb_) & (pa <= pc_), left,
-                         np.where(pb_ <= pc_, pb, upleft))
-        cand[4] = (rb - paeth) & 0xFF
-        best_f, best_s = 0, None
-        for f, c in cand.items():
-            v = c.astype(np.uint8).astype(np.int16)
-            s = int(np.abs(np.where(v < 128, v, v - 256)).sum())
-            if best_s is None or s < best_s:
-                best_f, best_s = f, s
-        out.append(best_f)
-        out += cand[best_f].astype(np.uint8).tobytes()
-        prev = row
-    return bytes(out)
+    heuristic (the standard encoder heuristic). byte_rows: (H, stride) u8.
+
+    PNG filters always reference the RAW previous scanline, never the
+    filtered one, so selection is fully row-parallel: all five candidate
+    filters and their MSD scores are whole-array ops (the per-row Python
+    loop this replaces was 3x the cost of the deflate stage)."""
+    H, stride = byte_rows.shape
+    rb = byte_rows.astype(np.int16)
+    pb = np.zeros_like(rb)
+    pb[1:] = rb[:-1]
+    left = np.zeros_like(rb)
+    left[:, bpp:] = rb[:, :-bpp]
+    upleft = np.zeros_like(pb)
+    upleft[:, bpp:] = pb[:, :-bpp]
+    p = left + pb - upleft
+    pa = np.abs(p - left)
+    pb_ = np.abs(p - pb)
+    pc_ = np.abs(p - upleft)
+    paeth = np.where((pa <= pb_) & (pa <= pc_), left,
+                     np.where(pb_ <= pc_, pb, upleft))
+    cand = np.stack([rb,
+                     (rb - left) & 0xFF,
+                     (rb - pb) & 0xFF,
+                     (rb - ((left + pb) >> 1)) & 0xFF,
+                     (rb - paeth) & 0xFF]).astype(np.uint8)   # (5, H, S)
+    v = cand.astype(np.int16)
+    sums = np.abs(np.where(v < 128, v, v - 256)).sum(axis=2,
+                                                     dtype=np.int64)
+    best = np.argmin(sums, axis=0)     # first minimum == the loop's choice
+    out = np.empty((H, stride + 1), np.uint8)
+    out[:, 0] = best
+    out[:, 1:] = cand[best, np.arange(H)]
+    return out.tobytes()
 
 
 def png_encode(band: np.ndarray, zlevel: int = 6) -> bytes:
