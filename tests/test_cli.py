@@ -112,3 +112,51 @@ def test_run_codec_profile_flag(tmp_path, rng):
     assert rc == 0
     planes = list(trace_dir.rglob("*.xplane.pb"))
     assert planes, f"no xplane trace written under {trace_dir}"
+
+
+def test_all_six_codecs_end_to_end(tmp_path, rng):
+    """One small sweep through run-codec for EVERY codec family — the
+    cross-codec integration guard (rate-bearing codecs get one lossy
+    point, lossless-only ones run at norate)."""
+    from tpukit.cli.main import run_codec_main
+    from tpukit.io import tiff, write_manifest
+    from tpukit.sweep import csvio
+
+    base = rng.integers(300, 3000, (32, 32)).astype(np.int32)
+    cube = np.clip(base[None] + rng.integers(-60, 60, (4, 32, 32)),
+                   0, 4095).astype(np.uint16)
+    p = tmp_path / "t.tif"
+    tiff.write_geotiff(p, cube)
+    idx = tmp_path / "idx.json"
+    write_manifest(idx, "caseA", "tile", [{"tile_id": "T", "path": p}])
+
+    plans = {
+        "ccsds121": ["--rate-key", "none", "--preproc", "none",
+                     "--tile", "32"],
+        "ccsds123": ["--rate-key", "none", "--tile", "32",
+                     "--interleave", "bsq"],
+        "png": ["--rate-key", "none", "--zlevel", "1"],
+        "jpegls": ["--rate-key", "nearlossless_eps", "--rates", "2"],
+        "j2k": ["--rate-key", "quality", "--rates", "40"],
+        "ccsds122": ["--rate-key", "bpp", "--rates", "2.0"],
+    }
+    lossless = {"ccsds121", "ccsds123", "png"}
+    for codec, extra in plans.items():
+        out = tmp_path / f"runs_{codec}"
+        run_codec_main(["--indices", str(idx), "--codec", codec,
+                        "--outdir", str(out), "--keep-bitstream", *extra])
+        df = csvio.read_csv_smart(out / "metrics.csv")
+        assert len(df) == 1, codec
+        row = df.iloc[0]
+        assert row["bitstream_bytes"] > 0, codec
+        assert row["cr"] > 0.5, codec
+        if codec in lossless:
+            assert row["lossless"] == 1, codec
+        else:
+            assert row["max_abs_err"] <= (2 if codec == "jpegls"
+                                          else 4096), codec
+        # recon + bitstream artifacts on disk
+        rep = next((out / "T").rglob("recon.tif"))
+        with tiff.open(rep) as ds:
+            assert ds.read().shape == cube.shape
+        assert any((rep.parent / "bit").iterdir()), codec
