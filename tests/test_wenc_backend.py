@@ -69,3 +69,30 @@ def test_quant_encode_ck_matches_plain(rng):
         exp2 = int((u * u).sum(dtype=np.uint64) & 0xFFFFFFFF)
         to_i32 = lambda v: v - (1 << 32) if v >= (1 << 31) else v
         assert (s1, s2) == (to_i32(exp1), to_i32(exp2))
+
+
+def test_mixed_backend_quality_ladder_roundtrip(rng):
+    """A ladder spanning fine quantization (int16 overflow -> embedded
+    backend) and coarse (Rice backend) through the REAL codec: stream
+    sizes equal the model-first path and recons match exactly."""
+    from tpukit.codecs.base import RateSpec
+    from tpukit.codecs.registry import create
+
+    base = rng.integers(300, 3000, (64, 64)).astype(np.int32)
+    cube = ((np.clip(base[None] + rng.integers(-200, 200, (2, 64, 64)),
+                     0, 4095)) << 4).astype(np.uint16)
+    specs = [RateSpec.of("quality", q) for q in (20, 60, 100)]
+    codec = create("j2k")
+    with_streams = codec.sweep_rates(cube, "uint16", specs,
+                                     keep_bitstream=True)
+    model_first = codec.sweep_rates(cube, "uint16", specs)
+    backends = set()
+    for a, b in zip(with_streams, model_first):
+        assert a.bitstream_bytes == b.bitstream_bytes
+        assert a.bitstream_bytes == sum(len(v) for v in a.bitstreams.values())
+        np.testing.assert_array_equal(np.asarray(a.recon),
+                                      np.asarray(b.recon))
+        backends.update(v[0] for v in a.bitstreams.values())
+    # the ladder genuinely exercised BOTH backends
+    from tpukit.codecs.wavelet_common import RICE_MARK
+    assert RICE_MARK in backends and any(m != RICE_MARK for m in backends)

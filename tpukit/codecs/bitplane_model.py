@@ -18,8 +18,11 @@ needs NO per-plane loop — it is a pure O(n) reduction:
 
   bytes = 1 + ceil((gates+members+signs+refine) / 8)
 
-This is the TPU-native "quantized-coefficient model" for the J2K /
-CCSDS-122 codecs (SURVEY §2.3): rate ladders and rate-target searches can
+This is the TPU-native "quantized-coefficient model" for the embedded
+backend — CCSDS-122's only entropy stage (its -r bpp surface needs
+truncatable streams) and J2K's fallback when the zigzag overflows the
+Rice backend (j2k_codec.wenc_size_bytes): rate ladders and rate-target
+searches can
 price candidate quantizations entirely on device, with byte-exact
 agreement with the host coder (tested in tests/test_bitplane_model.py).
 The reference has no counterpart — its BPE/OpenJPEG rate control is

@@ -1,6 +1,8 @@
 # -*- coding: utf-8 -*-
 """Shared machinery for the wavelet transform codecs (j2k, ccsds122):
-device DWT -> embedded-scan coefficient ordering -> native bit-plane coder.
+device DWT -> embedded-scan coefficient ordering -> entropy backend
+(auto-selected Rice / embedded bit-plane for J2K, embedded-only for
+CCSDS-122's truncatable streams).
 """
 
 from __future__ import annotations
