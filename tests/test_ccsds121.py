@@ -106,3 +106,42 @@ def test_parallel_decode_matches_serial(rng):
     assert plan is not None
     assert ck.encode_parallel(x, plan) == bs
     np.testing.assert_array_equal(ck.decode_parallel(bs, plan), x)
+
+
+def test_partial_final_block_matches_libaec(rng):
+    """Sample counts that are not whole J=8 blocks: the coder pads by
+    repeating the last sample — libaec's exact convention — so streams
+    stay byte-identical and decode trims back (a 489x489-style odd tile
+    used to crash with an opaque error)."""
+    from tpukit.native import ccsds121_host as ck
+
+    for bits in (9, 12, 16):
+        for n in (1, 3, 13, 1089, 4356):
+            x = rng.integers(0, 1 << bits, n).astype(np.uint16)
+            bs = ck.encode(x, bits)
+            assert bs == ae.encode(x, bits), (bits, n)
+            np.testing.assert_array_equal(ck.decode(bs, n, bits), x)
+
+
+def test_codec_odd_tile_geometry(rng):
+    """The full codec round-trips an odd single-band tile losslessly."""
+    from tpukit.codecs.base import RateSpec
+    from tpukit.codecs.registry import create
+
+    cube = rng.integers(0, 4096, (1, 33, 33)).astype(np.uint16)
+    res = create("ccsds121", tile=512, preproc="none").run(
+        cube, "uint16", RateSpec.none())
+    np.testing.assert_array_equal(np.asarray(res.recon), cube)
+    assert res.bitstream_bytes > 0
+
+
+def test_device_size_model_partial_block(rng):
+    """encode_size pads like the coder, so odd-n sizes stay exact."""
+    import jax.numpy as jnp
+    from tpukit.codecs import ccsds121 as ck_dev
+    from tpukit.native import ccsds121_host as ck
+
+    for n in (13, 1089):
+        x = rng.integers(0, 65536, n).astype(np.uint16)
+        model = int(np.asarray(ck_dev.encode_size(jnp.asarray(x))))
+        assert model == len(ck.encode(x, 16)), n

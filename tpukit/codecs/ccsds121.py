@@ -267,7 +267,14 @@ def analyze(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2,
 @partial(jax.jit, static_argnames=("bits", "J", "rsi", "preprocess"))
 def encode_size(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2,
                 preprocess: bool = True) -> jax.Array:
-    """Exact compressed byte size (== native/libaec encoder output length)."""
+    """Exact compressed byte size (== native/libaec encoder output length).
+
+    A partial final block is padded by repeating the last sample — the
+    libaec convention the host coder also follows — so arbitrary sample
+    counts stay exact."""
+    pad = (-x.shape[0]) % J
+    if pad:
+        x = jnp.concatenate([x, jnp.broadcast_to(x[-1:], (pad,))])
     return analyze(x, bits=bits, J=J, rsi=rsi,
                    preprocess=preprocess)["nbytes"]
 

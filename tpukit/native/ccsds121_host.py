@@ -27,6 +27,13 @@ def encode(samples: np.ndarray, bits: int = 16,
            flags: int = FLAG_PREPROCESS) -> bytes:
     lib = native.load()
     x = np.ascontiguousarray(np.asarray(samples).ravel(), dtype=np.uint16)
+    # a partial final block is padded by REPEATING THE LAST SAMPLE — the
+    # exact libaec behavior (verified byte-for-byte), so arbitrary sample
+    # counts stay bitstream-identical to the reference engine; decode()
+    # rounds up and trims symmetrically
+    pad = (-x.size) % block_size
+    if pad and x.size:
+        x = np.concatenate([x, np.repeat(x[-1:], pad)])
     # worst case ≈ no-compression + IDs + refs; 4x + slack is generous
     # (np.empty: the coder writes every byte it uses and zeroes its own
     # splice slack)
@@ -168,9 +175,12 @@ def decode(bitstream: bytes, n_samples: int, bits: int = 16,
            flags: int = FLAG_PREPROCESS) -> np.ndarray:
     lib = native.load()
     b = np.frombuffer(bitstream, np.uint8)   # decoder reads only
-    out = np.empty(n_samples, np.uint16)     # decoder writes every sample
+    # encode() pads partial final blocks (last-sample repeat, the libaec
+    # convention); decode the padded count and trim
+    n_pad = n_samples + (-n_samples) % block_size
+    out = np.empty(n_pad, np.uint16)         # decoder writes every sample
     r = lib.ck121_decode(b.ctypes.data_as(_u8p), b.size, bits, block_size,
-                         rsi, flags, out.ctypes.data_as(_u16p), n_samples)
-    if r != n_samples:
+                         rsi, flags, out.ctypes.data_as(_u16p), n_pad)
+    if r != n_pad:
         raise RuntimeError(f"ck121_decode failed: {r}")
-    return out
+    return out[:n_samples]
