@@ -145,3 +145,30 @@ def test_device_cube_reuse_uint16(rng):
     via = CCSDS123Codec().run(cube, "uint16", RateSpec.none(),
                               device_cube=jnp.asarray(cube))
     np.testing.assert_array_equal(np.asarray(via.recon), cube)
+
+
+def test_spectral_predictor_beats_1d_coder(rng):
+    """The inter-band LS predictor must exploit spectral redundancy: on a
+    spectrally-correlated cube its lossless stream is meaningfully smaller
+    than the 1-D CCSDS-121 + diff1 path (the codec's reason to exist;
+    measured ~+31% on this content class)."""
+    from tpukit.codecs.base import RateSpec
+    from tpukit.codecs.registry import create
+
+    base = rng.normal(0, 1, (64, 64))
+    k = np.ones(9) / 9.0
+    base = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, base)
+    base = np.apply_along_axis(lambda c: np.convolve(c, k, "same"), 0, base)
+    base = (base - base.min()) / (np.ptp(base) + 1e-9)
+    gains = 0.6 + 0.8 * np.abs(np.sin(np.linspace(0.3, 5.8, 24)))[:, None, None]
+    cube = np.clip((500 + 6000 * base)[None] * gains
+                   + rng.normal(0, 12, (24, 64, 64)), -8192, 8191) \
+        .astype(np.int16)
+    cube = ((cube.view(np.uint16) >> 2) << 2).view(np.int16)
+
+    r123 = create("ccsds123", tile=64).run(cube, "int16", RateSpec.none())
+    r121 = create("ccsds121", preproc="diff1", interleave="bsq",
+                  tile=64).run(cube, "int16", RateSpec.none())
+    np.testing.assert_array_equal(np.asarray(r123.recon), cube)
+    assert r123.bitstream_bytes < r121.bitstream_bytes * 0.92, \
+        (r123.bitstream_bytes, r121.bitstream_bytes)
