@@ -17,7 +17,7 @@ from tpukit.codecs.j2k_codec import wenc_size_bytes
 def test_rice_selected_and_roundtrip(rng):
     q = (rng.standard_t(3, 4096) * 40).astype(np.int32)
     bs = wc.wenc_encode(q)
-    assert bs[0] == wc.RICE_MARK
+    assert bs[0] & wc.RICE_MARK
     assert np.array_equal(wc.wenc_decode(bs, q.size), q)
 
 
@@ -25,7 +25,7 @@ def test_overflow_falls_back_to_bitplane(rng):
     q = (rng.standard_t(3, 4096) * 40).astype(np.int32)
     q[7] = 1 << 20                       # zigzag > 16 bits
     bs = wc.wenc_encode(q)
-    assert bs[0] != wc.RICE_MARK
+    assert not (bs[0] & wc.RICE_MARK)
     assert np.array_equal(wc.wenc_decode(bs, q.size), q)
 
 
@@ -34,7 +34,7 @@ def test_budget_forces_embedded_backend(rng):
     coder — the Rice stream is not truncatable."""
     q = (rng.standard_t(3, 4096) * 40).astype(np.int32)
     bs = wc.wenc_encode(q, max_bytes=256)
-    assert bs[0] != wc.RICE_MARK and len(bs) <= 256
+    assert not (bs[0] & wc.RICE_MARK) and len(bs) <= 256
 
 
 def test_zigzag_involution(rng):
@@ -95,4 +95,5 @@ def test_mixed_backend_quality_ladder_roundtrip(rng):
         backends.update(v[0] for v in a.bitstreams.values())
     # the ladder genuinely exercised BOTH backends
     from tpukit.codecs.wavelet_common import RICE_MARK
-    assert RICE_MARK in backends and any(m != RICE_MARK for m in backends)
+    assert any(m & RICE_MARK for m in backends) \
+        and any(not (m & RICE_MARK) for m in backends)

@@ -211,9 +211,9 @@ def wenc_size_bytes(qc: jax.Array) -> jax.Array:
     agree byte-for-byte (tests/test_wenc_backend.py)."""
     from tpukit.codecs import ccsds121 as ck_dev
     from tpukit.codecs.bitplane_model import bpc_size_bytes
-    from tpukit.codecs.wavelet_common import RICE_BITS
+    from tpukit.codecs.wavelet_common import RICE_BITS, RICE_J, RICE_RSI
 
-    if qc.shape[-1] % 8:      # Rice model needs whole J=8 blocks; the
+    if qc.shape[-1] % RICE_J:   # Rice backend needs whole J blocks; the
         return bpc_size_bytes(qc)   # host coder makes the same choice
     # fits-test on qc itself: zigzag of |qc| >= 2^30 would overflow int32
     # and could wrap past the comparison (host check: _fits_rice)
@@ -222,7 +222,8 @@ def wenc_size_bytes(qc: jax.Array) -> jax.Array:
     qcc = jnp.clip(qc, -32768, 32767)          # model input, garbage-proof
     z = jnp.where(qcc >= 0, 2 * qcc, -2 * qcc - 1).astype(jnp.uint16)
     size_rice = 1 + jax.vmap(
-        lambda v: ck_dev.encode_size(v, bits=RICE_BITS, preprocess=False)
+        lambda v: ck_dev.encode_size(v, bits=RICE_BITS, J=RICE_J,
+                                     rsi=RICE_RSI, preprocess=False)
     )(z.reshape(-1, z.shape[-1])).reshape(fits.shape)
     return jnp.where(fits, size_rice, bpc_size_bytes(qc))
 

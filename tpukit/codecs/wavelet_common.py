@@ -169,6 +169,13 @@ def bpc_decode(bitstream: bytes, n: int) -> np.ndarray:
 
 RICE_MARK = 0x80
 RICE_BITS = 16
+# the wenc container is tpukit's own format, so the Rice block size is
+# free to be larger than the aec CLI's J=8: J=64 amortizes the 4-bit
+# block ID to 1/16 bit/sample (measured 0.33-0.45 bpp smaller streams at
+# J2K rates, monotone across content classes). log2(J) rides in the
+# header byte's low bits so the parameter can evolve per stream.
+RICE_J = 64
+RICE_RSI = 2
 
 
 def _fits_rice(qc: np.ndarray) -> bool:
@@ -192,17 +199,19 @@ def wenc_encode(qc: np.ndarray, max_bytes: int = 0) -> bytes:
     auto-selected backend. ``max_bytes`` (byte budget) forces the embedded
     backend — only it has truncation semantics."""
     qc = np.ascontiguousarray(qc.ravel(), np.int32)
-    if max_bytes == 0 and qc.size % 8 == 0 and _fits_rice(qc):
+    if max_bytes == 0 and qc.size % RICE_J == 0 and _fits_rice(qc):
         from tpukit.native import ccsds121_host as ck
-        return bytes([RICE_MARK]) + ck.encode(zigzag_np(qc), RICE_BITS,
-                                              flags=0)
+        hdr = RICE_MARK | (RICE_J.bit_length() - 1)     # 0x80 | log2(J)
+        return bytes([hdr]) + ck.encode(zigzag_np(qc), RICE_BITS,
+                                        RICE_J, RICE_RSI, flags=0)
     return bpc_encode(qc, max_bytes)
 
 
 def wenc_decode(bitstream: bytes, n: int) -> np.ndarray:
-    if bitstream[:1] == bytes([RICE_MARK]):
+    if bitstream and (bitstream[0] & RICE_MARK):
         from tpukit.native import ccsds121_host as ck
-        z = ck.decode(bitstream[1:], n, RICE_BITS, flags=0)
+        J = 1 << (bitstream[0] & 0x07)
+        z = ck.decode(bitstream[1:], n, RICE_BITS, J, RICE_RSI, flags=0)
         return unzigzag_np(z)
     return bpc_decode(bitstream, n)
 
@@ -221,7 +230,7 @@ def wenc_quant_encode_ck(coefs: np.ndarray, inv_steps: np.ndarray,
     s = np.ascontiguousarray(inv_steps.ravel(), np.float32)
     n = c.size
     to_i32 = lambda v: v - (1 << 32) if v >= (1 << 31) else v
-    if n % 8 == 0:
+    if n % RICE_J == 0:
         lib = native.load()
         qc = np.empty(n, np.int32)
         out = _tls_buf("wq", n * 4 + 4096, np.uint8)
@@ -230,11 +239,12 @@ def wenc_quant_encode_ck(coefs: np.ndarray, inv_steps: np.ndarray,
         r = lib.ck121_quant_encode(
             c.ctypes.data_as(fp), s.ctypes.data_as(fp),
             ct.c_float(inv_base),
-            qc.ctypes.data_as(ct.POINTER(ct.c_int32)), n, 8, 2,
+            qc.ctypes.data_as(ct.POINTER(ct.c_int32)), n, RICE_J, RICE_RSI,
             out.ctypes.data_as(ct.POINTER(ct.c_uint8)), out.size,
             sums.ctypes.data_as(ct.POINTER(ct.c_uint32)))
         if r > 0:
-            return (bytes([RICE_MARK]) + out[:r].tobytes(), qc,
+            hdr = RICE_MARK | (RICE_J.bit_length() - 1)
+            return (bytes([hdr]) + out[:r].tobytes(), qc,
                     to_i32(int(sums[0])), to_i32(int(sums[1])))
         if r != -3:
             raise RuntimeError(f"ck121_quant_encode failed: {r}")
