@@ -97,3 +97,34 @@ def test_mixed_backend_quality_ladder_roundtrip(rng):
     from tpukit.codecs.wavelet_common import RICE_MARK
     assert any(m & RICE_MARK for m in backends) \
         and any(not (m & RICE_MARK) for m in backends)
+
+
+def test_sparse_config_selected_and_matches_model(rng):
+    """Sparse streams pick the (J=32, rsi=8) config via the shared nnz
+    rule; model and coder stay byte-agreed, round-trip exact."""
+    import jax.numpy as jnp
+    for frac, expect_sparse in ((0.01, True), (0.2, False)):
+        q = np.zeros(4096, np.int32)
+        k = max(1, int(frac * q.size))
+        ix = rng.choice(q.size, k, replace=False)
+        q[ix] = rng.integers(-2000, 2000, k)
+        bs = wc.wenc_encode(q)
+        assert bs[0] & wc.RICE_MARK
+        J = 1 << (bs[0] & 0x07)
+        assert (J == wc.RICE_J_SPARSE) == expect_sparse, (frac, J)
+        assert np.array_equal(wc.wenc_decode(bs, q.size), q)
+        model = int(np.asarray(wenc_size_bytes(jnp.asarray(q[None])))[0])
+        assert model == len(bs), (frac, model, len(bs))
+
+
+def test_quant_encode_sparse_agrees(rng):
+    """The fused native pass picks the same config as the plain route."""
+    coefs = np.zeros(4096, np.float32)
+    ix = rng.choice(4096, 50, replace=False)
+    coefs[ix] = rng.normal(0, 3000, 50)
+    inv_steps = np.full(4096, 0.25, np.float32)
+    bs, qc, s1, s2 = wc.wenc_quant_encode_ck(coefs, inv_steps,
+                                             np.float32(1.0))
+    qc2 = np.trunc(coefs * (inv_steps * np.float32(1.0))).astype(np.int32)
+    assert np.array_equal(qc, qc2)
+    assert bs == wc.wenc_encode(qc2)

@@ -211,7 +211,9 @@ def wenc_size_bytes(qc: jax.Array) -> jax.Array:
     agree byte-for-byte (tests/test_wenc_backend.py)."""
     from tpukit.codecs import ccsds121 as ck_dev
     from tpukit.codecs.bitplane_model import bpc_size_bytes
-    from tpukit.codecs.wavelet_common import RICE_BITS, RICE_J, RICE_RSI
+    from tpukit.codecs.wavelet_common import (RICE_BITS, RICE_J,
+                                              RICE_J_SPARSE, RICE_RSI,
+                                              RICE_RSI_SPARSE)
 
     if qc.shape[-1] % RICE_J:   # Rice backend needs whole J blocks; the
         return bpc_size_bytes(qc)   # host coder makes the same choice
@@ -221,10 +223,21 @@ def wenc_size_bytes(qc: jax.Array) -> jax.Array:
             & (jnp.min(qc, axis=-1) >= -32768))
     qcc = jnp.clip(qc, -32768, 32767)          # model input, garbage-proof
     z = jnp.where(qcc >= 0, 2 * qcc, -2 * qcc - 1).astype(jnp.uint16)
-    size_rice = 1 + jax.vmap(
+    zf = z.reshape(-1, z.shape[-1])
+    size_dense = jax.vmap(
         lambda v: ck_dev.encode_size(v, bits=RICE_BITS, J=RICE_J,
-                                     rsi=RICE_RSI, preprocess=False)
-    )(z.reshape(-1, z.shape[-1])).reshape(fits.shape)
+                                     rsi=RICE_RSI, preprocess=False))(zf)
+    size_sparse = jax.vmap(
+        lambda v: ck_dev.encode_size(v, bits=RICE_BITS, J=RICE_J_SPARSE,
+                                     rsi=RICE_RSI_SPARSE,
+                                     preprocess=False))(zf)
+    # config by the shared sparsity rule (wavelet_common._rice_cfg):
+    # nnz * 32 < n — chosen by RULE, not by min(), so the host coder
+    # (which encodes only the selected config) always agrees
+    nnz = jnp.sum(qc != 0, axis=-1)
+    sparse = (nnz * 32 < qc.shape[-1]).reshape(size_dense.shape)
+    size_rice = 1 + jnp.where(sparse, size_sparse,
+                              size_dense).reshape(fits.shape)
     return jnp.where(fits, size_rice, bpc_size_bytes(qc))
 
 

@@ -176,12 +176,32 @@ RICE_BITS = 16
 # header byte's low bits so the parameter can evolve per stream.
 RICE_J = 64
 RICE_RSI = 2
+# sparse streams (nnz/n < 1/32) trade ID amortization for finer zero-run
+# segmentation: (J=32, rsi=8) measures ~13% smaller at ~0.5 bpp. The
+# selection rule (nnz * 32 < n) is an exact integer comparison mirrored
+# by the device size model, so model and coder always pick the same
+# config; both J/rsi ride in the header byte.
+RICE_J_SPARSE = 32
+RICE_RSI_SPARSE = 8
 
 
 def _fits_rice(qc: np.ndarray) -> bool:
     """Rice backend applies iff zigzag(qc) fits RICE_BITS (qc in int16
     range). Mirrored on device by wenc_size_bytes."""
     return bool(qc.min() >= -32768 and qc.max() <= 32767)
+
+
+def _rice_cfg(qc: np.ndarray):
+    """(J, rsi) by the shared sparsity rule (see RICE_J_SPARSE)."""
+    if int(np.count_nonzero(qc)) * 32 < qc.size:
+        return RICE_J_SPARSE, RICE_RSI_SPARSE
+    return RICE_J, RICE_RSI
+
+
+def _rice_header(J: int, rsi: int) -> int:
+    """0x80 | log2(J) in bits 0-2 | (log2(rsi) - 1) in bits 3-4 (so the
+    pre-adaptive streams with rsi=2 parse unchanged)."""
+    return RICE_MARK | (J.bit_length() - 1) | ((rsi.bit_length() - 2) << 3)
 
 
 def zigzag_np(qc: np.ndarray) -> np.ndarray:
@@ -201,9 +221,9 @@ def wenc_encode(qc: np.ndarray, max_bytes: int = 0) -> bytes:
     qc = np.ascontiguousarray(qc.ravel(), np.int32)
     if max_bytes == 0 and qc.size % RICE_J == 0 and _fits_rice(qc):
         from tpukit.native import ccsds121_host as ck
-        hdr = RICE_MARK | (RICE_J.bit_length() - 1)     # 0x80 | log2(J)
-        return bytes([hdr]) + ck.encode(zigzag_np(qc), RICE_BITS,
-                                        RICE_J, RICE_RSI, flags=0)
+        J, rsi = _rice_cfg(qc)
+        return bytes([_rice_header(J, rsi)]) + ck.encode(
+            zigzag_np(qc), RICE_BITS, J, rsi, flags=0)
     return bpc_encode(qc, max_bytes)
 
 
@@ -211,7 +231,8 @@ def wenc_decode(bitstream: bytes, n: int) -> np.ndarray:
     if bitstream and (bitstream[0] & RICE_MARK):
         from tpukit.native import ccsds121_host as ck
         J = 1 << (bitstream[0] & 0x07)
-        z = ck.decode(bitstream[1:], n, RICE_BITS, J, RICE_RSI, flags=0)
+        rsi = 1 << (((bitstream[0] >> 3) & 0x03) + 1)
+        z = ck.decode(bitstream[1:], n, RICE_BITS, J, rsi, flags=0)
         return unzigzag_np(z)
     return bpc_decode(bitstream, n)
 
@@ -234,16 +255,20 @@ def wenc_quant_encode_ck(coefs: np.ndarray, inv_steps: np.ndarray,
         lib = native.load()
         qc = np.empty(n, np.int32)
         out = _tls_buf("wq", n * 4 + 4096, np.uint8)
-        sums = np.zeros(2, np.uint32)
+        sums = np.zeros(3, np.uint32)
         fp = ct.POINTER(ct.c_float)
         r = lib.ck121_quant_encode(
             c.ctypes.data_as(fp), s.ctypes.data_as(fp),
             ct.c_float(inv_base),
             qc.ctypes.data_as(ct.POINTER(ct.c_int32)), n, RICE_J, RICE_RSI,
+            RICE_J_SPARSE, RICE_RSI_SPARSE,
             out.ctypes.data_as(ct.POINTER(ct.c_uint8)), out.size,
             sums.ctypes.data_as(ct.POINTER(ct.c_uint32)))
         if r > 0:
-            hdr = RICE_MARK | (RICE_J.bit_length() - 1)
+            if sums[2]:
+                hdr = _rice_header(RICE_J_SPARSE, RICE_RSI_SPARSE)
+            else:
+                hdr = _rice_header(RICE_J, RICE_RSI)
             return (bytes([hdr]) + out[:r].tobytes(), qc,
                     to_i32(int(sums[0])), to_i32(int(sums[1])))
         if r != -3:

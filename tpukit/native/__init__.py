@@ -87,7 +87,7 @@ def _declare(lib: ctypes.CDLL) -> None:
         ("ck121_encode", i64, [u16p, i64, i32, i32, i32, i32, u8p, i64]),
         ("ck121_encode_seg", i64, [u16p, i64, i32, i32, i32, i32, i32, u8p, i64]),
         ("ck121_quant_encode", i64, [f32p, f32p, ct.c_float, i32p, i64,
-                                     i32, i32, u8p, i64, u32p]),
+                                     i32, i32, i32, i32, u8p, i64, u32p]),
         ("ck121_splice", None, [u8p, i64, u8p, i64]),
         ("ck121_decode", i64, [u8p, i64, i32, i32, i32, i32, u16p, i64]),
         ("ck121_decode_seg", i64, [u8p, i64, i64, i32, i32, i32, i32,

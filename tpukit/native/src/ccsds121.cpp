@@ -393,12 +393,16 @@ extern "C" int64_t ck121_encode(const uint16_t* in, int64_t n, int bits,
 // association order as the device requantizer — with wraparound sum /
 // sum-of-squares checksums accumulated in-pass; the zigzag
 // z = (q << 1) ^ (q >> 31) feeds encode_core (nbit=16, no preprocessing).
-// Returns byte length, or -3 when some qc falls outside int16 (the caller
-// falls back to the embedded bit-plane backend).
+// Block config is picked by the shared sparsity rule (nnz*32 < n selects
+// the sparse (J2, rsi2) config — mirrored exactly by the device size
+// model); sums_out[2] reports the choice (1 = sparse). Returns byte
+// length, or -3 when some qc falls outside int16 (the caller falls back
+// to the embedded bit-plane backend).
 extern "C" int64_t ck121_quant_encode(const float* coefs,
                                       const float* inv_steps,
                                       float inv_base, int32_t* qc,
                                       int64_t n, int block_size, int rsi,
+                                      int block2, int rsi2,
                                       uint8_t* out, int64_t out_cap,
                                       uint32_t* sums_out) {
     if (n <= 0) return -1;
@@ -450,9 +454,17 @@ extern "C" int64_t ck121_quant_encode(const float* coefs,
         qmax = q > qmax ? q : qmax;
         z[(size_t)i] = (uint16_t)((q << 1) ^ (q >> 31));
     }
-    if (sums_out) { sums_out[0] = s1; sums_out[1] = s2; }
+    int64_t nnz = 0;
+    for (int64_t j = 0; j < n; ++j) nnz += (qc[j] != 0);
+    const bool sparse = (block2 > 0) && (nnz * 32 < n);
+    if (sums_out) {
+        sums_out[0] = s1;
+        sums_out[1] = s2;
+        sums_out[2] = sparse ? 1u : 0u;
+    }
     if (qmin < -32768 || qmax > 32767) return -3;
-    Params p = make_params(16, block_size, rsi, 0);
+    Params p = make_params(16, sparse ? block2 : block_size,
+                           sparse ? rsi2 : rsi, 0);
     int64_t nbits = encode_core(z.data(), n, p, 0, out, out_cap);
     if (nbits < 0) return nbits;
     return (nbits + 7) / 8;
