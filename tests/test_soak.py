@@ -44,11 +44,14 @@ def test_wenc_model_matches_coder(soak_rng):
     from tpukit.codecs import wavelet_common as wc
     from tpukit.codecs.j2k_codec import wenc_size_bytes
     rng, seed = soak_rng
-    for t in range(60):
+    for t in range(80):
         n = (512, 4096, 1024)[t % 3]
         scale = 10 ** rng.uniform(-0.5, 5)
         q = np.clip((rng.standard_t(2.2, n) * scale).astype(np.int64),
                     -2 ** 30, 2 ** 30 - 1).astype(np.int32)
+        if t % 4 == 3:                 # sparse regime (J=32/rsi=8 config)
+            mask = rng.random(n) < rng.uniform(0.001, 0.04)
+            q = np.where(mask, q, 0).astype(np.int32)
         bs = wc.wenc_encode(q)
         model = int(np.asarray(wenc_size_bytes(jnp.asarray(q[None])))[0])
         assert model == len(bs), (seed, t, n)
