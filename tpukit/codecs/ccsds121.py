@@ -564,9 +564,10 @@ def encode_plan(x, bits: int = 16, J: int = 8, rsi: int = 2,
     monolithic path)."""
     n = int(x.shape[0])
     step = J * rsi
-    assert n % J == 0, "whole blocks required"
     chunk -= chunk % step       # chunks must end on an RSI boundary
-    if chunk <= 0 or n <= chunk or n % step != 0:
+    # misaligned streams (incl. partial final blocks) take the monolithic
+    # path, which pads like the coder does
+    if chunk <= 0 or n <= chunk or n % step != 0 or n % J != 0:
         return None
     main = (n // chunk) * chunk
     rem = n - main

@@ -34,35 +34,60 @@ def _filter_scanlines(byte_rows: np.ndarray, bpp: int) -> bytes:
     heuristic (the standard encoder heuristic). byte_rows: (H, stride) u8.
 
     PNG filters always reference the RAW previous scanline, never the
-    filtered one, so selection is fully row-parallel: all five candidate
-    filters and their MSD scores are whole-array ops (the per-row Python
-    loop this replaces was 3x the cost of the deflate stage)."""
+    filtered one, so selection is fully row-parallel: each candidate
+    filter and its MSD score are whole-array ops (the per-row Python loop
+    this replaced was 3x the cost of the deflate stage). Candidates are
+    built one at a time in uint8 wraparound arithmetic and the running
+    best rows overwritten in place, bounding peak memory at a few copies
+    of the frame instead of 5 candidate stacks."""
     H, stride = byte_rows.shape
-    rb = byte_rows.astype(np.int16)
+    rb = byte_rows
     pb = np.zeros_like(rb)
     pb[1:] = rb[:-1]
     left = np.zeros_like(rb)
     left[:, bpp:] = rb[:, :-bpp]
     upleft = np.zeros_like(pb)
     upleft[:, bpp:] = pb[:, :-bpp]
-    p = left + pb - upleft
-    pa = np.abs(p - left)
-    pb_ = np.abs(p - pb)
-    pc_ = np.abs(p - upleft)
-    paeth = np.where((pa <= pb_) & (pa <= pc_), left,
-                     np.where(pb_ <= pc_, pb, upleft))
-    cand = np.stack([rb,
-                     (rb - left) & 0xFF,
-                     (rb - pb) & 0xFF,
-                     (rb - ((left + pb) >> 1)) & 0xFF,
-                     (rb - paeth) & 0xFF]).astype(np.uint8)   # (5, H, S)
-    v = cand.astype(np.int16)
-    sums = np.abs(np.where(v < 128, v, v - 256)).sum(axis=2,
-                                                     dtype=np.int64)
-    best = np.argmin(sums, axis=0)     # first minimum == the loop's choice
+
+    def cand(f: int) -> np.ndarray:
+        # uint8 wraparound subtraction == the (int16 diff) & 0xFF of the
+        # PNG spec; predictors are all in [0, 255]
+        if f == 0:
+            return rb
+        if f == 1:
+            return rb - left
+        if f == 2:
+            return rb - pb
+        if f == 3:
+            avg = ((left.astype(np.uint16) + pb) >> 1).astype(np.uint8)
+            return rb - avg
+        lp = left.astype(np.int16)
+        pp = pb.astype(np.int16)
+        ul = upleft.astype(np.int16)
+        p = lp + pp - ul
+        pa = np.abs(p - lp)
+        pb_ = np.abs(p - pp)
+        pc_ = np.abs(p - ul)
+        paeth = np.where((pa <= pb_) & (pa <= pc_), lp,
+                         np.where(pb_ <= pc_, pp, ul)).astype(np.uint8)
+        return rb - paeth
+
     out = np.empty((H, stride + 1), np.uint8)
-    out[:, 0] = best
-    out[:, 1:] = cand[best, np.arange(H)]
+    best_s = None
+    for f in range(5):
+        c = cand(f)
+        # MSD score: |signed(v)| == min(v, 256 - v) in uint8 arithmetic
+        s = np.minimum(c, -c).sum(axis=1, dtype=np.int64)
+        if best_s is None:
+            out[:, 0] = 0
+            out[:, 1:] = c
+            best_s = s
+        else:
+            better = s < best_s          # strict: first minimum wins ties
+            if better.any():
+                out[better, 0] = f
+                out[better, 1:] = c[better]
+                np.minimum(best_s, s, out=best_s)
     return out.tobytes()
 
 

@@ -160,8 +160,9 @@ def bpc_decode(bitstream: bytes, n: int) -> np.ndarray:
 # a function of the quantized coefficients (Rice needs the zigzag to fit 16
 # bits), so the device size model and the host coder always agree:
 #
-#   header 0x80            -> zigzag + CCSDS-121 backend (nbit=16, no
-#                             preprocessing — the DWT already decorrelated)
+#   header bit 7 set       -> zigzag + CCSDS-121 backend (nbit=16, no
+#                             preprocessing — the DWT already decorrelated;
+#                             log2 J in bits 0-2, log2(rsi)-1 in bits 3-4)
 #   header 0x40|nplanes    -> embedded bit-plane backend (bitplane.cpp;
 #                             also the only backend CCSDS-122 uses, since
 #                             its -r bpp surface requires truncation)
@@ -199,8 +200,10 @@ def _rice_cfg(qc: np.ndarray):
 
 
 def _rice_header(J: int, rsi: int) -> int:
-    """0x80 | log2(J) in bits 0-2 | (log2(rsi) - 1) in bits 3-4 (so the
-    pre-adaptive streams with rsi=2 parse unchanged)."""
+    """0x80 | log2(J) in bits 0-2 | (log2(rsi) - 1) in bits 3-4. J=1 is
+    never a valid block size, so a zero J field (a bare 0x80 header from
+    the earliest wenc streams, which carried an implicit J=8/rsi=2) is
+    decoded as that legacy config."""
     return RICE_MARK | (J.bit_length() - 1) | ((rsi.bit_length() - 2) << 3)
 
 
@@ -230,7 +233,8 @@ def wenc_encode(qc: np.ndarray, max_bytes: int = 0) -> bytes:
 def wenc_decode(bitstream: bytes, n: int) -> np.ndarray:
     if bitstream and (bitstream[0] & RICE_MARK):
         from tpukit.native import ccsds121_host as ck
-        J = 1 << (bitstream[0] & 0x07)
+        jf = bitstream[0] & 0x07
+        J = 8 if jf == 0 else 1 << jf       # 0 == legacy implicit J=8
         rsi = 1 << (((bitstream[0] >> 3) & 0x03) + 1)
         z = ck.decode(bitstream[1:], n, RICE_BITS, J, rsi, flags=0)
         return unzigzag_np(z)
@@ -249,6 +253,8 @@ def wenc_quant_encode_ck(coefs: np.ndarray, inv_steps: np.ndarray,
     qc through the embedded backend."""
     c = np.ascontiguousarray(coefs.ravel(), np.float32)
     s = np.ascontiguousarray(inv_steps.ravel(), np.float32)
+    if s.size != c.size:
+        raise ValueError("inv_steps size mismatch")
     n = c.size
     to_i32 = lambda v: v - (1 << 32) if v >= (1 << 31) else v
     if n % RICE_J == 0:

@@ -452,7 +452,8 @@ extern "C" int64_t ck121_quant_encode(const float* coefs,
         s2 += (uint32_t)q * (uint32_t)q;
         qmin = q < qmin ? q : qmin;
         qmax = q > qmax ? q : qmax;
-        z[(size_t)i] = (uint16_t)((q << 1) ^ (q >> 31));
+        z[(size_t)i] = (uint16_t)(((uint32_t)q << 1) ^
+                                  (uint32_t)(q >> 31));
     }
     int64_t nnz = 0;
     for (int64_t j = 0; j < n; ++j) nnz += (qc[j] != 0);
@@ -466,7 +467,10 @@ extern "C" int64_t ck121_quant_encode(const float* coefs,
     Params p = make_params(16, sparse ? block2 : block_size,
                            sparse ? rsi2 : rsi, 0);
     int64_t nbits = encode_core(z.data(), n, p, 0, out, out_cap);
-    if (nbits < 0) return nbits;
+    // -3 is reserved for the int16-overflow fallback signal; a bitwriter
+    // overflow (undersized out_cap) must stay a LOUD error, never a
+    // silent backend switch that would break model==coder agreement
+    if (nbits < 0) return -4;
     return (nbits + 7) / 8;
 }
 
