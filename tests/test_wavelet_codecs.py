@@ -279,3 +279,28 @@ def test_ccsds122_subband_weights_improve_rd(rng):
     psnr_u = 10 * np.log10(4095.0 ** 2 / mse_u)
     assert psnr >= psnr_u + 1.0, (psnr, psnr_u)
     assert res.bitstream_bytes <= budget
+
+
+def test_j2k_lossless_lsb_shift(rng):
+    """Bit-packed baselines (12-in-16 / 14-in-16) carry exactly-zero LSBs;
+    the lossless path codes (x >> k) with a one-byte stream prefix and
+    shifts back — streams match the unpacked data's size, round-trip
+    exact, and the device/materializing paths agree."""
+    base = np.clip(rng.integers(500, 3000, (3, 96, 96))
+                   + rng.integers(-300, 300, (3, 96, 96)), 0, 4095)
+    packed = (base.astype(np.uint16) << 4)
+    unpacked = base.astype(np.uint16)
+    codec = J2KCodec()
+    spec = RateSpec(None, None, True)
+    r_dev = codec.run(packed, "uint16", spec)
+    r_mat = codec.run(packed, "uint16", spec, keep_bitstream=True)
+    np.testing.assert_array_equal(np.asarray(r_dev.recon), packed)
+    np.testing.assert_array_equal(np.asarray(r_mat.recon), packed)
+    assert r_dev.bitstream_bytes == r_mat.bitstream_bytes
+    assert r_dev.extras["lsb_shift"] == 4
+    r_unp = codec.run(unpacked, "uint16", spec)
+    assert r_dev.bitstream_bytes == r_unp.bitstream_bytes
+    # no common zeros -> no shift, still exact
+    full = rng.integers(0, 65536, (2, 64, 64)).astype(np.uint16)
+    rf = codec.run(full, "uint16", spec, keep_bitstream=True)
+    np.testing.assert_array_equal(np.asarray(rf.recon), full)

@@ -279,6 +279,24 @@ def _device_lossless_sizes(coefs: jax.Array, order: jax.Array) -> jax.Array:
     return wenc_size_bytes(perm)
 
 
+
+def _trailing_zero_shift(cube: np.ndarray) -> int:
+    """Common trailing-zero LSBs across all samples (uint bit view).
+
+    The benchmark's baselines are bit-packed — Case A 12-in-16 carries 4
+    exactly-zero LSBs, Case B 14-in-16 carries 2 — and a reversible coder
+    pays ~k bits/sample for them. The lossless path codes (cube >> k) and
+    the decoder shifts back: exactly invertible because the dropped bits
+    are zero by construction. Pure function of the input, so the device
+    size model, host coder, and decoder all derive the same k."""
+    u = cube.view(np.uint16) if cube.dtype.itemsize == 2 else \
+        cube.view(np.uint8) if cube.dtype.itemsize == 1 else cube
+    acc = int(np.bitwise_or.reduce(u, axis=None))
+    if acc == 0:
+        return 0
+    return min((acc & -acc).bit_length() - 1, 8)
+
+
 class J2KCodec(Codec):
     name = "j2k"
     encoder_desc = ("tpukit J2K-class (device 5/3 & 9/7 DWT + "
@@ -616,8 +634,15 @@ class J2KCodec(Codec):
         if lossless:
             t0 = time.perf_counter()
             with mem_phase("comp"):
+                # bit-packed baselines: code (x >> k) of the k exactly-zero
+                # LSBs; the one-byte stream prefix carries k (see
+                # _trailing_zero_shift)
+                shift = _trailing_zero_shift(cube)
+                if shift:
+                    work = work >> shift
                 coefs = np.asarray(dwtk.dwt2(jnp.asarray(work), "53", LEVELS))
-                encoded = [wc.wenc_encode(coefs[b].ravel()[order])
+                encoded = [bytes([shift]) +
+                           wc.wenc_encode(coefs[b].ravel()[order])
                            for b in range(B)]
             t_comp = time.perf_counter() - t0
             sum_bytes = sum(len(e) for e in encoded)
@@ -626,11 +651,14 @@ class J2KCodec(Codec):
             with mem_phase("dec"):
                 planes = []
                 for b in range(B):
+                    k = encoded[b][0]
                     c = np.zeros(Hp * Wp, np.int32)
-                    c[order] = wc.wenc_decode(encoded[b], Hp * Wp)
+                    c[order] = wc.wenc_decode(encoded[b][1:], Hp * Wp)
                     planes.append(c.reshape(Hp, Wp))
                 rec = np.asarray(dwtk.idwt2(jnp.asarray(np.stack(planes)),
                                             "53", LEVELS))
+                if shift:
+                    rec = rec << shift
                 recon[:] = rec[:, :H0, :W0].astype(cube.dtype)
             t_dec = time.perf_counter() - t0
         else:
@@ -788,18 +816,25 @@ class J2KCodec(Codec):
         CCSDS-122 device ladder). keep_bitstream materializes and
         round-trips real streams instead."""
         H0, W0 = cube.shape[-2:]
+        B = cube.shape[0]
         t0 = time.perf_counter()
         with mem_phase("comp"):
+            shift = _trailing_zero_shift(cube)
             wi = device_work(cube, opts, 1 << LEVELS, "int32")
+            if shift:
+                wi = wi >> shift        # exact: the dropped LSBs are zero
             order_dev, _ = wc.device_scan_orders(Hp, Wp, LEVELS)
             coefs_dev = dwtk.dwt2(wi, "53", LEVELS)
             sizes = _device_lossless_sizes(coefs_dev, order_dev)
-            sum_bytes = int(np.asarray(sizes).sum())
+            # +1 byte per band: the stream's LSB-shift prefix (host path)
+            sum_bytes = int(np.asarray(sizes).sum()) + B
         t_comp = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         with mem_phase("dec"):
             rec = dwtk.idwt2(coefs_dev, "53", LEVELS)[:, :H0, :W0]
+            if shift:
+                rec = rec << shift
             recon = rec.astype(cube.dtype.name)
             recon.block_until_ready()
         t_dec = time.perf_counter() - t0
@@ -807,4 +842,4 @@ class J2KCodec(Codec):
             codec="j2k_gdal", encoder=self.encoder_desc,
             bitstream_bytes=sum_bytes, recon=recon,
             t_comp_s=t_comp, t_dec_s=t_dec, bitstreams=None,
-            extras={"quality_used": None})
+            extras={"quality_used": None, "lsb_shift": shift})
