@@ -175,3 +175,23 @@ def per_band_bpp(rate: "RateSpec", bands: int, bits_per_sample: float):
     else:
         target = bits_per_sample
     return target, target >= bits_per_sample - 1e-9
+
+
+def trailing_zero_shift(cube: "np.ndarray") -> int:
+    """Common trailing-zero LSBs across all samples (uint bit view).
+
+    The benchmark's baselines are bit-packed — Case A 12-in-16 carries 4
+    exactly-zero LSBs, Case B 14-in-16 carries 2 — and a lossless coder
+    pays ~k bits/sample for them. tpukit-format codecs (J2K reversible,
+    CCSDS-122 effective-lossless, CCSDS-123) code (x >> k) and shift back
+    on decode: exactly invertible because the dropped bits are zero by
+    construction, and a pure function of the input so every size model and
+    coder derives the same k. Byte-parity codecs (CCSDS-121 vs libaec,
+    JPEG-LS vs CharLS) deliberately do NOT shift — the reference engines
+    pay for those bits and parity wins."""
+    u = cube.view(np.uint16) if cube.dtype.itemsize == 2 else \
+        cube.view(np.uint8) if cube.dtype.itemsize == 1 else cube
+    acc = int(np.bitwise_or.reduce(u, axis=None))
+    if acc == 0:
+        return 0
+    return min((acc & -acc).bit_length() - 1, 8)

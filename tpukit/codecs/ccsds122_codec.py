@@ -75,8 +75,9 @@ def subband_weight_map(Hp: int, Wp: int) -> np.ndarray:
     return hit
 
 
-@partial(jax.jit, static_argnames=("weighted",))
-def _analyze_ladder_device(work, order, budgets, wmap, weighted: bool):
+@partial(jax.jit, static_argnames=("weighted", "shift"))
+def _analyze_ladder_device(work, order, budgets, wmap, weighted: bool,
+                           shift: int = 0):
     """(B,Hp,Wp) int32 + (Q,) budgets -> ((Q,B,n) recon coefs, (Q,B) bytes,
     (B,n) scan-ordered coefficients as coded).
 
@@ -92,6 +93,11 @@ def _analyze_ladder_device(work, order, budgets, wmap, weighted: bool):
     after the truncated decode.
     """
     B = work.shape[0]
+    if shift:
+        # effective-lossless on bit-packed data: code (x >> k) of the k
+        # exactly-zero LSBs (base.trailing_zero_shift); the caller shifts
+        # the synthesized recon back
+        work = work >> shift
     coefs = dwtk.dwt2(work, "97m", LEVELS)
     if weighted:
         coefs = coefs * wmap[None]
@@ -106,11 +112,15 @@ def _analyze_ladder_device(work, order, budgets, wmap, weighted: bool):
     return rec, nbytes, perm
 
 
-@partial(jax.jit, static_argnames=("Hp", "Wp", "H0", "W0", "out_dtype"))
-def _synthesize_device(rec, inv, Hp, Wp, H0, W0, out_dtype, lo, hi):
+@partial(jax.jit, static_argnames=("Hp", "Wp", "H0", "W0", "out_dtype",
+                                   "shift"))
+def _synthesize_device(rec, inv, Hp, Wp, H0, W0, out_dtype, lo, hi,
+                       shift: int = 0):
     B = rec.shape[0]
     planes = rec[:, inv].reshape(B, Hp, Wp)
     out = dwtk.idwt2(planes, "97m", LEVELS)[:, :H0, :W0]
+    if shift:
+        out = out << shift
     return jnp.clip(out, lo, hi).astype(out_dtype)
 
 
@@ -145,6 +155,8 @@ class CCSDS122Codec(Codec):
         points = [self.budget_for(spec, B, H, W, dtype_name)
                   for spec in specs]
         wmap = jnp.asarray(subband_weight_map(Hp, Wp))
+        from tpukit.codecs.base import trailing_zero_shift
+        shift = trailing_zero_shift(cube)
 
         # rate-limited points code SUBBAND-WEIGHTED coefficients (standard
         # BPE behavior, see _WEIGHTS); effective-lossless points code raw
@@ -155,14 +167,19 @@ class CCSDS122Codec(Codec):
         for i, (_, budget) in enumerate(points):
             parts.setdefault(budget > 0, []).append(i)
         for weighted, ixs in parts.items():
+            # the shift applies to effective-lossless points only (a
+            # rate-limited stream is budget-truncated either way)
+            sh = 0 if weighted else shift
             host_perm = None
             t0 = time.perf_counter()
             with mem_phase("comp"):
                 rec, nbytes, perm = _analyze_ladder_device(
                     work, order,
                     jnp.asarray([points[i][1] for i in ixs], jnp.int32),
-                    wmap, weighted)
+                    wmap, weighted, sh)
                 nbytes_host = np.asarray(nbytes)        # (len(ixs), B)
+                if sh:
+                    nbytes_host = nbytes_host + 1   # 1-byte shift prefix
                 if keep_bitstream:
                     # the ladder already holds the scan-ordered
                     # coefficients; this fetch is the materializing path's
@@ -176,7 +193,7 @@ class CCSDS122Codec(Codec):
                 recons = jax.vmap(
                     lambda r: _synthesize_device(
                         r, inv, Hp, Wp, H0, W0, cube.dtype.name,
-                        info.min, info.max))(rec)
+                        info.min, info.max, sh))(rec)
                 recons.block_until_ready()
             t_syn = time.perf_counter() - t0
             t_syn_total += t_syn
@@ -192,8 +209,11 @@ class CCSDS122Codec(Codec):
                     # from raw-coefficient lossless streams (decode recipe:
                     # bpc_decode, then /subband_weight_map, then idwt)
                     ext = "wbit" if weighted else "bit"
+                    # lossless .bit streams carry the 1-byte LSB-shift
+                    # prefix (decode: bpc_decode the rest, idwt, << shift)
+                    pre = bytes([sh]) if not weighted else b""
                     streams = {f"b{b+1:02d}.{ext}":
-                               wc.bpc_encode(host_perm[b], budget)
+                               pre + wc.bpc_encode(host_perm[b], budget)
                                for b in range(B)}
                     t_streams = time.perf_counter() - t0
                 out[i] = CodecResult(

@@ -43,7 +43,7 @@ from tpukit.sweep.proc import mem_phase
 P = 3              # previous bands used by the spectral predictor
 FRAC_BITS = 12     # 4.12 fixed-point weights
 FEAT_CLAMP = 8191  # keeps products inside int32
-_MAGIC = b"TK123\x01"
+_MAGIC = b"TK123\x02"
 
 _ENTROPY = dict(bits=16, block_size=16, rsi=64, flags=0)  # no preprocessor
 
@@ -191,6 +191,12 @@ class CCSDS123Codec(Codec):
         # Multi-tile scenes assemble on host.
         single = tile >= H and tile >= W
         recon = None if single else np.empty_like(cube)
+        # bit-packed baselines (14-in-16 etc): code (x >> k) of the k
+        # exactly-zero LSBs and shift back on decode — the residual/Rice
+        # stages stop paying ~k bits/sample for constant zeros
+        # (base.trailing_zero_shift; carried in the tile header)
+        from tpukit.codecs.base import trailing_zero_shift
+        shift = trailing_zero_shift(cube)
         # HBM-resident uint16 source (rides the runner's metric upload
         # when present — shared shape/dtype adoption rules in
         # base.device_work); tiles slice from it on device
@@ -224,6 +230,8 @@ class CCSDS123Codec(Codec):
                 t0 = time.perf_counter()
                 with mem_phase("comp"):
                     xd = devw[:, y0:y0 + th, x0:x0 + tw]
+                    if shift:
+                        xd = xd >> shift
                     mapped, wq = encode_model(xd)
                     wq_np = np.asarray(wq)
                     plan = None
@@ -241,7 +249,8 @@ class CCSDS123Codec(Codec):
                     else:
                         stream = ccsds121_host.encode(
                             np.asarray(mapped).ravel(), **_ENTROPY)
-                    header = (_MAGIC + struct.pack("<HIII", P, B, th, tw) +
+                    header = (_MAGIC +
+                              struct.pack("<BHIII", shift, P, B, th, tw) +
                               wq_np.astype("<i2").tobytes())
                     bs = header + stream
                 t_comp += time.perf_counter() - t0
@@ -293,8 +302,8 @@ class CCSDS123Codec(Codec):
         if bs[:len(_MAGIC)] != _MAGIC:
             raise ValueError("bad TK123 stream")
         off = len(_MAGIC)
-        p, b, h, w = struct.unpack_from("<HIII", bs, off)
-        off += struct.calcsize("<HIII")
+        shift, p, b, h, w = struct.unpack_from("<BHIII", bs, off)
+        off += struct.calcsize("<BHIII")
         if (p, b, h, w) != (P, B, H, W):
             raise ValueError("geometry mismatch")
         wq = np.frombuffer(bs, "<i2", count=B * (P + 1), offset=off)
@@ -302,11 +311,13 @@ class CCSDS123Codec(Codec):
         off += B * (P + 1) * 2
         if plan is not None:
             mapped_dev = ccsds121_host.decode_to_device(bs[off:], plan)
-            return decode_model(mapped_dev.reshape(B, H, W),
-                                jnp.asarray(wq))
-        mapped = ccsds121_host.decode(bs[off:], B * H * W, **_ENTROPY)
-        return decode_model(jnp.asarray(mapped.reshape(B, H, W)),
-                            jnp.asarray(wq))
+            rec = decode_model(mapped_dev.reshape(B, H, W),
+                               jnp.asarray(wq))
+        else:
+            mapped = ccsds121_host.decode(bs[off:], B * H * W, **_ENTROPY)
+            rec = decode_model(jnp.asarray(mapped.reshape(B, H, W)),
+                               jnp.asarray(wq))
+        return (rec << shift) if shift else rec
 
     @staticmethod
     def _decode(bs: bytes, B: int, H: int, W: int) -> np.ndarray:

@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpukit.codecs.base import Codec, CodecResult, RateSpec, device_work
+from tpukit.codecs.base import (Codec, CodecResult, RateSpec,
+                                device_work, trailing_zero_shift)
 from tpukit.codecs import wavelet_common as wc
 from tpukit.kernels import dwt as dwtk
 from tpukit.sweep.proc import mem_phase
@@ -278,23 +279,6 @@ def _device_lossless_sizes(coefs: jax.Array, order: jax.Array) -> jax.Array:
     perm = jnp.take(coefs.reshape(B, -1).astype(jnp.int32), order, axis=1)
     return wenc_size_bytes(perm)
 
-
-
-def _trailing_zero_shift(cube: np.ndarray) -> int:
-    """Common trailing-zero LSBs across all samples (uint bit view).
-
-    The benchmark's baselines are bit-packed — Case A 12-in-16 carries 4
-    exactly-zero LSBs, Case B 14-in-16 carries 2 — and a reversible coder
-    pays ~k bits/sample for them. The lossless path codes (cube >> k) and
-    the decoder shifts back: exactly invertible because the dropped bits
-    are zero by construction. Pure function of the input, so the device
-    size model, host coder, and decoder all derive the same k."""
-    u = cube.view(np.uint16) if cube.dtype.itemsize == 2 else \
-        cube.view(np.uint8) if cube.dtype.itemsize == 1 else cube
-    acc = int(np.bitwise_or.reduce(u, axis=None))
-    if acc == 0:
-        return 0
-    return min((acc & -acc).bit_length() - 1, 8)
 
 
 class J2KCodec(Codec):
@@ -637,7 +621,7 @@ class J2KCodec(Codec):
                 # bit-packed baselines: code (x >> k) of the k exactly-zero
                 # LSBs; the one-byte stream prefix carries k (see
                 # _trailing_zero_shift)
-                shift = _trailing_zero_shift(cube)
+                shift = trailing_zero_shift(cube)
                 if shift:
                     work = work >> shift
                 coefs = np.asarray(dwtk.dwt2(jnp.asarray(work), "53", LEVELS))
@@ -819,7 +803,7 @@ class J2KCodec(Codec):
         B = cube.shape[0]
         t0 = time.perf_counter()
         with mem_phase("comp"):
-            shift = _trailing_zero_shift(cube)
+            shift = trailing_zero_shift(cube)
             wi = device_work(cube, opts, 1 << LEVELS, "int32")
             if shift:
                 wi = wi >> shift        # exact: the dropped LSBs are zero
