@@ -635,14 +635,15 @@ class J2KCodec(Codec):
             with mem_phase("dec"):
                 planes = []
                 for b in range(B):
-                    k = encoded[b][0]
                     c = np.zeros(Hp * Wp, np.int32)
                     c[order] = wc.wenc_decode(encoded[b][1:], Hp * Wp)
                     planes.append(c.reshape(Hp, Wp))
                 rec = np.asarray(dwtk.idwt2(jnp.asarray(np.stack(planes)),
                                             "53", LEVELS))
-                if shift:
-                    rec = rec << shift
+                # the decoder trusts the stream's own shift prefix
+                k = encoded[0][0]
+                if k:
+                    rec = rec << k
                 recon[:] = rec[:, :H0, :W0].astype(cube.dtype)
             t_dec = time.perf_counter() - t0
         else:
