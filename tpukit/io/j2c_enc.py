@@ -1,5 +1,5 @@
 # -*- coding: utf-8 -*-
-"""JPEG 2000 Part 1 encoder: Tier-1 code-block coding bindings.
+"""JPEG 2000 Part 1 (.j2c) encoder: standard-conformant codestreams.
 
 The reference's J2K path shells out to OpenJPEG through gdal_translate
 (reference tools/codecs/j2k/j2k_wrap.py:79-105), re-running the whole
@@ -11,15 +11,29 @@ reproduces that pass prefix and the exact squared-error reduction of the
 midpoint reconstruction, so any rate target is a convex-hull search over
 (length, distortion) points — no re-encode.
 
-The encoder mirrors tpukit/io/jp2.py's tier-1 decoder (j2k_t1.cpp):
-identical context formation and pass schedule, so enc->dec round-trips
-are bit-exact for any pass prefix (tests/test_j2k_t1enc.py fuzzes this).
+Layering on top of tier-1, this module assembles full ISO/IEC 15444-1
+codestreams: reversible 5/3 forward DWT (the exact inverse of
+tpukit/io/jp2.py's synthesis), tag-tree coded packet headers, LRCP
+packets, and SIZ/COD/QCD markers.  Lossless output round-trips
+bit-exactly through tpukit's own JP2Decoder AND third-party decoders
+(OpenJPEG via Pillow — tests/test_j2c_enc.py); lossy output is standard
+"lossless-truncation" J2K: optimal PCRD truncation of the reversible
+stream at any byte budget.
+
+The tier-1 encoder mirrors tpukit/io/jp2.py's tier-1 decoder
+(j2k_t1.cpp): identical context formation and pass schedule, so
+enc->dec round-trips are bit-exact for any pass prefix
+(tests/test_j2k_t1enc.py fuzzes this).
 """
 
 from __future__ import annotations
 
 import ctypes as ct
-from dataclasses import dataclass
+import math
+import struct
+from dataclasses import dataclass, field
+from functools import lru_cache
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -95,3 +109,613 @@ def t1_encode_block(coefs: np.ndarray, orient: int, style: int = 0) -> T1Block:
                    pass_len=plen[:npasses].copy(),
                    pass_dist=pdist[:npasses].copy(),
                    pass_tail=ptail[:npasses * 8].reshape(-1, 8).copy())
+
+
+# ===========================================================================
+# Forward reversible 5/3 DWT — the exact inverse of jp2.py's synthesis
+# (_sr1d_53 / sr2d_53), including the absolute-coordinate parity and
+# whole-point symmetric extension conventions (ITU-T T.800 F.4.8).
+# ===========================================================================
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _fd1d_53(x: np.ndarray, i0: int) -> np.ndarray:
+    """1D analysis along the last axis; the signal covers absolute
+    coordinates [i0, i0+n).  Inverse of jp2._sr1d_53."""
+    n = x.shape[-1]
+    if n == 0:
+        return x
+    x = x.astype(np.int64)
+    if n == 1:
+        # single high-pass sample codes 2*X (inverse truncates Y/2)
+        return 2 * x if i0 % 2 else x
+    ext = np.concatenate([x[..., 1:2], x, x[..., -2:-1]], axis=-1)
+    # ext[j] holds absolute coordinate i0 - 1 + j
+    e0 = (i0 + 1) % 2   # smallest ext index with even absolute coordinate
+    out = ext.copy()
+    # step 1: odd coordinates   Y(2m+1) = X(2m+1) - floor((X(2m)+X(2m+2))/2)
+    jo = np.arange(e0 + 1, n + 2, 2)
+    jo = jo[(jo >= 1) & (jo <= n)]
+    out[..., jo] = ext[..., jo] - ((ext[..., jo - 1] + ext[..., jo + 1]) >> 1)
+    # re-extend the updated odds so even-boundary steps see reflected values
+    out[..., 0] = out[..., 2]
+    out[..., n + 1] = out[..., n - 1]
+    # step 2: even coordinates  Y(2m) = X(2m) + floor((Y(2m-1)+Y(2m+1)+2)/4)
+    je = np.arange(e0, n + 2, 2)
+    je = je[(je >= 1) & (je <= n)]
+    out[..., je] = ext[..., je] + ((out[..., je - 1] + out[..., je + 1] + 2) >> 2)
+    return out[..., 1:n + 1]
+
+
+def fd2d_53(a: np.ndarray, u0: int, v0: int, u1: int, v1: int):
+    """One 2D analysis level over the region [u0,u1)x[v0,v1) (absolute
+    coords).  Returns (ll, hl, lh, hh); exact inverse of jp2.sr2d_53."""
+    assert a.shape == (v1 - v0, u1 - u0)
+    # invert synthesis order: vertical first, then horizontal
+    a = np.swapaxes(_fd1d_53(np.swapaxes(a, -1, -2), v0), -1, -2)
+    a = _fd1d_53(a, u0)
+    # 2D_DEINTERLEAVE: LL at (even,even) absolute coordinates
+    ev_u = (-u0) % 2
+    od_u = 1 - ev_u
+    ev_v = (-v0) % 2
+    od_v = 1 - ev_v
+    ll = a[ev_v::2, ev_u::2]
+    hl = a[ev_v::2, od_u::2]
+    lh = a[od_v::2, ev_u::2]
+    hh = a[od_v::2, od_u::2]
+    return ll, hl, lh, hh
+
+
+def fdwt2d_53(tc: np.ndarray, tx0: int, ty0: int, tx1: int, ty1: int,
+              levels: int) -> Dict[Tuple[int, int], np.ndarray]:
+    """Full forward 5/3 DWT of a tile-component covering [tx0,tx1) x
+    [ty0,ty1).  Returns {(r, orient): coefficients} with r=0 the LL band
+    and orient 1/2/3 = HL/LH/HH at resolutions 1..levels (jp2.py band
+    numbering)."""
+    bands: Dict[Tuple[int, int], np.ndarray] = {}
+    ll = np.asarray(tc, np.int64)
+    assert ll.shape == (ty1 - ty0, tx1 - tx0)
+    for r in range(levels, 0, -1):
+        d = 1 << (levels - r)
+        u0, v0 = _ceil_div(tx0, d), _ceil_div(ty0, d)
+        u1, v1 = _ceil_div(tx1, d), _ceil_div(ty1, d)
+        ll, hl, lh, hh = fd2d_53(ll, u0, v0, u1, v1)
+        bands[(r, 1)] = hl
+        bands[(r, 2)] = lh
+        bands[(r, 3)] = hh
+    bands[(0, 0)] = ll
+    return bands
+
+
+# ===========================================================================
+# Packet-header bit writer + tag-tree encoder — mirrors of jp2.HdrBits /
+# jp2.TagTree (B.10.1 / B.10.2 in T.800).
+# ===========================================================================
+
+class HdrBitWriter:
+    """Bit writer with 0xFF bit-stuffing; exact inverse of jp2.HdrBits."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.cur = 0
+        self.bits = 0   # bits collected into cur
+        self.cap = 8    # capacity of current byte (7 right after an 0xFF)
+
+    def put(self, b: int):
+        self.cur = (self.cur << 1) | (b & 1)
+        self.bits += 1
+        if self.bits == self.cap:
+            self.buf.append(self.cur)
+            self.cap = 7 if self.cur == 0xFF else 8
+            self.cur = 0
+            self.bits = 0
+
+    def put_bits(self, v: int, n: int):
+        for k in range(n - 1, -1, -1):
+            self.put((v >> k) & 1)
+
+    def flush(self) -> bytes:
+        """Byte-align (zero padding); emit the stuffed zero byte a reader's
+        flush skips when the last full byte was 0xFF."""
+        if self.bits:
+            # zero-padded partial byte can never be 0xFF (cap-bits > 0)
+            self.buf.append(self.cur << (self.cap - self.bits))
+        elif self.cap == 7:   # last appended byte was 0xFF
+            self.buf.append(0)
+        self.cur, self.bits, self.cap = 0, 0, 8
+        return bytes(self.buf)
+
+
+class TagTreeEnc:
+    """Tag-tree encoder; bit-for-bit mirror of jp2.TagTree.decode."""
+
+    def __init__(self, w: int, h: int, leaves: np.ndarray):
+        dims: List[Tuple[int, int]] = []
+        ww, hh = w, h
+        while True:
+            dims.append((ww, hh))
+            if ww == 1 and hh == 1:
+                break
+            ww, hh = _ceil_div(ww, 2), _ceil_div(hh, 2)
+        self.dims = dims
+        self.off = []
+        o = 0
+        for a, b in dims:
+            self.off.append(o)
+            o += a * b
+        self.vmin = [0] * o
+        self.known = [False] * o
+        # node value = min over descendant leaves
+        self.value = [0] * o
+        lv_vals = np.asarray(leaves, np.int64).reshape(h, w)
+        for lv, (a, b) in enumerate(dims):
+            if lv:
+                lv_vals = np.minimum.reduceat(
+                    lv_vals, np.arange(0, lv_vals.shape[0], 2), axis=0)
+                lv_vals = np.minimum.reduceat(
+                    lv_vals, np.arange(0, lv_vals.shape[1], 2), axis=1)
+            self.value[self.off[lv]:self.off[lv] + a * b] = (
+                lv_vals.reshape(-1).tolist())
+
+    def _path(self, i: int, j: int) -> List[int]:
+        p = []
+        for lv, (a, b) in enumerate(self.dims):
+            p.append(self.off[lv] + j * a + i)
+            i //= 2
+            j //= 2
+        return p[::-1]
+
+    def encode(self, bw: HdrBitWriter, i: int, j: int,
+               threshold: int) -> bool:
+        """Emit exactly the bits jp2.TagTree.decode(i, j, threshold) will
+        read; returns True iff leaf value < threshold."""
+        low = 0
+        for n in self._path(i, j):
+            if self.vmin[n] < low:
+                self.vmin[n] = low
+            while not self.known[n] and self.vmin[n] < threshold:
+                if self.vmin[n] < self.value[n]:
+                    bw.put(0)
+                    self.vmin[n] += 1
+                else:
+                    bw.put(1)
+                    self.known[n] = True
+            low = self.vmin[n]
+            if low >= threshold:
+                return False
+        return True
+
+
+def _put_npasses(bw: HdrBitWriter, n: int):
+    """Number-of-coding-passes codeword (B.10.6); mirror of the reader in
+    jp2.JP2Decoder._read_packets."""
+    if n == 1:
+        bw.put(0)
+    elif n == 2:
+        bw.put(1)
+        bw.put(0)
+    elif n <= 5:
+        bw.put_bits(0b11, 2)
+        bw.put_bits(n - 3, 2)
+    elif n <= 36:
+        bw.put_bits(0b11, 2)
+        bw.put_bits(3, 2)
+        bw.put_bits(n - 6, 5)
+    else:
+        bw.put_bits(0b11, 2)
+        bw.put_bits(3, 2)
+        bw.put_bits(31, 5)
+        bw.put_bits(n - 37, 7)
+
+
+# ===========================================================================
+# Per-band synthesis basis norms (5/3) for PCRD distortion weighting
+# ===========================================================================
+
+@lru_cache(maxsize=None)
+def _band_norm_53(nb: int, orient: int) -> float:
+    """Interior L2 norm of the reversible 5/3 synthesis basis for a band
+    nb decomposition levels deep (orient 0=LL 1=HL 2=LH 3=HH), averaged
+    over the 2x2 polyphase positions (same method as
+    codecs/j2k_codec._subband_norms, but through the integer synthesis
+    actually used here — scaled impulses make rounding negligible)."""
+    from tpukit.io.jp2 import sr2d_53
+    if nb == 0:
+        return 1.0
+    S = 1 << 16
+    size = 16
+    tot = 0.0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            zb = [np.zeros((size, size), np.int64) for _ in range(4)]
+            zb[orient][size // 2 + dy, size // 2 + dx] = S
+            a = sr2d_53(zb[0], zb[1], zb[2], zb[3],
+                        0, 0, 2 * size, 2 * size)
+            x0 = y0 = 0
+            for _ in range(nb - 1):
+                # The impulse response has compact support: crop `a` to its
+                # nonzero bounding box (+4-sample zero margin, wider than
+                # any 5/3 lifting reach) between levels, tracking absolute
+                # coordinates, so arrays stay ~O(2^nb) wide instead of the
+                # full 2^nb x 2^nb resolution grid.
+                ys, xs = np.nonzero(a)
+                m = 4
+                ry0 = max(0, int(ys.min()) - m)
+                ry1 = min(a.shape[0], int(ys.max()) + 1 + m)
+                rx0 = max(0, int(xs.min()) - m)
+                rx1 = min(a.shape[1], int(xs.max()) + 1 + m)
+                a = a[ry0:ry1, rx0:rx1]
+                x0, y0 = x0 + rx0, y0 + ry0
+                z = np.zeros(a.shape, np.int64)
+                a = sr2d_53(a, z, z, z, 2 * x0, 2 * y0,
+                            2 * (x0 + a.shape[1]), 2 * (y0 + a.shape[0]))
+                x0, y0 = 2 * x0, 2 * y0
+            tot += float((a.astype(np.float64) ** 2).sum()) / (S * S)
+    return math.sqrt(tot / 4.0)
+
+
+# ===========================================================================
+# PCRD-opt: per-block convex hulls + global lambda search
+# ===========================================================================
+
+def _hull_points(pass_len: np.ndarray, wdist: np.ndarray):
+    """Convex-hull truncation candidates: (pass_idx, len, slope) with
+    strictly decreasing slope (dD/dL against the previous hull point,
+    starting from the empty-block origin)."""
+    hull: List[Tuple[int, int, float, float]] = []   # (p, L, D, slope_in)
+    for p in range(len(pass_len)):
+        L, D = int(pass_len[p]), float(wdist[p])
+        while True:
+            pl, pd = (hull[-1][1], hull[-1][2]) if hull else (0, 0.0)
+            if D <= pd:
+                L = -1  # no distortion gain beyond the previous point
+                break
+            dl = L - pl
+            slope = math.inf if dl <= 0 else (D - pd) / dl
+            if hull and slope >= hull[-1][3]:
+                hull.pop()
+                continue
+            break
+        if L >= 0:
+            hull.append((p, L, float(wdist[p]), slope))
+    return hull
+
+
+# ===========================================================================
+# Codestream assembly (single tile, single component, LRCP, 1 layer)
+# ===========================================================================
+
+_GUARD = 2
+
+
+@dataclass
+class _EncBand:
+    r: int
+    orient: int
+    x0: int
+    y0: int
+    x1: int
+    y1: int
+    cw: int = 0
+    ch: int = 0
+    cbx0: int = 0
+    cby0: int = 0
+    blocks: list = field(default_factory=list)      # T1Block | None per cb
+    hulls: list = field(default_factory=list)       # hull per cb
+    numbps: int = 1                                 # Mb signalled via QCD
+
+
+@dataclass
+class _EncRes:
+    r: int
+    trx0: int
+    try0: int
+    trx1: int
+    try1: int
+    npw: int
+    nph: int
+    xcb: int
+    ycb: int
+    bands: List[_EncBand] = field(default_factory=list)
+
+
+class J2CPlan:
+    """Analysis result of one image: every code-block tier-1 encoded once
+    with its convex-hull truncation candidates.  assemble() materializes a
+    standard codestream for any byte budget without re-encoding."""
+
+    def __init__(self, img: np.ndarray, depth: int, signed: bool,
+                 levels: int = 5, xcb: int = 6, ycb: int = 6):
+        img = np.asarray(img)
+        if img.ndim != 2:
+            raise ValueError("single-component (H, W) images only")
+        h, w = img.shape
+        if h < 1 or w < 1:
+            raise ValueError("empty image")
+        self.h, self.w = h, w
+        self.depth, self.signed, self.levels = depth, bool(signed), levels
+        self.xcb, self.ycb = xcb, ycb
+        tc = img.astype(np.int64)
+        if not self.signed:
+            tc = tc - (1 << (depth - 1))   # DC level shift (G.1.2)
+        coeffs = fdwt2d_53(tc, 0, 0, w, h, levels)
+
+        ppx = ppy = 15   # maximal precincts (Scod precinct flag unset)
+        self.res: List[_EncRes] = []
+        for r in range(levels + 1):
+            d = 1 << (levels - r)
+            trx1, try1 = _ceil_div(w, d), _ceil_div(h, d)
+            npw = _ceil_div(trx1, 1 << ppx) if trx1 > 0 else 0
+            nph = _ceil_div(try1, 1 << ppy) if try1 > 0 else 0
+            excb = min(xcb, ppx - 1 if r > 0 else ppx)
+            eycb = min(ycb, ppy - 1 if r > 0 else ppy)
+            rinfo = _EncRes(r, 0, 0, trx1, try1, npw, nph, excb, eycb)
+            nb = levels - r + 1
+            if r == 0:
+                geo = [(0, 0, 0)]
+            else:
+                geo = [(1, 1, 0), (2, 0, 1), (3, 1, 1)]
+            for orient, xob, yob in geo:
+                if r == 0:
+                    bx1, by1 = _ceil_div(w, d), _ceil_div(h, d)
+                else:
+                    hstep = 1 << (nb - 1)
+                    bx1 = _ceil_div(w - hstep * xob, 1 << nb)
+                    by1 = _ceil_div(h - hstep * yob, 1 << nb)
+                band = _EncBand(r, orient, 0, 0, max(bx1, 0), max(by1, 0))
+                arr = coeffs[(r, orient)]
+                assert arr.shape == (band.y1, band.x1), (
+                    (r, orient, arr.shape, band.y1, band.x1))
+                self._encode_band(band, arr, rinfo)
+                rinfo.bands.append(band)
+            self.res.append(rinfo)
+
+    # -- per-band tier-1 encode --------------------------------------------
+    def _encode_band(self, band: _EncBand, arr: np.ndarray, rinfo: _EncRes):
+        if band.x1 <= band.x0 or band.y1 <= band.y0:
+            band.cw = band.ch = 0
+            return
+        xcb, ycb = rinfo.xcb, rinfo.ycb
+        band.cbx0 = band.x0 >> xcb
+        band.cby0 = band.y0 >> ycb
+        band.cw = _ceil_div(band.x1, 1 << xcb) - band.cbx0
+        band.ch = _ceil_div(band.y1, 1 << ycb) - band.cby0
+        nb = self.levels - band.r + 1 if band.r > 0 else self.levels
+        wgt = _band_norm_53(nb, band.orient) ** 2
+        mb = 1
+        for cj in range(band.ch):
+            for ci in range(band.cw):
+                gx0 = max((band.cbx0 + ci) << xcb, band.x0)
+                gy0 = max((band.cby0 + cj) << ycb, band.y0)
+                gx1 = min((band.cbx0 + ci + 1) << xcb, band.x1)
+                gy1 = min((band.cby0 + cj + 1) << ycb, band.y1)
+                sub = arr[gy0 - band.y0:gy1 - band.y0,
+                          gx0 - band.x0:gx1 - band.x0]
+                blk = t1_encode_block(sub, band.orient)
+                if blk.numbps == 0:
+                    band.blocks.append(None)
+                    band.hulls.append([])
+                else:
+                    band.blocks.append(blk)
+                    band.hulls.append(
+                        _hull_points(blk.pass_len, blk.pass_dist * wgt))
+                    mb = max(mb, blk.numbps)
+        band.numbps = mb
+
+    # -- selection ------------------------------------------------------------
+    def _slopes(self) -> np.ndarray:
+        s = []
+        for rinfo in self.res:
+            for band in rinfo.bands:
+                for hull in band.hulls:
+                    s.extend(pt[3] for pt in hull)
+        fin = sorted({x for x in s if math.isfinite(x)})
+        return np.asarray(fin)
+
+    def _select(self, lam: float) -> List[List[Optional[int]]]:
+        """Per band (flattened over res order), per code-block: chosen pass
+        index (deepest hull point with slope >= lam) or None."""
+        sel = []
+        for rinfo in self.res:
+            for band in rinfo.bands:
+                picks: List[Optional[int]] = []
+                for hull in band.hulls:
+                    p = None
+                    for (pi, _, _, slope) in hull:
+                        if slope >= lam:
+                            p = pi
+                        else:
+                            break
+                    picks.append(p)
+                sel.append(picks)
+        return sel
+
+    def _select_all(self) -> List[List[Optional[int]]]:
+        sel = []
+        for rinfo in self.res:
+            for band in rinfo.bands:
+                sel.append([b.npasses - 1 if b is not None else None
+                            for b in band.blocks])
+        return sel
+
+    # -- packet + marker assembly ----------------------------------------------
+    def _precinct_cb_range(self, rinfo: _EncRes, band: _EncBand,
+                           pi: int, pj: int):
+        ppx = ppy = 15
+        px0 = max(pi << ppx, rinfo.trx0)
+        py0 = max(pj << ppy, rinfo.try0)
+        px1 = min((pi + 1) << ppx, rinfo.trx1)
+        py1 = min((pj + 1) << ppy, rinfo.try1)
+        if px1 <= px0 or py1 <= py0:
+            return 0, 0, 0, 0
+        if rinfo.r == 0:
+            qx0, qy0, qx1, qy1 = px0, py0, px1, py1
+        else:
+            xob = 1 if band.orient in (1, 3) else 0
+            yob = 1 if band.orient in (2, 3) else 0
+            qx0 = _ceil_div(px0 - xob, 2)
+            qy0 = _ceil_div(py0 - yob, 2)
+            qx1 = _ceil_div(px1 - xob, 2)
+            qy1 = _ceil_div(py1 - yob, 2)
+        qx0, qy0 = max(qx0, band.x0), max(qy0, band.y0)
+        qx1, qy1 = min(qx1, band.x1), min(qy1, band.y1)
+        if qx1 <= qx0 or qy1 <= qy0:
+            return 0, 0, 0, 0
+        ci0 = (qx0 >> rinfo.xcb) - band.cbx0
+        cj0 = (qy0 >> rinfo.ycb) - band.cby0
+        ci1 = _ceil_div(qx1, 1 << rinfo.xcb) - band.cbx0
+        cj1 = _ceil_div(qy1, 1 << rinfo.ycb) - band.cby0
+        return ci0, cj0, ci1, cj1
+
+    def _tile_body(self, sel: List[List[Optional[int]]]) -> bytes:
+        out = bytearray()
+        bi = 0
+        band_sel: Dict[int, List[Optional[int]]] = {}
+        for rinfo in self.res:
+            for band in rinfo.bands:
+                band_sel[id(band)] = sel[bi]
+                bi += 1
+        for rinfo in self.res:   # LRCP, 1 layer: R then P
+            for pj in range(rinfo.nph):
+                for pi in range(rinfo.npw):
+                    out += self._packet(rinfo, pi, pj, band_sel)
+        return bytes(out)
+
+    def _packet(self, rinfo: _EncRes, pi: int, pj: int,
+                band_sel) -> bytes:
+        contrib = []   # (band, local i, local j, pass_idx, chunk)
+        for band in rinfo.bands:
+            if band.cw == 0:
+                continue
+            ci0, cj0, ci1, cj1 = self._precinct_cb_range(rinfo, band, pi, pj)
+            sel = band_sel[id(band)]
+            cbs = []
+            for cj in range(cj0, cj1):
+                for ci in range(ci0, ci1):
+                    n = cj * band.cw + ci
+                    p = sel[n]
+                    if p is None or band.blocks[n] is None:
+                        cbs.append((band, ci - ci0, cj - cj0, None, b""))
+                    else:
+                        cbs.append((band, ci - ci0, cj - cj0, p,
+                                    band.blocks[n].truncate(p)))
+            contrib.append(((ci1 - ci0, cj1 - cj0), cbs))
+        if not any(p is not None for _, cbs in contrib
+                   for (_, _, _, p, _) in cbs):
+            bw = HdrBitWriter()
+            bw.put(0)                     # empty packet
+            return bw.flush()
+        bw = HdrBitWriter()
+        bw.put(1)
+        body = bytearray()
+        for (pw, ph), cbs in contrib:
+            if not cbs:
+                continue
+            band = cbs[0][0]
+            ci0, cj0, _, _ = self._precinct_cb_range(rinfo, band, pi, pj)
+            incl_vals = np.ones((ph, pw), np.int64)
+            # zbp tree: true values at included leaves; excluded leaves
+            # are never queried, so 0 is fine there
+            zbp_vals = np.zeros((ph, pw), np.int64)
+            for (bnd, li, lj, p, _) in cbs:
+                if p is not None:
+                    incl_vals[lj, li] = 0
+                    n = (lj + cj0) * bnd.cw + (li + ci0)
+                    zbp_vals[lj, li] = bnd.numbps - bnd.blocks[n].numbps
+            itree = TagTreeEnc(pw, ph, incl_vals)
+            ztree = TagTreeEnc(pw, ph, zbp_vals)
+            lblock = np.full((ph, pw), 3, np.int64)
+            for (bnd, li, lj, p, chunk) in cbs:
+                inc = itree.encode(bw, li, lj, 1)
+                assert inc == (p is not None)
+                if p is None:
+                    continue
+                zb = 1
+                while not ztree.encode(bw, li, lj, zb):
+                    zb += 1
+                npn = p + 1
+                _put_npasses(bw, npn)
+                seglen = len(chunk)
+                nfloor = int(math.floor(math.log2(npn)))
+                need = max(0, seglen.bit_length() - nfloor
+                           - int(lblock[lj, li]))
+                for _ in range(need):
+                    bw.put(1)
+                bw.put(0)
+                lblock[lj, li] += need
+                bw.put_bits(seglen, int(lblock[lj, li]) + nfloor)
+                body += chunk
+        return bw.flush() + bytes(body)
+
+    def _main_header(self) -> bytes:
+        out = bytearray(b"\xffO")                     # SOC (0xFF4F)
+        ssiz = (self.depth - 1) | (0x80 if self.signed else 0)
+        out += struct.pack(">HHHIIIIIIIIHBBB", 0xFF51, 41, 0,
+                           self.w, self.h, 0, 0, self.w, self.h, 0, 0,
+                           1, ssiz, 1, 1)             # SIZ
+        out += struct.pack(">HHBBHBBBBBB", 0xFF52, 12, 0, 0, 1, 0,
+                           self.levels, self.xcb - 2, self.ycb - 2,
+                           0, 1)                      # COD (LRCP, 5/3)
+        nb = 3 * self.levels + 1
+        out += struct.pack(">HHB", 0xFF5C, 3 + nb, (_GUARD << 5) | 0)
+        for rinfo in self.res:                        # QCD exponents
+            for band in rinfo.bands:
+                eps = max(0, min(31, band.numbps - _GUARD + 1))
+                out.append(eps << 3)
+        return bytes(out)
+
+    def assemble(self, sel: List[List[Optional[int]]]) -> bytes:
+        body = self._tile_body(sel)
+        psot = 2 + 10 + 2 + len(body)
+        out = bytearray(self._main_header())
+        out += struct.pack(">HHHIBB", 0xFF90, 10, 0, psot, 0, 1)   # SOT
+        out += b"\xff\x93" + body                                  # SOD
+        out += b"\xff\xd9"                                         # EOC
+        return bytes(out)
+
+    # -- public assembly -------------------------------------------------------
+    def lossless(self) -> bytes:
+        return self.assemble(self._select_all())
+
+    def at_size(self, target_bytes: int) -> bytes:
+        """Largest codestream <= target_bytes (PCRD-opt lambda search);
+        falls back to the lossless stream when the budget allows it."""
+        full = self.lossless()
+        if len(full) <= target_bytes:
+            return full
+        slopes = self._slopes()
+        lo, hi = 0, len(slopes)          # lambda = slopes[i]; size dec in i
+        best = self.assemble(self._select(math.inf))
+        if len(best) > target_bytes:
+            return best                  # headers alone exceed the budget
+        while lo < hi:
+            mid = (lo + hi) // 2
+            lam = slopes[mid]
+            cs = self.assemble(self._select(lam))
+            if len(cs) <= target_bytes:
+                best = cs
+                hi = mid                 # try smaller lambda (bigger size)
+            else:
+                lo = mid + 1
+        return best
+
+
+def encode_j2c(img: np.ndarray, depth: Optional[int] = None,
+               signed: Optional[bool] = None, levels: int = 5,
+               target_bytes: Optional[int] = None) -> bytes:
+    """Encode a single-component image to a standard .j2c codestream
+    (reversible 5/3; lossless unless target_bytes is given)."""
+    img = np.asarray(img)
+    if signed is None:
+        signed = img.dtype.kind == "i"
+    if depth is None:
+        if img.dtype.kind in "iu":
+            depth = img.dtype.itemsize * 8
+        else:
+            raise ValueError("depth required for non-integer input")
+    plan = J2CPlan(img, depth, signed, levels)
+    if target_bytes is None:
+        return plan.lossless()
+    return plan.at_size(target_bytes)
