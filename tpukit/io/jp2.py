@@ -173,25 +173,33 @@ class Band:
 
 def _load_t1():
     lib = native.load()
-    fn = lib.j2k_t1_decode
+    fn = lib.j2k_t1_decode_full
     fn.restype = ct.c_int64
     fn.argtypes = [ct.c_char_p, ct.c_int64, ct.POINTER(ct.c_int64),
                    ct.POINTER(ct.c_uint8), ct.c_int, ct.c_int, ct.c_int,
                    ct.c_int, ct.c_int, ct.c_int, ct.c_int,
-                   ct.POINTER(ct.c_int32)]
+                   ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32)]
     return fn
 
 
 def t1_decode_block(data: bytes, passes: int, numbps: int, orient: int,
-                    style: int, w: int, h: int) -> np.ndarray:
+                    style: int, w: int, h: int, want_lastp: bool = False):
+    """Decode one code-block.  Returns the sign-magnitude (h, w) array, or
+    with want_lastp a (coefs, lastp) pair where lastp[i] is the bit-plane
+    of coefficient i's last magnitude update (-1 if never significant) —
+    the per-coefficient dequant-midpoint position."""
     fn = _load_t1()
     out = np.zeros(w * h, np.int32)
+    lastp = np.zeros(w * h, np.int32)
     seg = (ct.c_int64 * 1)(len(data))
     raw = (ct.c_uint8 * 1)(0)
     r = fn(data, len(data), seg, raw, 1, passes, numbps, orient, style,
-           w, h, out.ctypes.data_as(ct.POINTER(ct.c_int32)))
+           w, h, out.ctypes.data_as(ct.POINTER(ct.c_int32)),
+           lastp.ctypes.data_as(ct.POINTER(ct.c_int32)))
     if r < 0:
         raise ValueError(f"tier-1 decode failed: {r}")
+    if want_lastp:
+        return out.reshape(h, w), lastp.reshape(h, w)
     return out.reshape(h, w)
 
 
@@ -245,6 +253,70 @@ def sr2d_53(ll: np.ndarray, hl: np.ndarray, lh: np.ndarray, hh: np.ndarray,
     a[od_v::2, od_u::2] = hh
     a = _sr1d_53(a, u0)                        # horizontal (rows)
     a = _sr1d_53(np.swapaxes(a, -1, -2), v0)   # vertical (columns)
+    return np.swapaxes(a, -1, -2)
+
+
+# ---------------------------------------------------------------------------
+# inverse irreversible 9/7 at arbitrary geometry (T.800 F.4.8.2)
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _sr1d_97(x: np.ndarray, i0: int) -> np.ndarray:
+    """1D 9/7 synthesis along the last axis; the signal covers absolute
+    coordinates [i0, i0+n).  Float lifting per T.800 F.4.8.2: scale, then
+    the four inverse lifting steps (-delta, -gamma, -beta, -alpha), each
+    reaching only nearest neighbours, with whole-point symmetric extension
+    re-applied between steps (same geometry machinery as _sr1d_53)."""
+    n = x.shape[-1]
+    if n == 0:
+        return x
+    x = x.astype(np.float64)
+    # scaling (F-28/F-29): even abs coords (low-pass) * K, odd * 1/K
+    ev = ((np.arange(n) + i0) % 2) == 0
+    if n == 1:
+        return x * (_K97 if i0 % 2 == 0 else 1.0 / _K97)
+    x = np.where(ev, x * _K97, x / _K97)
+    ext = np.concatenate([x[..., 1:2], x, x[..., -2:-1]], axis=-1)
+    out = ext.copy()
+    e0 = (i0 + 1) % 2   # smallest ext index with even absolute coordinate
+    je = np.arange(e0, n + 2, 2)
+    je = je[(je >= 1) & (je <= n)]
+    jo = np.arange(e0 + 1, n + 2, 2)
+    jo = jo[(jo >= 1) & (jo <= n)]
+
+    def _reext(a):
+        a[..., 0] = a[..., 2]
+        a[..., n + 1] = a[..., n - 1]
+
+    out[..., je] = ext[..., je] - _D97 * (ext[..., je - 1] + ext[..., je + 1])
+    _reext(out)
+    out[..., jo] = out[..., jo] - _G97 * (out[..., jo - 1] + out[..., jo + 1])
+    _reext(out)
+    out[..., je] = out[..., je] - _B97 * (out[..., je - 1] + out[..., je + 1])
+    _reext(out)
+    out[..., jo] = out[..., jo] - _A97 * (out[..., jo - 1] + out[..., jo + 1])
+    return out[..., 1:n + 1]
+
+
+def sr2d_97(ll, hl, lh, hh, u0: int, v0: int, u1: int, v1: int) -> np.ndarray:
+    """One 2D 9/7 synthesis level over [u0,u1)x[v1,v1) (absolute coords);
+    float in, float out; same interleave conventions as sr2d_53."""
+    h, w = v1 - v0, u1 - u0
+    a = np.zeros((h, w), np.float64)
+    ev_u = ((-u0) % 2)
+    od_u = 1 - ev_u
+    ev_v = ((-v0) % 2)
+    od_v = 1 - ev_v
+    a[ev_v::2, ev_u::2] = ll
+    a[ev_v::2, od_u::2] = hl
+    a[od_v::2, ev_u::2] = lh
+    a[od_v::2, od_u::2] = hh
+    a = _sr1d_97(a, u0)
+    a = _sr1d_97(np.swapaxes(a, -1, -2), v0)
     return np.swapaxes(a, -1, -2)
 
 
@@ -475,6 +547,24 @@ class JP2Decoder:
     def _quant_for(self, c: int) -> Quant:
         return self.qcc.get(c, self.qcd)
 
+    def _band_step(self, c: int, r: int, orient: int) -> float:
+        """Irreversible quantization step Delta_b (E-3): 2^(Rb - eps) *
+        (1 + mant / 2^11) with Rb = component depth + band gain."""
+        q = self._quant_for(c)
+        st = self._style_for(c)
+        nl = st.levels
+        depth = (self.ssiz[c] & 0x7F) + 1
+        gain = (0, 1, 1, 2)[orient]
+        bi = 0 if r == 0 else 3 * (r - 1) + orient
+        if q.style == 1:   # derived (E-5)
+            nb = nl - r + 1 if r > 0 else nl
+            eps = q.exps[0] - nl + nb
+            mant = q.mants[0]
+        else:
+            eps = q.exps[min(bi, len(q.exps) - 1)]
+            mant = q.mants[min(bi, len(q.mants) - 1)] if q.mants else 0
+        return float(2.0 ** (depth + gain - eps) * (1.0 + mant / 2048.0))
+
     def _band_numbps(self, c: int, r: int, orient: int) -> int:
         q = self._quant_for(c)
         st = self._style_for(c)
@@ -495,8 +585,8 @@ class JP2Decoder:
         """Decode one tile-component; returns the signed int array over the
         tile-component region."""
         st = self._style_for(c)
-        if st.transform != 1:
-            raise NotImplementedError("only reversible 5/3 supported")
+        if st.transform not in (0, 1):
+            raise NotImplementedError(f"unknown transform {st.transform}")
         nl = st.levels
         tidx = ty * self.ntx + tx
         # tile rect
@@ -723,28 +813,83 @@ class JP2Decoder:
                     w, h = gx1 - gx0, gy1 - gy0
                     data = b"".join(band.cb_chunks[n])
                     numbps = band.numbps - int(band.cb_zbp[n])
-                    blk = t1_decode_block(data, int(band.cb_passes[n]),
-                                          numbps, band.orient, st.cblksty,
-                                          w, h)
+                    blk, lastp = t1_decode_block(
+                        data, int(band.cb_passes[n]), numbps, band.orient,
+                        st.cblksty, w, h, want_lastp=True)
+                    blk = blk.astype(np.int64)
+                    # per-coefficient midpoint for truncated coefficients:
+                    # uncertainty interval [mag, mag + 2^lastp); for fully
+                    # refined coefficients lastp == 0 and the int midpoint
+                    # term 2^(lastp-1) truncates to 0, keeping complete
+                    # (lossless) decodes exact
+                    part = lastp >= 1
+                    if part.any():
+                        half = (1 << np.maximum(lastp, 1)) >> 1
+                        blk = np.where(part, blk + np.sign(blk) * half, blk)
                     arr[gy0 - band.y0:gy1 - band.y0,
                         gx0 - band.x0:gx1 - band.x0] = blk
             return arr
 
-        ll = band_array(res[0], res[0]["bands"][0])
+        def band_array_f(rinfo, band) -> np.ndarray:
+            """Dequantized float coefficients (E.1.1) with block-level
+            midpoint reconstruction: nonzero indices reconstruct at
+            (|q| + 0.5 * 2^P) * Delta_b where P counts the block's
+            undecoded bit-planes (P=0 for fully decoded blocks gives the
+            standard r=0.5 dead-zone midpoint)."""
+            bw, bh = band.x1 - band.x0, band.y1 - band.y0
+            arr = np.zeros((bh, bw), np.float64)
+            if band.cw == 0:
+                return arr
+            step = self._band_step(c, rinfo["r"], band.orient)
+            xcb, ycb = rinfo["xcb"], rinfo["ycb"]
+            for cj in range(band.ch):
+                for ci in range(band.cw):
+                    n = cj * band.cw + ci
+                    if not band.cb_included[n] or band.cb_passes[n] == 0:
+                        continue
+                    gx0 = max((band.cbx0 + ci) << xcb, band.x0)
+                    gy0 = max((band.cby0 + cj) << ycb, band.y0)
+                    gx1 = min((band.cbx0 + ci + 1) << xcb, band.x1)
+                    gy1 = min((band.cby0 + cj + 1) << ycb, band.y1)
+                    w, h = gx1 - gx0, gy1 - gy0
+                    data = b"".join(band.cb_chunks[n])
+                    numbps = band.numbps - int(band.cb_zbp[n])
+                    npass = int(band.cb_passes[n])
+                    blk, lastp = t1_decode_block(data, npass, numbps,
+                                                 band.orient, st.cblksty,
+                                                 w, h, want_lastp=True)
+                    mag = np.abs(blk).astype(np.float64)
+                    half = 0.5 * np.exp2(np.maximum(lastp, 0))
+                    val = np.where(mag > 0,
+                                   np.sign(blk) * (mag + half) * step, 0.0)
+                    arr[gy0 - band.y0:gy1 - band.y0,
+                        gx0 - band.x0:gx1 - band.x0] = val
+            return arr
+
         nl = st.levels
+        rev = st.transform == 1
+        get = band_array if rev else band_array_f
+        sr2d = sr2d_53 if rev else sr2d_97
+        ll = get(res[0], res[0]["bands"][0])
         for r in range(1, nl + 1):
             rinfo = res[r]
-            hl = band_array(rinfo, rinfo["bands"][0])
-            lh = band_array(rinfo, rinfo["bands"][1])
-            hh = band_array(rinfo, rinfo["bands"][2])
+            hl = get(rinfo, rinfo["bands"][0])
+            lh = get(rinfo, rinfo["bands"][1])
+            hh = get(rinfo, rinfo["bands"][2])
             d = 1 << (nl - r)
             u0, v0 = ceil_div(tx0, d), ceil_div(ty0, d)
             u1, v1 = ceil_div(tx1, d), ceil_div(ty1, d)
-            ll = sr2d_53(ll, hl, lh, hh, u0, v0, u1, v1)
+            ll = sr2d(ll, hl, lh, hh, u0, v0, u1, v1)
 
         # DC level shift for unsigned components (G.1.2)
         signed = bool(self.ssiz[c] & 0x80)
         depth = (self.ssiz[c] & 0x7F) + 1
+        if not rev:
+            lo = -(1 << (depth - 1)) if signed else 0
+            shift = 0 if signed else (1 << (depth - 1))
+            ll = np.clip(np.rint(ll) + shift, lo,
+                         lo + (1 << depth) - 1).astype(np.int64)
+            return ll
         if not signed:
             ll = ll + (1 << (depth - 1))
         return ll

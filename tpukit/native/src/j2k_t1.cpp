@@ -211,18 +211,29 @@ struct T1 {
 //   style       : Scod code-block style bits (bypass=1, reset=2, termall=4,
 //                 causal=8, predictable-termination=16, segsym=32)
 //   out         : w*h int32, sign-magnitude (negative = negative coef)
+//   lastp       : optional w*h int32; per coefficient, the bit-plane of its
+//                 last magnitude update (significance or refinement), or -1
+//                 if never significant.  The dequant midpoint for coefficient
+//                 i is 0.5 * 2^lastp[i] — per-coefficient, matching the
+//                 encoder's pass_dist bookkeeping (j2k_t1enc.cpp) and
+//                 OpenJPEG's in-pass half updates, so PCRD's predicted
+//                 distortion is exactly what a decoder reconstructs.
 // Returns number of planes decoded (>=0) or <0 on error.
-extern "C" int64_t j2k_t1_decode(const uint8_t* data, int64_t nbytes,
-                                 const int64_t* seg_lens,
-                                 const uint8_t* seg_raw, int nsegs,
-                                 int passes, int numbps, int orient,
-                                 int style, int w, int h, int32_t* out) {
+extern "C" int64_t j2k_t1_decode_full(const uint8_t* data, int64_t nbytes,
+                                      const int64_t* seg_lens,
+                                      const uint8_t* seg_raw, int nsegs,
+                                      int passes, int numbps, int orient,
+                                      int style, int w, int h, int32_t* out,
+                                      int32_t* lastp) {
     if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return -1;
     if (numbps > 32) return -5;   // int32 magnitudes: 1u<<plane is UB past 31
     if (numbps <= 0 || passes <= 0) {
         std::memset(out, 0, sizeof(int32_t) * (size_t)w * h);
+        if (lastp)
+            for (size_t i = 0; i < (size_t)w * h; ++i) lastp[i] = -1;
         return 0;
     }
+    std::vector<int32_t> lp((size_t)w * h, -1);
     if ((style & (1 | 4)) || nsegs != 1)
         return -2;  // bypass/termall segments not supported (not used by
                     // Sentinel-2 / OpenJPEG-default codestreams)
@@ -290,6 +301,7 @@ extern "C" int64_t j2k_t1_decode(const uint8_t* data, int64_t nbytes,
                                                : (mq.decode(scx) ^ xorbit);
                             f |= F_SIG | (sbit ? F_NEG : 0);
                             t1.mag[(size_t)y * w + x] = bit;
+                            lp[(size_t)y * w + x] = plane;
                         }
                     }
                 }
@@ -323,6 +335,7 @@ extern "C" int64_t j2k_t1_decode(const uint8_t* data, int64_t nbytes,
                             d = mq.decode(cx);
                         }
                         if (d) t1.mag[(size_t)y * w + x] |= bit;
+                        lp[(size_t)y * w + x] = plane;
                         f |= F_REFINED;
                     }
                 }
@@ -371,6 +384,7 @@ extern "C" int64_t j2k_t1_decode(const uint8_t* data, int64_t nbytes,
                         int sbit = mq.decode(scx) ^ xorbit;
                         f |= F_SIG | (sbit ? F_NEG : 0);
                         t1.mag[(size_t)y * w + x] = bit;
+                        lp[(size_t)y * w + x] = plane;
                         ++y;
                     }
                     for (; y < ymax; ++y) {
@@ -393,6 +407,7 @@ extern "C" int64_t j2k_t1_decode(const uint8_t* data, int64_t nbytes,
                             int sbit = mq.decode(scx) ^ xorbit;
                             f |= F_SIG | (sbit ? F_NEG : 0);
                             t1.mag[(size_t)y * w + x] = bit;
+                            lp[(size_t)y * w + x] = plane;
                         }
                     }
                 }
@@ -425,5 +440,15 @@ extern "C" int64_t j2k_t1_decode(const uint8_t* data, int64_t nbytes,
             out[(size_t)y * w + x] = (t1.F(y, x) & F_NEG) ? -(int32_t)m
                                                           : (int32_t)m;
         }
+    if (lastp) std::memcpy(lastp, lp.data(), sizeof(int32_t) * lp.size());
     return planes_done;
+}
+
+extern "C" int64_t j2k_t1_decode(const uint8_t* data, int64_t nbytes,
+                                 const int64_t* seg_lens,
+                                 const uint8_t* seg_raw, int nsegs,
+                                 int passes, int numbps, int orient,
+                                 int style, int w, int h, int32_t* out) {
+    return j2k_t1_decode_full(data, nbytes, seg_lens, seg_raw, nsegs, passes,
+                              numbps, orient, style, w, h, out, nullptr);
 }
