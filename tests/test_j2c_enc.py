@@ -119,6 +119,71 @@ def test_fdwt_inverts_synthesis_exactly():
         np.testing.assert_array_equal(ll, tc)
 
 
+def test_fdwt97_inverts_synthesis():
+    from tpukit.io.j2c_enc import fdwt2d_97
+    from tpukit.io.jp2 import sr2d_97
+    rng = np.random.default_rng(2)
+    for (h, w, tx0, ty0) in ((50, 70, 0, 0), (33, 17, 3, 5), (1, 40, 0, 1),
+                             (40, 1, 7, 0)):
+        tc = rng.normal(0, 1000, (h, w))
+        bands = fdwt2d_97(tc, tx0, ty0, tx0 + w, ty0 + h, 3)
+        ll = bands[(0, 0)]
+        for r in range(1, 4):
+            d = 1 << (3 - r)
+            u0, v0 = -(-tx0 // d), -(-ty0 // d)
+            u1, v1 = -(-(tx0 + w) // d), -(-(ty0 + h) // d)
+            ll = sr2d_97(ll, bands[(r, 1)], bands[(r, 2)], bands[(r, 3)],
+                         u0, v0, u1, v1)
+        assert np.abs(ll - tc).max() < 1e-9
+
+
+def _psnr12(a, img):
+    mse = ((a.astype(np.float64) - img) ** 2).mean()
+    return 10 * np.log10(4095.0 ** 2 / max(mse, 1e-12))
+
+
+def test_97_full_quality_and_openjpeg_conformance():
+    rng = np.random.default_rng(8)
+    gy, gx = np.mgrid[0:128, 0:128]
+    img = np.clip(2000 + 800 * np.sin(gy / 9) * np.cos(gx / 13)
+                  + rng.normal(0, 200, (128, 128)), 0, 4095).astype(np.uint16)
+    cs = encode_j2c(img, depth=12, wavelet="97")
+    ours = _decode_own(cs)
+    assert _psnr12(ours, img) > 80.0   # quantizer ceiling at base_step=1.0
+    oj = _decode_openjpeg(cs)
+    if oj is None:
+        pytest.skip("Pillow lacks JPEG 2000 support")
+    # Pillow scales depth-12 components to its 16-bit surface
+    assert np.abs((oj.astype(np.int64) >> 4) - ours).max() <= 1
+
+
+def test_97_rd_matches_or_beats_openjpeg():
+    """PCRD truncation of our one-time 9/7 analysis, at OpenJPEG's own
+    achieved byte sizes, must reach OpenJPEG's PSNR (small tolerance for
+    hull-granularity ties) at every rate."""
+    import io as _io
+    try:
+        from PIL import Image as PILImage
+    except Exception:  # pragma: no cover
+        pytest.skip("Pillow unavailable")
+    rng = np.random.default_rng(1234)
+    gy, gx = np.mgrid[0:256, 0:256]
+    img = np.clip(2000 + 800 * np.sin(gy / 9) * np.cos(gx / 13)
+                  + rng.normal(0, 200, (256, 256)), 0, 4095).astype(np.uint16)
+    plan = J2CPlan(img, 12, False, levels=5, wavelet="97")
+    for rate in (4, 16, 64):
+        buf = _io.BytesIO()
+        PILImage.fromarray(img, mode="I;16").save(
+            buf, format="JPEG2000", irreversible=True,
+            quality_mode="rates", quality_layers=[rate])
+        data = buf.getvalue()
+        p_opj = _psnr12(np.array(PILImage.open(_io.BytesIO(data))), img)
+        cs = plan.at_size(len(data))
+        assert len(cs) <= len(data)
+        p_ours = _psnr12(_decode_own(cs), img)
+        assert p_ours >= p_opj - 0.1, (rate, p_ours, p_opj)
+
+
 def test_band_norms_regression():
     # Pinned against the uncropped full-grid impulse synthesis (slow
     # original implementation); the support-cropped fast path must agree.

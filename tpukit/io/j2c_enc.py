@@ -12,13 +12,15 @@ midpoint reconstruction, so any rate target is a convex-hull search over
 (length, distortion) points — no re-encode.
 
 Layering on top of tier-1, this module assembles full ISO/IEC 15444-1
-codestreams: reversible 5/3 forward DWT (the exact inverse of
-tpukit/io/jp2.py's synthesis), tag-tree coded packet headers, LRCP
-packets, and SIZ/COD/QCD markers.  Lossless output round-trips
+codestreams: forward DWT (reversible 5/3 or irreversible 9/7 — exact
+inverses of tpukit/io/jp2.py's synthesis), dead-zone quantization with
+QCD-representable per-band steps (9/7), tag-tree coded packet headers,
+LRCP packets, and SIZ/COD/QCD markers.  Lossless 5/3 output round-trips
 bit-exactly through tpukit's own JP2Decoder AND third-party decoders
-(OpenJPEG via Pillow — tests/test_j2c_enc.py); lossy output is standard
-"lossless-truncation" J2K: optimal PCRD truncation of the reversible
-stream at any byte budget.
+(OpenJPEG via Pillow — tests/test_j2c_enc.py); 9/7 output decodes in
+OpenJPEG to within +-1 LSB of our own decoder and, PCRD-truncated at
+OpenJPEG's own achieved sizes, matches or beats OpenJPEG's PSNR at
+every tested rate (0.25-4 bpp).
 
 The tier-1 encoder mirrors tpukit/io/jp2.py's tier-1 decoder
 (j2k_t1.cpp): identical context formation and pass schedule, so
@@ -182,6 +184,80 @@ def fdwt2d_53(tc: np.ndarray, tx0: int, ty0: int, tx1: int, ty1: int,
         u0, v0 = _ceil_div(tx0, d), _ceil_div(ty0, d)
         u1, v1 = _ceil_div(tx1, d), _ceil_div(ty1, d)
         ll, hl, lh, hh = fd2d_53(ll, u0, v0, u1, v1)
+        bands[(r, 1)] = hl
+        bands[(r, 2)] = lh
+        bands[(r, 3)] = hh
+    bands[(0, 0)] = ll
+    return bands
+
+
+# ===========================================================================
+# Forward irreversible 9/7 DWT — exact inverse of jp2._sr1d_97 (T.800
+# F.4.8.1): four lifting steps (alpha, beta, gamma, delta) then scaling
+# even /K, odd *K, with the same absolute-coordinate extension machinery.
+# ===========================================================================
+
+from tpukit.io.jp2 import _A97, _B97, _D97, _G97, _K97  # noqa: E402
+
+
+def _fd1d_97(x: np.ndarray, i0: int) -> np.ndarray:
+    """1D 9/7 analysis along the last axis over absolute coords
+    [i0, i0+n); float output.  Inverse of jp2._sr1d_97."""
+    n = x.shape[-1]
+    if n == 0:
+        return x.astype(np.float64)
+    x = x.astype(np.float64)
+    if n == 1:
+        return x / _K97 if i0 % 2 == 0 else x * _K97
+    ext = np.concatenate([x[..., 1:2], x, x[..., -2:-1]], axis=-1)
+    out = ext.copy()
+    e0 = (i0 + 1) % 2   # smallest ext index with even absolute coordinate
+    je = np.arange(e0, n + 2, 2)
+    je = je[(je >= 1) & (je <= n)]
+    jo = np.arange(e0 + 1, n + 2, 2)
+    jo = jo[(jo >= 1) & (jo <= n)]
+
+    def _reext(a):
+        a[..., 0] = a[..., 2]
+        a[..., n + 1] = a[..., n - 1]
+
+    out[..., jo] = ext[..., jo] + _A97 * (ext[..., jo - 1] + ext[..., jo + 1])
+    _reext(out)
+    out[..., je] = out[..., je] + _B97 * (out[..., je - 1] + out[..., je + 1])
+    _reext(out)
+    out[..., jo] = out[..., jo] + _G97 * (out[..., jo - 1] + out[..., jo + 1])
+    _reext(out)
+    out[..., je] = out[..., je] + _D97 * (out[..., je - 1] + out[..., je + 1])
+    res = out[..., 1:n + 1]
+    ev = ((np.arange(n) + i0) % 2) == 0
+    return np.where(ev, res / _K97, res * _K97)
+
+
+def fd2d_97(a: np.ndarray, u0: int, v0: int, u1: int, v1: int):
+    """One 2D 9/7 analysis level over [u0,u1)x[v0,v1); inverse of
+    jp2.sr2d_97."""
+    assert a.shape == (v1 - v0, u1 - u0)
+    a = np.swapaxes(_fd1d_97(np.swapaxes(a, -1, -2), v0), -1, -2)
+    a = _fd1d_97(a, u0)
+    ev_u = (-u0) % 2
+    od_u = 1 - ev_u
+    ev_v = (-v0) % 2
+    od_v = 1 - ev_v
+    return (a[ev_v::2, ev_u::2], a[ev_v::2, od_u::2],
+            a[od_v::2, ev_u::2], a[od_v::2, od_u::2])
+
+
+def fdwt2d_97(tc: np.ndarray, tx0: int, ty0: int, tx1: int, ty1: int,
+              levels: int) -> Dict[Tuple[int, int], np.ndarray]:
+    """Full forward 9/7 DWT; same band keying as fdwt2d_53."""
+    bands: Dict[Tuple[int, int], np.ndarray] = {}
+    ll = np.asarray(tc, np.float64)
+    assert ll.shape == (ty1 - ty0, tx1 - tx0)
+    for r in range(levels, 0, -1):
+        d = 1 << (levels - r)
+        u0, v0 = _ceil_div(tx0, d), _ceil_div(ty0, d)
+        u1, v1 = _ceil_div(tx1, d), _ceil_div(ty1, d)
+        ll, hl, lh, hh = fd2d_97(ll, u0, v0, u1, v1)
         bands[(r, 1)] = hl
         bands[(r, 2)] = lh
         bands[(r, 3)] = hh
@@ -356,6 +432,40 @@ def _band_norm_53(nb: int, orient: int) -> float:
     return math.sqrt(tot / 4.0)
 
 
+@lru_cache(maxsize=None)
+def _band_norm_97(nb: int, orient: int) -> float:
+    """Interior L2 norm of the irreversible 9/7 synthesis basis, nb levels
+    deep; same support-cropped impulse method as _band_norm_53 but through
+    jp2.sr2d_97 in float."""
+    from tpukit.io.jp2 import sr2d_97
+    if nb == 0:
+        return 1.0
+    size = 16
+    tot = 0.0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            zb = [np.zeros((size, size), np.float64) for _ in range(4)]
+            zb[orient][size // 2 + dy, size // 2 + dx] = 1.0
+            a = sr2d_97(zb[0], zb[1], zb[2], zb[3], 0, 0, 2 * size, 2 * size)
+            x0 = y0 = 0
+            for _ in range(nb - 1):
+                ay = np.abs(a) > 1e-12
+                ys, xs = np.nonzero(ay)
+                m = 6  # 9/7 lifting reach per level is wider than 5/3's
+                ry0 = max(0, int(ys.min()) - m)
+                ry1 = min(a.shape[0], int(ys.max()) + 1 + m)
+                rx0 = max(0, int(xs.min()) - m)
+                rx1 = min(a.shape[1], int(xs.max()) + 1 + m)
+                a = a[ry0:ry1, rx0:rx1]
+                x0, y0 = x0 + rx0, y0 + ry0
+                z = np.zeros(a.shape, np.float64)
+                a = sr2d_97(a, z, z, z, 2 * x0, 2 * y0,
+                            2 * (x0 + a.shape[1]), 2 * (y0 + a.shape[0]))
+                x0, y0 = 2 * x0, 2 * y0
+            tot += float((a ** 2).sum())
+    return math.sqrt(tot / 4.0)
+
+
 # ===========================================================================
 # PCRD-opt: per-block convex hulls + global lambda search
 # ===========================================================================
@@ -405,6 +515,10 @@ class _EncBand:
     blocks: list = field(default_factory=list)      # T1Block | None per cb
     hulls: list = field(default_factory=list)       # hull per cb
     numbps: int = 1                                 # Mb signalled via QCD
+    maxbps: int = 0                                 # deepest block numbps
+    eps: int = 0                                    # QCD exponent (9/7)
+    mant: int = 0                                   # QCD mantissa (9/7)
+    step: float = 1.0                               # Delta_b (9/7)
 
 
 @dataclass
@@ -427,20 +541,33 @@ class J2CPlan:
     standard codestream for any byte budget without re-encoding."""
 
     def __init__(self, img: np.ndarray, depth: int, signed: bool,
-                 levels: int = 5, xcb: int = 6, ycb: int = 6):
+                 levels: int = 5, xcb: int = 6, ycb: int = 6,
+                 wavelet: str = "53", base_step: float = 1.0):
         img = np.asarray(img)
         if img.ndim != 2:
             raise ValueError("single-component (H, W) images only")
+        if wavelet not in ("53", "97"):
+            raise ValueError("wavelet must be '53' or '97'")
         h, w = img.shape
         if h < 1 or w < 1:
             raise ValueError("empty image")
         self.h, self.w = h, w
         self.depth, self.signed, self.levels = depth, bool(signed), levels
         self.xcb, self.ycb = xcb, ycb
+        self.wavelet = wavelet
+        self.guard = _GUARD
+        # image-domain quantizer granularity for the 9/7 path: Delta_b =
+        # base_step / norm_b, so every band contributes the same
+        # reconstruction-error density at full quality (~83 dB ceiling for
+        # 12-bit content at 1.0, matching OpenJPEG's default)
+        self.base_step = float(base_step)
         tc = img.astype(np.int64)
         if not self.signed:
             tc = tc - (1 << (depth - 1))   # DC level shift (G.1.2)
-        coeffs = fdwt2d_53(tc, 0, 0, w, h, levels)
+        if wavelet == "53":
+            coeffs = fdwt2d_53(tc, 0, 0, w, h, levels)
+        else:
+            coeffs = fdwt2d_97(tc.astype(np.float64), 0, 0, w, h, levels)
 
         ppx = ppy = 15   # maximal precincts (Scod precinct flag unset)
         self.res: List[_EncRes] = []
@@ -468,12 +595,50 @@ class J2CPlan:
                 arr = coeffs[(r, orient)]
                 assert arr.shape == (band.y1, band.x1), (
                     (r, orient, arr.shape, band.y1, band.x1))
-                self._encode_band(band, arr, rinfo)
+                nbn = levels - r + 1 if r > 0 else levels
+                norm = (_band_norm_53 if wavelet == "53"
+                        else _band_norm_97)(nbn, orient)
+                if wavelet == "97":
+                    self._quantize_band(band, norm)
+                    arr = (np.sign(arr)
+                           * np.floor(np.abs(arr) / band.step)).astype(
+                               np.int64)
+                wgt = (band.step * norm) ** 2
+                self._encode_band(band, arr, rinfo, wgt)
                 rinfo.bands.append(band)
             self.res.append(rinfo)
+        if wavelet == "97":
+            # enough guard bits that every block's magnitude planes fit
+            # under the signalled Mb = eps + guard - 1 (E-2)
+            need = max((b.maxbps - b.eps + 1 for ri in self.res
+                        for b in ri.bands), default=2)
+            self.guard = min(7, max(2, need))
+            for ri in self.res:
+                for b in ri.bands:
+                    b.numbps = b.eps + self.guard - 1
+
+    def _quantize_band(self, band: _EncBand, norm: float):
+        """Pick the QCD-representable step closest to base_step/norm
+        (E-3: Delta_b = 2^(Rb - eps) * (1 + mant/2^11), Rb = depth+gain)."""
+        gain = (0, 1, 1, 2)[band.orient]
+        rb = self.depth + gain
+        target = self.base_step / norm
+        eps = rb - math.floor(math.log2(target))
+        if eps > 31:
+            eps = 31
+        if eps < 0:
+            eps = 0
+        mant = int(round((target / 2.0 ** (rb - eps) - 1.0) * 2048.0))
+        if mant >= 2048:   # rounding carried into the next octave
+            mant = 0
+            eps = max(0, eps - 1)
+        mant = max(0, min(2047, mant))
+        band.eps, band.mant = eps, mant
+        band.step = float(2.0 ** (rb - eps) * (1.0 + mant / 2048.0))
 
     # -- per-band tier-1 encode --------------------------------------------
-    def _encode_band(self, band: _EncBand, arr: np.ndarray, rinfo: _EncRes):
+    def _encode_band(self, band: _EncBand, arr: np.ndarray, rinfo: _EncRes,
+                     wgt: float):
         if band.x1 <= band.x0 or band.y1 <= band.y0:
             band.cw = band.ch = 0
             return
@@ -482,8 +647,6 @@ class J2CPlan:
         band.cby0 = band.y0 >> ycb
         band.cw = _ceil_div(band.x1, 1 << xcb) - band.cbx0
         band.ch = _ceil_div(band.y1, 1 << ycb) - band.cby0
-        nb = self.levels - band.r + 1 if band.r > 0 else self.levels
-        wgt = _band_norm_53(nb, band.orient) ** 2
         mb = 1
         for cj in range(band.ch):
             for ci in range(band.cw):
@@ -502,7 +665,7 @@ class J2CPlan:
                     band.hulls.append(
                         _hull_points(blk.pass_len, blk.pass_dist * wgt))
                     mb = max(mb, blk.numbps)
-        band.numbps = mb
+        band.numbps = band.maxbps = mb
 
     # -- selection ------------------------------------------------------------
     def _slopes(self) -> np.ndarray:
@@ -657,13 +820,20 @@ class J2CPlan:
                            1, ssiz, 1, 1)             # SIZ
         out += struct.pack(">HHBBHBBBBBB", 0xFF52, 12, 0, 0, 1, 0,
                            self.levels, self.xcb - 2, self.ycb - 2,
-                           0, 1)                      # COD (LRCP, 5/3)
+                           0, 1 if self.wavelet == "53" else 0)   # COD, LRCP
         nb = 3 * self.levels + 1
-        out += struct.pack(">HHB", 0xFF5C, 3 + nb, (_GUARD << 5) | 0)
-        for rinfo in self.res:                        # QCD exponents
-            for band in rinfo.bands:
-                eps = max(0, min(31, band.numbps - _GUARD + 1))
-                out.append(eps << 3)
+        if self.wavelet == "53":
+            out += struct.pack(">HHB", 0xFF5C, 3 + nb, (self.guard << 5) | 0)
+            for rinfo in self.res:                    # QCD exponents
+                for band in rinfo.bands:
+                    eps = max(0, min(31, band.numbps - self.guard + 1))
+                    out.append(eps << 3)
+        else:   # scalar expounded (style 2): 16-bit (eps, mant) per band
+            out += struct.pack(">HHB", 0xFF5C, 3 + 2 * nb,
+                               (self.guard << 5) | 2)
+            for rinfo in self.res:
+                for band in rinfo.bands:
+                    out += struct.pack(">H", (band.eps << 11) | band.mant)
         return bytes(out)
 
     def assemble(self, sel: List[List[Optional[int]]]) -> bytes:
@@ -677,6 +847,8 @@ class J2CPlan:
 
     # -- public assembly -------------------------------------------------------
     def lossless(self) -> bytes:
+        """All passes of every block: bit-exact for the 5/3 reversible
+        path; the quantizer-ceiling quality for the 9/7 path."""
         return self.assemble(self._select_all())
 
     def at_size(self, target_bytes: int) -> bytes:
@@ -704,9 +876,13 @@ class J2CPlan:
 
 def encode_j2c(img: np.ndarray, depth: Optional[int] = None,
                signed: Optional[bool] = None, levels: int = 5,
-               target_bytes: Optional[int] = None) -> bytes:
-    """Encode a single-component image to a standard .j2c codestream
-    (reversible 5/3; lossless unless target_bytes is given)."""
+               target_bytes: Optional[int] = None,
+               wavelet: str = "53") -> bytes:
+    """Encode a single-component image to a standard .j2c codestream.
+
+    wavelet "53" (reversible): lossless unless target_bytes is given.
+    wavelet "97" (irreversible): PCRD-truncated lossy at target_bytes,
+    or the quantizer-ceiling quality when no target is given."""
     img = np.asarray(img)
     if signed is None:
         signed = img.dtype.kind == "i"
@@ -715,7 +891,7 @@ def encode_j2c(img: np.ndarray, depth: Optional[int] = None,
             depth = img.dtype.itemsize * 8
         else:
             raise ValueError("depth required for non-integer input")
-    plan = J2CPlan(img, depth, signed, levels)
+    plan = J2CPlan(img, depth, signed, levels, wavelet=wavelet)
     if target_bytes is None:
         return plan.lossless()
     return plan.at_size(target_bytes)
