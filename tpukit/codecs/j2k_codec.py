@@ -288,7 +288,8 @@ class J2KCodec(Codec):
     supports_lossy = True
 
     def __init__(self, tilex: Optional[int] = None,
-                 tiley: Optional[int] = None, rate_fit: bool = False):
+                 tiley: Optional[int] = None, rate_fit: bool = False,
+                 entropy: str = "device"):
         """tilex/tiley: JP2-style independent spatial tiles (the reference
         passes TILEXSIZE/TILEYSIZE creation options, j2k_wrap.py:81). Each
         tile is transformed and coded on its own, so truncation/decoding of
@@ -297,10 +298,23 @@ class J2KCodec(Codec):
         rate_fit: for --rate-key bpp/cr, bisect the base quantization step
         on device against the exact coder size model instead of the
         reference's heuristic bpp/cr -> QUALITY tables (j2k_wrap.py:32-47),
-        landing the stream at (just under) the requested size."""
+        landing the stream at (just under) the requested size.
+
+        entropy: "device" (default) keeps the transfer-free device
+        Rice/bit-plane coder; "ebcot" emits standard ISO/IEC 15444-1
+        codestreams per band (tpukit.io.j2c_enc: clean-room EBCOT tier-1 +
+        PCRD-opt) that any J2K decoder reads, with the whole rate ladder
+        truncated from ONE analysis pass and a single global
+        rate-distortion threshold across all bands."""
+        if entropy not in ("device", "ebcot"):
+            raise ValueError("entropy must be 'device' or 'ebcot'")
         self.tilex = tilex
         self.tiley = tiley
         self.rate_fit = rate_fit
+        self.entropy = entropy
+        if entropy == "ebcot":
+            self.encoder_desc = ("tpukit J2K (EBCOT tier-1 + PCRD-opt, "
+                                 "standard-conformant codestreams)")
 
     def quality_for(self, rate: RateSpec) -> Optional[int]:
         """RateSpec → QUALITY 1..100 via the reference heuristics
@@ -362,6 +376,9 @@ class J2KCodec(Codec):
             # separately; no shared whole-image DWT to amortize)
             return [self.run(cube, dtype_name, s,
                              keep_bitstream=keep_bitstream) for s in specs]
+        if self.entropy == "ebcot":
+            return self._sweep_ebcot(cube, dtype_name, specs,
+                                     keep_bitstream)
         specs = list(specs)
         # rate-fitted bpp/cr points go through run() (device bisection per
         # point); quality points share the amortized DWT ladder
@@ -597,6 +614,8 @@ class J2KCodec(Codec):
             return self._run_tiled(cube, dtype_name, rate,
                                    int(tx or W), int(ty or H),
                                    keep_bitstream)
+        if self.entropy == "ebcot":
+            return self._run_ebcot(cube, dtype_name, rate, keep_bitstream)
         q_used = self.quality_for(rate)
         lossless = q_used is None
 
@@ -721,6 +740,115 @@ class J2KCodec(Codec):
             bitstreams=streams if keep_bitstream else None,
             extras=extras,
         )
+
+    # -- standard-conformant EBCOT backend ----------------------------------
+    def _ebcot_target(self, rate: RateSpec, B: int, H: int, W: int) -> int:
+        """Total byte budget for bpp/cr rate keys (same conventions as the
+        device rate_fit path: bpp is per-band-pixel, cr is vs raw 16-bit)."""
+        if rate.key == "bpp":
+            return int(rate.value * H * W * B / 8.0)
+        return int((W * H * B * 2.0) / max(rate.value, 1e-6))
+
+    def _ebcot_decode(self, streams, cube) -> np.ndarray:
+        from tpukit.io.jp2 import JP2Decoder
+        info = np.iinfo(cube.dtype)
+        recon = np.empty_like(cube)
+        for b, cs in enumerate(streams):
+            d = JP2Decoder(cs).decode_component(0, 0, 0)
+            recon[b] = np.clip(d, info.min, info.max).astype(cube.dtype)
+        return recon
+
+    def _run_ebcot(self, cube: np.ndarray, dtype_name: str, rate: RateSpec,
+                   keep_bitstream: bool) -> CodecResult:
+        """One rate point through the standard-codestream backend: per-band
+        .j2c that OpenJPEG et al. decode (tests/test_j2k_ebcot_codec.py),
+        rate-targeted by global PCRD truncation instead of the reference's
+        per-point gdal_translate re-encode (j2k_wrap.py:79-105)."""
+        from tpukit.io.j2c_enc import J2CPlan, at_size_multi, encode_j2c
+        B, H, W = cube.shape
+        info = np.iinfo(cube.dtype)
+        depth, signed = info.bits, info.min < 0
+        q_used = self.quality_for(rate)
+        lossless = q_used is None
+
+        t0 = time.perf_counter()
+        with mem_phase("comp"):
+            if lossless:
+                streams = [encode_j2c(cube[b], depth=depth, signed=signed,
+                                      levels=LEVELS) for b in range(B)]
+            elif rate.key in ("bpp", "cr"):
+                plans = [J2CPlan(cube[b], depth, signed, levels=LEVELS,
+                                 wavelet="97") for b in range(B)]
+                streams = at_size_multi(plans,
+                                        self._ebcot_target(rate, B, H, W))
+                q_used = None
+            else:
+                peak = float(np.abs(cube.astype(np.float64)).max()) or 1.0
+                base = base_step_for_quality(q_used, peak)
+                streams = [J2CPlan(cube[b], depth, signed, levels=LEVELS,
+                                   wavelet="97",
+                                   base_step=base).lossless()
+                           for b in range(B)]
+        t_comp = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        with mem_phase("dec"):
+            recon = self._ebcot_decode(streams, cube)
+        t_dec = time.perf_counter() - t0
+
+        extras = {"quality_used": (int(q_used) if q_used is not None
+                                   else None), "entropy": "ebcot"}
+        return CodecResult(
+            codec="j2k_gdal", encoder=self.encoder_desc,
+            bitstream_bytes=sum(len(s) for s in streams), recon=recon,
+            t_comp_s=t_comp, t_dec_s=t_dec,
+            bitstreams=({f"b{b+1:02d}.j2c": s for b, s in
+                         enumerate(streams)} if keep_bitstream else None),
+            extras=extras)
+
+    def _sweep_ebcot(self, cube: np.ndarray, dtype_name: str, specs,
+                     keep_bitstream: bool) -> list:
+        """Amortized standard-codestream ladder: ONE tier-1 analysis of the
+        whole cube feeds every bpp/cr point via PCRD truncation (the
+        reference re-runs gdal_translate per point); quality/lossless
+        points fall through to _run_ebcot."""
+        from tpukit.io.j2c_enc import J2CPlan, at_size_multi
+        B, H, W = cube.shape
+        info = np.iinfo(cube.dtype)
+        depth, signed = info.bits, info.min < 0
+        specs = list(specs)
+        out: list = [None] * len(specs)
+        ladder = [i for i, s in enumerate(specs)
+                  if not s.lossless and s.key in ("bpp", "cr")]
+        if ladder:
+            t0 = time.perf_counter()
+            with mem_phase("comp"):
+                plans = [J2CPlan(cube[b], depth, signed, levels=LEVELS,
+                                 wavelet="97") for b in range(B)]
+            t_plan = time.perf_counter() - t0
+            for i in ladder:
+                t0 = time.perf_counter()
+                with mem_phase("comp"):
+                    streams = at_size_multi(
+                        plans, self._ebcot_target(specs[i], B, H, W))
+                t_comp = t_plan + (time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                with mem_phase("dec"):
+                    recon = self._ebcot_decode(streams, cube)
+                t_dec = time.perf_counter() - t0
+                out[i] = CodecResult(
+                    codec="j2k_gdal", encoder=self.encoder_desc,
+                    bitstream_bytes=sum(len(s) for s in streams),
+                    recon=recon, t_comp_s=t_comp, t_dec_s=t_dec,
+                    bitstreams=({f"b{b+1:02d}.j2c": s for b, s in
+                                 enumerate(streams)} if keep_bitstream
+                                else None),
+                    extras={"quality_used": None, "entropy": "ebcot"})
+        for i, s in enumerate(specs):
+            if out[i] is None:
+                out[i] = self._run_ebcot(cube, dtype_name, s,
+                                         keep_bitstream)
+        return out
 
     def _run_lossy_device(self, cube, dtype_name, rate, q_used,
                           Hp, Wp, **opts):

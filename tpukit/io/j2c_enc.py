@@ -874,6 +874,36 @@ class J2CPlan:
         return best
 
 
+def at_size_multi(plans: List["J2CPlan"], target_bytes: int) -> List[bytes]:
+    """Globally PCRD-optimal allocation of ONE byte budget across several
+    single-component plans (e.g. the bands of a cube): a single
+    rate-distortion slope threshold governs every code-block of every
+    plan, so bytes flow to whichever band buys the most distortion —
+    the multi-component generalization of J2CPlan.at_size."""
+    full = [p.lossless() for p in plans]
+    if sum(len(c) for c in full) <= target_bytes:
+        return full
+    slopes = np.unique(np.concatenate(
+        [p._slopes() for p in plans] or [np.empty(0)]))
+
+    def at(lam: float) -> List[bytes]:
+        return [p.assemble(p._select(lam)) for p in plans]
+
+    best = at(math.inf)
+    if sum(len(c) for c in best) > target_bytes:
+        return best          # headers alone exceed the budget
+    lo, hi = 0, len(slopes)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        cs = at(float(slopes[mid]))
+        if sum(len(c) for c in cs) <= target_bytes:
+            best = cs
+            hi = mid
+        else:
+            lo = mid + 1
+    return best
+
+
 def encode_j2c(img: np.ndarray, depth: Optional[int] = None,
                signed: Optional[bool] = None, levels: int = 5,
                target_bytes: Optional[int] = None,
