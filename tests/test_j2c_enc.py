@@ -184,6 +184,21 @@ def test_97_rd_matches_or_beats_openjpeg():
         assert p_ours >= p_opj - 0.1, (rate, p_ours, p_opj)
 
 
+def test_jp2_container_roundtrip():
+    from tpukit.io.j2c_enc import wrap_jp2
+    from tpukit.io.jp2 import is_jp2
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    cs = encode_j2c(img)
+    jp2 = wrap_jp2(cs, 56, 40, 8, False)
+    assert jp2[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+    # our own decoder finds the codestream inside the boxes
+    np.testing.assert_array_equal(_decode_own(jp2), img.astype(np.int64))
+    oj = _decode_openjpeg(jp2)
+    if oj is not None:
+        np.testing.assert_array_equal(oj, img)
+
+
 def test_band_norms_regression():
     # Pinned against the uncropped full-grid impulse synthesis (slow
     # original implementation); the support-cropped fast path must agree.

@@ -874,6 +874,24 @@ class J2CPlan:
         return best
 
 
+def wrap_jp2(codestream: bytes, w: int, h: int, depth: int,
+             signed: bool) -> bytes:
+    """Wrap a raw .j2c codestream in the minimal ISO 15444-1 JP2 file
+    container (I.5): signature + ftyp + jp2h(ihdr, colr greyscale) + jp2c
+    — what the reference's gdal_translate J2K path emits as .jp2 files
+    (reference j2k_wrap.py:79-99)."""
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    sig = box(b"jP  ", b"\r\n\x87\n")
+    ftyp = box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
+    bpc = (depth - 1) | (0x80 if signed else 0)
+    ihdr = box(b"ihdr", struct.pack(">IIHBBBB", h, w, 1, bpc, 7, 0, 0))
+    colr = box(b"colr", struct.pack(">BBBI", 1, 0, 0, 17))  # greyscale
+    jp2h = box(b"jp2h", ihdr + colr)
+    return sig + ftyp + jp2h + box(b"jp2c", codestream)
+
+
 def at_size_multi(plans: List["J2CPlan"], target_bytes: int) -> List[bytes]:
     """Globally PCRD-optimal allocation of ONE byte budget across several
     single-component plans (e.g. the bands of a cube): a single
