@@ -182,19 +182,77 @@ def _load_t1():
     return fn
 
 
+def _pass_is_raw(style: int, k: int) -> bool:
+    """Selective AC bypass (D.6): significance and refinement passes are
+    raw-coded from the 5th significant bit-plane on — absolute pass index
+    k >= 10 with pass kind SPP/MRP; cleanup stays MQ."""
+    return bool(style & 1) and k >= 10 and (k - 1) % 3 != 2
+
+
+def _seg_boundary(style: int, k: int) -> bool:
+    """True when a codeword-segment boundary falls between passes k-1 and
+    k (D.4.1): termall terminates every pass; bypass terminates at each
+    MQ<->raw transition."""
+    if k <= 0:
+        return False
+    if style & 4:
+        return True
+    if style & 1:
+        return _pass_is_raw(style, k) != _pass_is_raw(style, k - 1)
+    return False
+
+
+def t1_segments(style: int, npasses: int):
+    """Codeword segments of a block coded with npasses total passes:
+    list of (first_pass, npasses, is_raw)."""
+    segs = []
+    start = 0
+    for k in range(1, npasses + 1):
+        if k == npasses or _seg_boundary(style, k):
+            segs.append((start, k - start, _pass_is_raw(style, start)))
+            start = k
+    return segs
+
+
+def block_segs(style: int, piece_passes, chunks, total_passes: int):
+    """Group a block's packet pieces into codeword segments: returns the
+    [(nbytes, is_raw), ...] that t1_decode_block expects, or None for the
+    single-MQ-segment default style.  Pieces never span segment
+    boundaries (the packet reader splits lengths there), but one segment
+    may arrive as several pieces across layers."""
+    if not (style & 5):
+        return None
+    segs = t1_segments(style, total_passes)
+    lens = [0] * len(segs)
+    si, k = 0, 0
+    for np_piece, chunk in zip(piece_passes, chunks):
+        while k >= segs[si][0] + segs[si][1]:
+            si += 1
+        lens[si] += len(chunk)
+        k += np_piece
+    return [(lens[i], segs[i][2]) for i in range(len(segs))]
+
+
 def t1_decode_block(data: bytes, passes: int, numbps: int, orient: int,
-                    style: int, w: int, h: int, want_lastp: bool = False):
+                    style: int, w: int, h: int, want_lastp: bool = False,
+                    segs=None):
     """Decode one code-block.  Returns the sign-magnitude (h, w) array, or
     with want_lastp a (coefs, lastp) pair where lastp[i] is the bit-plane
     of coefficient i's last magnitude update (-1 if never significant) —
-    the per-coefficient dequant-midpoint position."""
+    the per-coefficient dequant-midpoint position.
+
+    segs: optional [(nbytes, is_raw), ...] codeword segments for
+    bypass/termall blocks (must cover `data` and match
+    t1_segments(style, passes)); default is one MQ segment."""
     fn = _load_t1()
     out = np.zeros(w * h, np.int32)
     lastp = np.zeros(w * h, np.int32)
-    seg = (ct.c_int64 * 1)(len(data))
-    raw = (ct.c_uint8 * 1)(0)
-    r = fn(data, len(data), seg, raw, 1, passes, numbps, orient, style,
-           w, h, out.ctypes.data_as(ct.POINTER(ct.c_int32)),
+    if not segs:
+        segs = [(len(data), False)]
+    seg = (ct.c_int64 * len(segs))(*(s[0] for s in segs))
+    raw = (ct.c_uint8 * len(segs))(*(1 if s[1] else 0 for s in segs))
+    r = fn(data, len(data), seg, raw, len(segs), passes, numbps, orient,
+           style, w, h, out.ctypes.data_as(ct.POINTER(ct.c_int32)),
            lastp.ctypes.data_as(ct.POINTER(ct.c_int32)))
     if r < 0:
         raise ValueError(f"tier-1 decode failed: {r}")
@@ -431,14 +489,6 @@ class JP2Decoder:
         st.xcb = (b[6] & 0x0F) + 2
         st.ycb = (b[7] & 0x0F) + 2
         st.cblksty = b[8]
-        if st.cblksty & 0x05:
-            # bypass/termall produce multiple codeword segments per
-            # code-block, which the single-segment packet-header decode
-            # cannot slice — fail here with a clear message instead of a
-            # downstream tier-1 error
-            raise NotImplementedError(
-                f"code-block style 0x{st.cblksty:02X} (bypass/termall) "
-                f"unsupported")
         st.transform = 1 if b[9] == 1 else 0  # SPcod: 1 = reversible 5/3
         if scod & 1:
             st.precw = []
@@ -647,6 +697,7 @@ class JP2Decoder:
                 band.cb_zbp = np.zeros(n, np.int32)
                 band.cb_passes = np.zeros(n, np.int32)
                 band.cb_chunks = [[] for _ in range(n)]
+                band.cb_piece_passes = [[] for _ in range(n)]
                 # tag trees are PER PRECINCT: build lazily
                 band.incl = {}
                 band.imsb = {}
@@ -773,13 +824,24 @@ class JP2Decoder:
                                         np_new = 6 + v
                                     else:
                                         np_new = 37 + br.bits(7)
-                            # Lblock update
+                            # Lblock update (one comma code, then one
+                            # length per codeword-segment piece, B.10.7)
                             while br.bit():
                                 band.cb_lblock[n] += 1
-                            nbits = (band.cb_lblock[n]
-                                     + int(math.floor(math.log2(np_new))))
-                            seglen = br.bits(int(nbits))
-                            body_specs.append((band, n, np_new, seglen))
+                            k0 = int(band.cb_passes[n])
+                            rem, k = np_new, k0
+                            while rem:
+                                take = 1
+                                while (take < rem
+                                       and not _seg_boundary(st.cblksty,
+                                                             k + take)):
+                                    take += 1
+                                nbits = (band.cb_lblock[n]
+                                         + int(math.floor(math.log2(take))))
+                                seglen = br.bits(int(nbits))
+                                body_specs.append((band, n, take, seglen))
+                                rem -= take
+                                k += take
             pos = br.flush()
             if st.use_eph:
                 if buf[pos:pos + 2] != b"\xff\x92":
@@ -787,6 +849,7 @@ class JP2Decoder:
                 pos += 2
             for band, n, np_new, seglen in body_specs:
                 band.cb_chunks[n].append(buf[pos:pos + seglen])
+                band.cb_piece_passes[n].append(np_new)
                 band.cb_passes[n] += np_new
                 pos += seglen
         return pos
@@ -813,9 +876,12 @@ class JP2Decoder:
                     w, h = gx1 - gx0, gy1 - gy0
                     data = b"".join(band.cb_chunks[n])
                     numbps = band.numbps - int(band.cb_zbp[n])
+                    segs = block_segs(st.cblksty, band.cb_piece_passes[n],
+                                      band.cb_chunks[n],
+                                      int(band.cb_passes[n]))
                     blk, lastp = t1_decode_block(
                         data, int(band.cb_passes[n]), numbps, band.orient,
-                        st.cblksty, w, h, want_lastp=True)
+                        st.cblksty, w, h, want_lastp=True, segs=segs)
                     blk = blk.astype(np.int64)
                     # per-coefficient midpoint for truncated coefficients:
                     # uncertainty interval [mag, mag + 2^lastp); for fully
@@ -855,9 +921,12 @@ class JP2Decoder:
                     data = b"".join(band.cb_chunks[n])
                     numbps = band.numbps - int(band.cb_zbp[n])
                     npass = int(band.cb_passes[n])
+                    segs = block_segs(st.cblksty, band.cb_piece_passes[n],
+                                      band.cb_chunks[n], npass)
                     blk, lastp = t1_decode_block(data, npass, numbps,
                                                  band.orient, st.cblksty,
-                                                 w, h, want_lastp=True)
+                                                 w, h, want_lastp=True,
+                                                 segs=segs)
                     mag = np.abs(blk).astype(np.float64)
                     half = 0.5 * np.exp2(np.maximum(lastp, 0))
                     val = np.where(mag > 0,

@@ -161,6 +161,22 @@ static inline int zc_context(uint32_t fN, uint32_t fS, uint32_t fW,
     return d == 1 ? 1 : 0;
 }
 
+// Selective AC bypass (T.800 D.6): SPP/MRP raw-coded from the 5th
+// significant bit-plane (absolute pass index k >= 10); cleanup stays MQ.
+static inline bool pass_is_raw_k(int style, int k) {
+    return (style & 1) && k >= 10 && ((k - 1) % 3) != 2;
+}
+
+// Codeword-segment boundary between passes k-1 and k (D.4.1): termall
+// terminates every pass; bypass terminates at each MQ<->raw transition.
+static inline bool seg_boundary_k(int style, int k) {
+    if (k <= 0) return false;
+    if (style & 4) return true;
+    if (style & 1)
+        return pass_is_raw_k(style, k) != pass_is_raw_k(style, k - 1);
+    return false;
+}
+
 static inline int sign_contrib(uint32_t f) {
     if (!(f & F_SIG)) return 0;
     return (f & F_NEG) ? -1 : 1;
@@ -234,9 +250,7 @@ extern "C" int64_t j2k_t1_decode_full(const uint8_t* data, int64_t nbytes,
         return 0;
     }
     std::vector<int32_t> lp((size_t)w * h, -1);
-    if ((style & (1 | 4)) || nsegs != 1)
-        return -2;  // bypass/termall segments not supported (not used by
-                    // Sentinel-2 / OpenJPEG-default codestreams)
+    if (nsegs < 1) return -2;
     const bool causal = (style & 8) != 0;
     const bool segsym = (style & 32) != 0;
     const bool resetctx = (style & 2) != 0;
@@ -270,6 +284,11 @@ extern "C" int64_t j2k_t1_decode_full(const uint8_t* data, int64_t nbytes,
     int planes_done = 0;
 
     for (int pi = 0; pi < passes; ++pi) {
+        if (pi > 0 && seg_boundary_k(style, pi)) {
+            if (++seg >= nsegs) return -6;  // fewer segments than schedule
+            open_seg(seg);
+            cur_raw = seg_raw && seg_raw[seg];
+        }
         const uint32_t bit = 1u << plane;
         if (pass_kind == 0) {
             // significance propagation
