@@ -69,6 +69,26 @@ def test_signed_bypass(rng):
         JP2Decoder(cs).decode_component(0, 0, 0), s.astype(np.int64))
 
 
+@pytest.mark.parametrize("prog", [1, 2, 3, 4])
+def test_progression_orders(img, prog):
+    """RLCP/RPCL/PCRL/CPRL packet orders, with and without precincts and
+    SOP/EPH, decode sample-exactly (150x200 forces unaligned precinct
+    grids at several resolutions)."""
+    im = img[:img.shape[0] - 6, :]   # non-square, odd-ish geometry
+    for prec in (None, 5):
+        for sop in (False, True):
+            cs = oo.encode(im, 12, False, prog=prog, precinct=prec,
+                           sop=sop, eph=sop)
+            dec = JP2Decoder(cs).decode_component(0, 0, 0)
+            np.testing.assert_array_equal(dec, im.astype(np.int64))
+
+
+def test_bypass_with_precincts(img):
+    cs = oo.encode(img, 12, False, cblk_sty=1, prog=3, precinct=5)
+    np.testing.assert_array_equal(
+        JP2Decoder(cs).decode_component(0, 0, 0), img.astype(np.int64))
+
+
 def test_oracle_agrees_with_pillow_on_defaults(img):
     """The ctypes oracle and Pillow drive the same libopenjp2 — their
     default-style lossless streams must decode identically."""

@@ -766,6 +766,42 @@ class JP2Decoder:
                         for pi in range(rinfo["npw"]):
                             for l in range(st.layers):
                                 yield l, r, pi, pj
+            elif st.prog in (3, 4):  # PCRL / CPRL (1 component: same)
+                # position iteration (B.12.1.4/5): a resolution's precinct
+                # packet is emitted at the tile coordinate where that
+                # precinct starts (or at the tile origin when unaligned)
+                tx0, ty0 = res[nl]["trx0"], res[nl]["try0"]
+                tx1, ty1 = res[nl]["trx1"], res[nl]["try1"]
+                xs, ys = {tx0}, {ty0}
+                for r in range(nl + 1):
+                    d = nl - r
+                    sx = 1 << (st.precw[r] + d)
+                    sy = 1 << (st.prech[r] + d)
+                    xs.update(range((tx0 // sx + 1) * sx, tx1, sx))
+                    ys.update(range((ty0 // sy + 1) * sy, ty1, sy))
+                for y in sorted(ys):
+                    for x in sorted(xs):
+                        for r in range(nl + 1):
+                            rinfo = res[r]
+                            if rinfo["npw"] == 0 or rinfo["nph"] == 0:
+                                continue
+                            d = nl - r
+                            sx = 1 << (st.precw[r] + d)
+                            sy = 1 << (st.prech[r] + d)
+                            ok_x = (x % sx == 0) or (
+                                x == tx0 and (rinfo["trx0"] << d) % sx)
+                            ok_y = (y % sy == 0) or (
+                                y == ty0 and (rinfo["try0"] << d) % sy)
+                            if not (ok_x and ok_y):
+                                continue
+                            pi = ((ceil_div(x, 1 << d) >> st.precw[r])
+                                  - (rinfo["trx0"] >> st.precw[r]))
+                            pj = ((ceil_div(y, 1 << d) >> st.prech[r])
+                                  - (rinfo["try0"] >> st.prech[r]))
+                            if (0 <= pi < rinfo["npw"]
+                                    and 0 <= pj < rinfo["nph"]):
+                                for l in range(st.layers):
+                                    yield l, r, pi, pj
             else:
                 raise NotImplementedError(
                     f"progression order {st.prog} unsupported")

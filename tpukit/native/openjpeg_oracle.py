@@ -114,11 +114,14 @@ def _image_comp0(img_ptr: int):
 
 def encode(img: np.ndarray, depth: int, signed: bool = False,
            cblk_sty: int = 0, irreversible: bool = False,
-           rate: float = 0.0, levels: int = 5) -> bytes:
+           rate: float = 0.0, levels: int = 5, prog: int = 0,
+           sop: bool = False, eph: bool = False,
+           precinct: Optional[int] = None) -> bytes:
     """Encode a single-component image to .j2c with explicit code-block
     style bits (Scod: 1=bypass 2=reset 4=termall 8=causal 16=predictable
-    32=segsym).  rate is an OpenJPEG compression ratio (0 = lossless
-    allocation)."""
+    32=segsym), progression order (0..4 = LRCP RLCP RPCL PCRL CPRL),
+    optional SOP/EPH markers and a uniform precinct size (log2).  rate is
+    an OpenJPEG compression ratio (0 = lossless allocation)."""
     lib = _load()
     if not lib:
         raise RuntimeError("libopenjp2 unavailable")
@@ -128,12 +131,25 @@ def encode(img: np.ndarray, depth: int, signed: bool = False,
     i32 = ct.cast(buf, ct.POINTER(ct.c_int32))
     f32 = ct.cast(buf, ct.POINTER(ct.c_float))
     off_res, off_mode, off_irr, off_layers, off_rate0 = _enc_off
-    i32[off_res] = min(levels + 1, 1 + max(0, min(w, h).bit_length() - 3))
+    nres = min(levels + 1, 1 + max(0, min(w, h).bit_length() - 3))
+    i32[off_res] = nres
     i32[off_mode] = int(cblk_sty)
     i32[off_irr] = 1 if irreversible else 0
     i32[off_layers] = 1
     f32[off_rate0] = float(rate)
     i32[5] = 1                          # cp_disto_alloc
+    i32[13] = int(prog)                 # prog_order (csty is i32[12])
+    if sop:
+        i32[12] |= 2
+    if eph:
+        i32[12] |= 4
+    if precinct is not None:
+        # roi_compno is off_res+5; then roi_shift, res_spec, prcw_init[33],
+        # prch_init[33] (openjpeg.h field order)
+        i32[12] |= 1
+        i32[off_res + 7] = 1                       # res_spec
+        i32[off_res + 8] = 1 << precinct           # prcw_init[0]
+        i32[off_res + 41] = 1 << precinct          # prch_init[0]
 
     parm = _CmptParm(1, 1, w, h, 0, 0, depth, depth, 1 if signed else 0)
     image = lib.opj_image_create(1, ct.byref(parm), _OPJ_CLRSPC_GRAY)
