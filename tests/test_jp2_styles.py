@@ -89,6 +89,58 @@ def test_bypass_with_precincts(img):
         JP2Decoder(cs).decode_component(0, 0, 0), img.astype(np.int64))
 
 
+def _pil():
+    try:
+        from PIL import Image
+        return Image
+    except Exception:  # pragma: no cover
+        return None
+
+
+@pytest.fixture
+def rgb(rng):
+    gy, gx = np.mgrid[0:80, 0:112]
+    base = np.stack([(120 + 80 * np.sin(gy / 9 + k)).astype(np.int64)
+                     for k in range(3)], -1)
+    return np.clip(base + rng.integers(0, 30, base.shape),
+                   0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("mct", [0, 1])
+def test_multicomponent_lossless(rgb, mct):
+    """RGB codestreams (packets interleave components; mct=1 adds the
+    reversible RCT) decode bit-exactly."""
+    import io
+    PIL = _pil()
+    if PIL is None:
+        pytest.skip("Pillow unavailable")
+    buf = io.BytesIO()
+    PIL.fromarray(rgb, "RGB").save(buf, "JPEG2000", irreversible=False,
+                                   mct=mct)
+    dec = JP2Decoder(buf.getvalue())
+    ours = np.stack([dec.decode_component(0, 0, c) for c in range(3)], -1)
+    np.testing.assert_array_equal(ours, rgb.astype(np.int64))
+
+
+@pytest.mark.parametrize("mct", [0, 1])
+def test_multicomponent_irreversible_matches_pillow(rgb, mct):
+    """Irreversible RGB (ICT when mct=1), rate-allocated over 3 quality
+    layers, decodes within +-1 LSB of OpenJPEG's own reconstruction."""
+    import io
+    PIL = _pil()
+    if PIL is None:
+        pytest.skip("Pillow unavailable")
+    buf = io.BytesIO()
+    PIL.fromarray(rgb, "RGB").save(buf, "JPEG2000", irreversible=True,
+                                   quality_mode="rates",
+                                   quality_layers=[24, 12, 4], mct=mct)
+    d = buf.getvalue()
+    pil = np.asarray(PIL.open(io.BytesIO(d))).astype(np.int64)
+    dec = JP2Decoder(d)
+    ours = np.stack([dec.decode_component(0, 0, c) for c in range(3)], -1)
+    assert np.abs(ours - pil).max() <= 1
+
+
 def test_oracle_agrees_with_pillow_on_defaults(img):
     """The ctypes oracle and Pillow drive the same libopenjp2 — their
     default-style lossless streams must decode identically."""

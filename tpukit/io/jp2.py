@@ -393,6 +393,7 @@ class JP2Decoder:
         self.data = data
         cs = self._find_codestream(data)
         self.cs = cs
+        self._tiles = {}   # (tx, ty) -> [component arrays]
         self._parse_main_header()
 
     # -- container ----------------------------------------------------------
@@ -457,12 +458,6 @@ class JP2Decoder:
         self.xsiz, self.ysiz, self.xosiz, self.yosiz = xs, ys, xo, yo
         self.xtsiz, self.ytsiz, self.xtosiz, self.ytosiz = xt, yt, xto, yto
         self.ncomp = nc
-        if nc != 1:
-            # packet iteration below has no component position, so a
-            # multi-component stream would silently mis-assign packets;
-            # the target products (Sentinel-2 band files) are 1-component
-            raise NotImplementedError(
-                f"multi-component codestreams not supported (ncomp={nc})")
         self.ssiz = []
         self.subs = []
         off = 36
@@ -633,17 +628,64 @@ class JP2Decoder:
 
     def decode_component(self, tx: int, ty: int, c: int) -> np.ndarray:
         """Decode one tile-component; returns the signed int array over the
-        tile-component region."""
-        st = self._style_for(c)
-        if st.transform not in (0, 1):
-            raise NotImplementedError(f"unknown transform {st.transform}")
-        nl = st.levels
+        tile-component region (inverse MCT applied when signalled)."""
+        return self.decode_tile(tx, ty)[c]
+
+    def decode_tile(self, tx: int, ty: int):
+        """Decode every component of one tile: one packet walk feeds all
+        components (packets interleave them), then per-component
+        synthesis, inverse multi-component transform (RCT/ICT, G.1) and
+        DC level shift.  Results are cached per tile."""
+        key = (tx, ty)
+        if key in self._tiles:
+            return self._tiles[key]
         tidx = ty * self.ntx + tx
-        # tile rect
         tx0 = max(self.xtosiz + tx * self.xtsiz, self.xosiz)
         ty0 = max(self.ytosiz + ty * self.ytsiz, self.yosiz)
         tx1 = min(self.xtosiz + (tx + 1) * self.xtsiz, self.xsiz)
         ty1 = min(self.ytosiz + (ty + 1) * self.ytsiz, self.ysiz)
+
+        res_all = [self._build_comp_structs(c, tx0, ty0, tx1, ty1)
+                   for c in range(self.ncomp)]
+        parts = self.tileparts.get(tidx, [])
+        if not parts:
+            raise ValueError(f"no tile-parts for tile {tidx}")
+        buf = b"".join(self.cs[a:b] for a, b in parts)
+        self._read_packets(buf, res_all)
+
+        raws = [self._synthesize(res_all[c], self._style_for(c),
+                                 tx0, ty0, tx1, ty1, c)
+                for c in range(self.ncomp)]
+        if self.cod.mct and self.ncomp >= 3:
+            y, u, v = raws[0], raws[1], raws[2]
+            if self._style_for(0).transform == 1:    # inverse RCT (G-6..8)
+                g = y - ((u + v) >> 2)
+                raws[0], raws[1], raws[2] = v + g, g, u + g
+            else:                                    # inverse ICT
+                raws[0] = y + 1.402 * v
+                raws[1] = y - 0.344136 * u - 0.714136 * v
+                raws[2] = y + 1.772 * u
+        out = []
+        for c in range(self.ncomp):
+            a = raws[c]
+            signed = bool(self.ssiz[c] & 0x80)
+            depth = (self.ssiz[c] & 0x7F) + 1
+            shift = 0 if signed else (1 << (depth - 1))
+            if a.dtype.kind == "f":                  # irreversible path
+                lo = -(1 << (depth - 1)) if signed else 0
+                a = np.clip(np.rint(a) + shift, lo,
+                            lo + (1 << depth) - 1).astype(np.int64)
+            else:
+                a = a + shift
+            out.append(a)
+        self._tiles[key] = out
+        return out
+
+    def _build_comp_structs(self, c: int, tx0, ty0, tx1, ty1):
+        st = self._style_for(c)
+        if st.transform not in (0, 1):
+            raise NotImplementedError(f"unknown transform {st.transform}")
+        nl = st.levels
 
         # resolutions and bands
         res = []
@@ -701,15 +743,7 @@ class JP2Decoder:
                 # tag trees are PER PRECINCT: build lazily
                 band.incl = {}
                 band.imsb = {}
-
-        # concatenated tile-part data
-        parts = self.tileparts.get(tidx, [])
-        if not parts:
-            raise ValueError(f"no tile-parts for tile {tidx}")
-        buf = b"".join(self.cs[a:b] for a, b in parts)
-
-        self._read_packets(buf, res, st, c)
-        return self._synthesize(res, st, tx0, ty0, tx1, ty1, c)
+        return res
 
     # -- packet walking -------------------------------------------------------
     def _precinct_cb_range(self, rinfo, band, ppx, ppy, pi, pj):
@@ -744,72 +778,98 @@ class JP2Decoder:
         cj1 = ceil_div(qy1, 1 << ycb) - band.cby0
         return ci0, cj0, ci1, cj1, (qx0, qy0, qx1, qy1)
 
-    def _read_packets(self, buf: bytes, res, st: CodingStyle, c: int):
+    def _read_packets(self, buf: bytes, res_all):
         pos = 0
-        nl = st.levels
+        cod = self.cod
+        ncomp = len(res_all)
+        sts = [self._style_for(c) for c in range(ncomp)]
+        nl_max = max(s.levels for s in sts)
+
+        def by_position(entries):
+            """(c, r, pi, pj) in position-major order (B.12.1.3-5): each
+            resolution's precinct packet is emitted at the tile coordinate
+            where that precinct starts (tile-origin special case for
+            unaligned grids).  `entries` fixes the inner (c, r) order."""
+            st0 = sts[entries[0][0]]
+            tr = res_all[entries[0][0]][st0.levels]
+            tX0, tY0 = tr["trx0"], tr["try0"]
+            tX1, tY1 = tr["trx1"], tr["try1"]
+            xs, ys = {tX0}, {tY0}
+            for c, r in entries:
+                st = sts[c]
+                d = st.levels - r
+                sx = 1 << (st.precw[r] + d)
+                sy = 1 << (st.prech[r] + d)
+                xs.update(range((tX0 // sx + 1) * sx, tX1, sx))
+                ys.update(range((tY0 // sy + 1) * sy, tY1, sy))
+            for y in sorted(ys):
+                for x in sorted(xs):
+                    for c, r in entries:
+                        st = sts[c]
+                        rinfo = res_all[c][r]
+                        if rinfo["npw"] == 0 or rinfo["nph"] == 0:
+                            continue
+                        d = st.levels - r
+                        sx = 1 << (st.precw[r] + d)
+                        sy = 1 << (st.prech[r] + d)
+                        ok_x = (x % sx == 0) or (
+                            x == tX0 and (rinfo["trx0"] << d) % sx)
+                        ok_y = (y % sy == 0) or (
+                            y == tY0 and (rinfo["try0"] << d) % sy)
+                        if not (ok_x and ok_y):
+                            continue
+                        pi = ((ceil_div(x, 1 << d) >> st.precw[r])
+                              - (rinfo["trx0"] >> st.precw[r]))
+                        pj = ((ceil_div(y, 1 << d) >> st.prech[r])
+                              - (rinfo["try0"] >> st.prech[r]))
+                        if (0 <= pi < rinfo["npw"]
+                                and 0 <= pj < rinfo["nph"]):
+                            yield c, r, pi, pj
 
         def packets_in_order():
-            if st.prog in (0, 1):  # LRCP / RLCP
-                outer = ([(l, r) for l in range(st.layers)
-                          for r in range(nl + 1)] if st.prog == 0 else
-                         [(l, r) for r in range(nl + 1)
-                          for l in range(st.layers)])
+            layers = cod.layers
+            if cod.prog in (0, 1):  # LRCP / RLCP
+                outer = ([(l, r) for l in range(layers)
+                          for r in range(nl_max + 1)] if cod.prog == 0 else
+                         [(l, r) for r in range(nl_max + 1)
+                          for l in range(layers)])
                 for l, r in outer:
-                    rinfo = res[r]
-                    for pj in range(rinfo["nph"]):
-                        for pi in range(rinfo["npw"]):
-                            yield l, r, pi, pj
-            elif st.prog == 2:  # RPCL
-                for r in range(nl + 1):
-                    rinfo = res[r]
-                    for pj in range(rinfo["nph"]):
-                        for pi in range(rinfo["npw"]):
-                            for l in range(st.layers):
-                                yield l, r, pi, pj
-            elif st.prog in (3, 4):  # PCRL / CPRL (1 component: same)
-                # position iteration (B.12.1.4/5): a resolution's precinct
-                # packet is emitted at the tile coordinate where that
-                # precinct starts (or at the tile origin when unaligned)
-                tx0, ty0 = res[nl]["trx0"], res[nl]["try0"]
-                tx1, ty1 = res[nl]["trx1"], res[nl]["try1"]
-                xs, ys = {tx0}, {ty0}
-                for r in range(nl + 1):
-                    d = nl - r
-                    sx = 1 << (st.precw[r] + d)
-                    sy = 1 << (st.prech[r] + d)
-                    xs.update(range((tx0 // sx + 1) * sx, tx1, sx))
-                    ys.update(range((ty0 // sy + 1) * sy, ty1, sy))
-                for y in sorted(ys):
-                    for x in sorted(xs):
-                        for r in range(nl + 1):
-                            rinfo = res[r]
-                            if rinfo["npw"] == 0 or rinfo["nph"] == 0:
-                                continue
-                            d = nl - r
-                            sx = 1 << (st.precw[r] + d)
-                            sy = 1 << (st.prech[r] + d)
-                            ok_x = (x % sx == 0) or (
-                                x == tx0 and (rinfo["trx0"] << d) % sx)
-                            ok_y = (y % sy == 0) or (
-                                y == ty0 and (rinfo["try0"] << d) % sy)
-                            if not (ok_x and ok_y):
-                                continue
-                            pi = ((ceil_div(x, 1 << d) >> st.precw[r])
-                                  - (rinfo["trx0"] >> st.precw[r]))
-                            pj = ((ceil_div(y, 1 << d) >> st.prech[r])
-                                  - (rinfo["try0"] >> st.prech[r]))
-                            if (0 <= pi < rinfo["npw"]
-                                    and 0 <= pj < rinfo["nph"]):
-                                for l in range(st.layers):
-                                    yield l, r, pi, pj
+                    for c in range(ncomp):
+                        if r > sts[c].levels:
+                            continue
+                        rinfo = res_all[c][r]
+                        for pj in range(rinfo["nph"]):
+                            for pi in range(rinfo["npw"]):
+                                yield l, c, r, pi, pj
+            elif cod.prog == 2:  # RPCL: resolution, position, component
+                for r in range(nl_max + 1):
+                    ents = [(c, r) for c in range(ncomp)
+                            if r <= sts[c].levels]
+                    for c, r2, pi, pj in by_position(ents):
+                        for l in range(layers):
+                            yield l, c, r2, pi, pj
+            elif cod.prog == 3:  # PCRL: position, component, resolution
+                ents = [(c, r) for c in range(ncomp)
+                        for r in range(sts[c].levels + 1)]
+                for c, r, pi, pj in by_position(ents):
+                    for l in range(layers):
+                        yield l, c, r, pi, pj
+            elif cod.prog == 4:  # CPRL: component, position, resolution
+                for c in range(ncomp):
+                    ents = [(c, r) for r in range(sts[c].levels + 1)]
+                    for c2, r, pi, pj in by_position(ents):
+                        for l in range(layers):
+                            yield l, c2, r, pi, pj
             else:
                 raise NotImplementedError(
-                    f"progression order {st.prog} unsupported")
+                    f"progression order {cod.prog} unsupported")
 
-        for (l, r, pi, pj) in packets_in_order():
+        for (l, c, r, pi, pj) in packets_in_order():
+            res = res_all[c]
+            st = sts[c]
             rinfo = res[r]
             ppx, ppy = st.precw[r], st.prech[r]
-            if st.use_sop and buf[pos:pos + 2] == b"\xff\x91":
+            if cod.use_sop and buf[pos:pos + 2] == b"\xff\x91":
                 pos += 6
             br = HdrBits(buf, pos)
             nonempty = br.bit()
@@ -879,7 +939,7 @@ class JP2Decoder:
                                 rem -= take
                                 k += take
             pos = br.flush()
-            if st.use_eph:
+            if cod.use_eph:
                 if buf[pos:pos + 2] != b"\xff\x92":
                     raise ValueError("missing EPH")
                 pos += 2
@@ -986,17 +1046,9 @@ class JP2Decoder:
             u1, v1 = ceil_div(tx1, d), ceil_div(ty1, d)
             ll = sr2d(ll, hl, lh, hh, u0, v0, u1, v1)
 
-        # DC level shift for unsigned components (G.1.2)
-        signed = bool(self.ssiz[c] & 0x80)
-        depth = (self.ssiz[c] & 0x7F) + 1
-        if not rev:
-            lo = -(1 << (depth - 1)) if signed else 0
-            shift = 0 if signed else (1 << (depth - 1))
-            ll = np.clip(np.rint(ll) + shift, lo,
-                         lo + (1 << depth) - 1).astype(np.int64)
-            return ll
-        if not signed:
-            ll = ll + (1 << (depth - 1))
+        # raw transform-domain output: int64 (reversible) or float64
+        # (irreversible); inverse MCT + DC level shift + rounding/clipping
+        # happen in decode_tile, across components
         return ll
 
 
