@@ -184,6 +184,35 @@ def test_97_rd_matches_or_beats_openjpeg():
         assert p_ours >= p_opj - 0.1, (rate, p_ours, p_opj)
 
 
+def test_quality_layers_snr_scalability():
+    """A multi-layer stream truncated after layer l must decode within
+    0.5 dB of a dedicated single-layer encode at that byte budget, and
+    arbitrary (non-boundary) prefixes must decode without error at
+    monotone quality.  Full stream stays third-party decodable."""
+    rng = np.random.default_rng(5)
+    gy, gx = np.mgrid[0:128, 0:128]
+    img = np.clip(2000 + 800 * np.sin(gy / 9) * np.cos(gx / 13)
+                  + rng.normal(0, 200, (128, 128)), 0, 4095).astype(
+                      np.uint16)
+    plan = J2CPlan(img, 12, False, wavelet="97")
+    targets = [900, 2500, 8000]
+    cs = plan.at_sizes(targets)
+    assert len(cs) <= targets[-1]
+    for t in targets:
+        p_pref = _psnr12(_decode_own(cs[:t]), img)
+        p_single = _psnr12(_decode_own(plan.at_size(t)), img)
+        assert p_pref >= p_single - 0.5, (t, p_pref, p_single)
+    prev = 0.0
+    for t in (700, 1800, 5000, len(cs)):
+        p = _psnr12(_decode_own(cs[:t]), img)
+        assert p >= prev - 0.3
+        prev = p
+    oj = _decode_openjpeg(cs)
+    if oj is not None:
+        assert np.abs((oj.astype(np.int64) >> 4)
+                      - _decode_own(cs)).max() <= 1
+
+
 def test_jp2_container_roundtrip():
     from tpukit.io.j2c_enc import wrap_jp2
     from tpukit.io.jp2 import is_jp2

@@ -732,74 +732,109 @@ class J2CPlan:
         cj1 = _ceil_div(qy1, 1 << rinfo.ycb) - band.cby0
         return ci0, cj0, ci1, cj1
 
-    def _tile_body(self, sel: List[List[Optional[int]]]) -> bytes:
-        out = bytearray()
+    def _tile_body(self, sels: List[List[List[Optional[int]]]]) -> bytes:
+        """LRCP packet stream for a LAYERED selection: sels[l] is the
+        cumulative per-band/per-block chosen pass index for quality layer
+        l (monotone: sels[l+1] extends sels[l]).  Each layer's packet
+        carries only the incremental passes; inclusion tag trees, zbp
+        trees and Lblock state persist per precinct across layers, and
+        the first-inclusion layer is what the inclusion tree codes
+        (B.10.4)."""
+        L = len(sels)
+        band_sels: Dict[int, List[List[Optional[int]]]] = {}
         bi = 0
-        band_sel: Dict[int, List[Optional[int]]] = {}
         for rinfo in self.res:
             for band in rinfo.bands:
-                band_sel[id(band)] = sel[bi]
+                band_sels[id(band)] = [sels[l][bi] for l in range(L)]
                 bi += 1
-        for rinfo in self.res:   # LRCP, 1 layer: R then P
-            for pj in range(rinfo.nph):
-                for pi in range(rinfo.npw):
-                    out += self._packet(rinfo, pi, pj, band_sel)
+        # per-band emitted-pass state; per-precinct coding state
+        emitted: Dict[int, list] = {
+            bid: [None] * len(s[0]) for bid, s in band_sels.items()}
+        prec: Dict[Tuple[int, int, int], tuple] = {}
+        out = bytearray()
+        for l in range(L):
+            for rinfo in self.res:
+                for pj in range(rinfo.nph):
+                    for pi in range(rinfo.npw):
+                        out += self._packet(rinfo, pi, pj, band_sels,
+                                            emitted, prec, l, L)
         return bytes(out)
 
-    def _packet(self, rinfo: _EncRes, pi: int, pj: int,
-                band_sel) -> bytes:
-        contrib = []   # (band, local i, local j, pass_idx, chunk)
+    def _packet(self, rinfo: _EncRes, pi: int, pj: int, band_sels,
+                emitted, prec, l: int, L: int) -> bytes:
+        contrib = []   # (band, ci0, cj0, pw, ph, [(n, li, lj, prev, cur)])
+        any_new = False
         for band in rinfo.bands:
             if band.cw == 0:
                 continue
             ci0, cj0, ci1, cj1 = self._precinct_cb_range(rinfo, band, pi, pj)
-            sel = band_sel[id(band)]
+            sel_l = band_sels[id(band)][l]
             cbs = []
             for cj in range(cj0, cj1):
                 for ci in range(ci0, ci1):
                     n = cj * band.cw + ci
-                    p = sel[n]
-                    if p is None or band.blocks[n] is None:
-                        cbs.append((band, ci - ci0, cj - cj0, None, b""))
-                    else:
-                        cbs.append((band, ci - ci0, cj - cj0, p,
-                                    band.blocks[n].truncate(p)))
-            contrib.append(((ci1 - ci0, cj1 - cj0), cbs))
-        if not any(p is not None for _, cbs in contrib
-                   for (_, _, _, p, _) in cbs):
-            bw = HdrBitWriter()
+                    cur = sel_l[n] if band.blocks[n] is not None else None
+                    prev = emitted[id(band)][n]
+                    cbs.append((n, ci - ci0, cj - cj0, prev, cur))
+                    if cur is not None and (prev is None or cur > prev):
+                        any_new = True
+            contrib.append((band, ci0, cj0, ci1 - ci0, cj1 - cj0, cbs))
+        bw = HdrBitWriter()
+        if not any_new:
             bw.put(0)                     # empty packet
             return bw.flush()
-        bw = HdrBitWriter()
         bw.put(1)
         body = bytearray()
-        for (pw, ph), cbs in contrib:
+        for (band, ci0, cj0, pw, ph, cbs) in contrib:
             if not cbs:
                 continue
-            band = cbs[0][0]
-            ci0, cj0, _, _ = self._precinct_cb_range(rinfo, band, pi, pj)
-            incl_vals = np.ones((ph, pw), np.int64)
-            # zbp tree: true values at included leaves; excluded leaves
-            # are never queried, so 0 is fine there
-            zbp_vals = np.zeros((ph, pw), np.int64)
-            for (bnd, li, lj, p, _) in cbs:
-                if p is not None:
-                    incl_vals[lj, li] = 0
-                    n = (lj + cj0) * bnd.cw + (li + ci0)
-                    zbp_vals[lj, li] = bnd.numbps - bnd.blocks[n].numbps
-            itree = TagTreeEnc(pw, ph, incl_vals)
-            ztree = TagTreeEnc(pw, ph, zbp_vals)
-            lblock = np.full((ph, pw), 3, np.int64)
-            for (bnd, li, lj, p, chunk) in cbs:
-                inc = itree.encode(bw, li, lj, 1)
-                assert inc == (p is not None)
-                if p is None:
+            key = (id(band), pi, pj)
+            if key not in prec:
+                # inclusion leaves: the layer at which each block FIRST
+                # contributes (L = never within this stream)
+                first = np.full((ph, pw), L, np.int64)
+                zbp_vals = np.zeros((ph, pw), np.int64)
+                sels_all = band_sels[id(band)]
+                for (n, li, lj, _, _) in cbs:
+                    if band.blocks[n] is None:
+                        continue
+                    for ll in range(L):
+                        if sels_all[ll][n] is not None:
+                            first[lj, li] = ll
+                            break
+                    zbp_vals[lj, li] = band.numbps - band.blocks[n].numbps
+                prec[key] = (TagTreeEnc(pw, ph, first),
+                             TagTreeEnc(pw, ph, zbp_vals),
+                             np.full((ph, pw), 3, np.int64))
+            itree, ztree, lblock = prec[key]
+            for (n, li, lj, prev, cur) in cbs:
+                new = cur is not None and (prev is None or cur > prev)
+                if prev is None:
+                    inc = itree.encode(bw, li, lj, l + 1)
+                    assert inc == new
+                else:
+                    bw.put(1 if new else 0)
+                if not new:
                     continue
-                zb = 1
-                while not ztree.encode(bw, li, lj, zb):
-                    zb += 1
-                npn = p + 1
+                if prev is None:
+                    zb = 1
+                    while not ztree.encode(bw, li, lj, zb):
+                        zb += 1
+                blk = band.blocks[n]
+                npn = cur + 1 - (prev + 1 if prev is not None else 0)
                 _put_npasses(bw, npn)
+                # chunk: raw stream slice for non-final contributions (the
+                # continuation must see the true bytes); the adjusted
+                # minimal tail only when no later layer extends this block
+                p0 = int(blk.pass_len[prev]) if prev is not None else 0
+                is_final = not any(
+                    band_sels[id(band)][ll][n] is not None
+                    and band_sels[id(band)][ll][n] > cur
+                    for ll in range(l + 1, L))
+                if is_final:
+                    chunk = blk.truncate(cur)[p0:]
+                else:
+                    chunk = blk.stream[p0:int(blk.pass_len[cur])]
                 seglen = len(chunk)
                 nfloor = int(math.floor(math.log2(npn)))
                 need = max(0, seglen.bit_length() - nfloor
@@ -810,15 +845,16 @@ class J2CPlan:
                 lblock[lj, li] += need
                 bw.put_bits(seglen, int(lblock[lj, li]) + nfloor)
                 body += chunk
+                emitted[id(band)][n] = cur
         return bw.flush() + bytes(body)
 
-    def _main_header(self) -> bytes:
+    def _main_header(self, nlayers: int = 1) -> bytes:
         out = bytearray(b"\xffO")                     # SOC (0xFF4F)
         ssiz = (self.depth - 1) | (0x80 if self.signed else 0)
         out += struct.pack(">HHHIIIIIIIIHBBB", 0xFF51, 41, 0,
                            self.w, self.h, 0, 0, self.w, self.h, 0, 0,
                            1, ssiz, 1, 1)             # SIZ
-        out += struct.pack(">HHBBHBBBBBB", 0xFF52, 12, 0, 0, 1, 0,
+        out += struct.pack(">HHBBHBBBBBB", 0xFF52, 12, 0, 0, nlayers, 0,
                            self.levels, self.xcb - 2, self.ycb - 2,
                            0, 1 if self.wavelet == "53" else 0)   # COD, LRCP
         nb = 3 * self.levels + 1
@@ -837,9 +873,14 @@ class J2CPlan:
         return bytes(out)
 
     def assemble(self, sel: List[List[Optional[int]]]) -> bytes:
-        body = self._tile_body(sel)
+        return self.assemble_layered([sel])
+
+    def assemble_layered(self, sels) -> bytes:
+        """Codestream with len(sels) quality layers; sels must be
+        cumulative (each layer's selection extends the previous)."""
+        body = self._tile_body(sels)
         psot = 2 + 10 + 2 + len(body)
-        out = bytearray(self._main_header())
+        out = bytearray(self._main_header(len(sels)))
         out += struct.pack(">HHHIBB", 0xFF90, 10, 0, psot, 0, 1)   # SOT
         out += b"\xff\x93" + body                                  # SOD
         out += b"\xff\xd9"                                         # EOC
@@ -850,6 +891,10 @@ class J2CPlan:
         """All passes of every block: bit-exact for the 5/3 reversible
         path; the quantizer-ceiling quality for the 9/7 path."""
         return self.assemble(self._select_all())
+
+    def at_sizes(self, targets) -> bytes:
+        """Quality-progressive stream: one layer per ascending budget."""
+        return _plan_at_sizes(self, targets)
 
     def at_size(self, target_bytes: int) -> bytes:
         """Largest codestream <= target_bytes (PCRD-opt lambda search);
@@ -872,6 +917,44 @@ class J2CPlan:
             else:
                 lo = mid + 1
         return best
+
+
+def _plan_at_sizes(plan: "J2CPlan", targets) -> bytes:
+    """Quality-progressive codestream: one layer per ascending byte
+    budget.  Truncating the stream after layer l's packets decodes at
+    roughly the quality a single-layer encode at targets[l] would give —
+    standard J2K SNR scalability from the same one-time tier-1 analysis."""
+    targets = sorted(int(t) for t in targets)
+    slopes = plan._slopes()
+    nid = len(slopes)          # candidate ids: nid=minimal, -1=all passes
+
+    def sel_at(i):
+        if i < 0:
+            return plan._select_all()
+        if i >= nid:
+            return plan._select(math.inf)
+        return plan._select(float(slopes[i]))
+
+    sels: list = []
+    prev = nid
+    for t in targets:
+        if prev > -1 and len(plan.assemble_layered(
+                sels + [sel_at(-1)])) <= t:
+            prev = -1
+            sels.append(sel_at(-1))
+            continue
+        lo, hi = 0, prev       # smaller id = deeper selection
+        best = prev
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if len(plan.assemble_layered(sels + [sel_at(mid)])) <= t:
+                best = mid
+                hi = mid
+            else:
+                lo = mid + 1
+        prev = best
+        sels.append(sel_at(best))
+    return plan.assemble_layered(sels)
 
 
 def wrap_jp2(codestream: bytes, w: int, h: int, depth: int,
@@ -924,13 +1007,15 @@ def at_size_multi(plans: List["J2CPlan"], target_bytes: int) -> List[bytes]:
 
 def encode_j2c(img: np.ndarray, depth: Optional[int] = None,
                signed: Optional[bool] = None, levels: int = 5,
-               target_bytes: Optional[int] = None,
-               wavelet: str = "53") -> bytes:
+               target_bytes=None, wavelet: str = "53") -> bytes:
     """Encode a single-component image to a standard .j2c codestream.
 
     wavelet "53" (reversible): lossless unless target_bytes is given.
     wavelet "97" (irreversible): PCRD-truncated lossy at target_bytes,
-    or the quantizer-ceiling quality when no target is given."""
+    or the quantizer-ceiling quality when no target is given.
+    target_bytes may be a LIST of ascending budgets: the stream then
+    carries one quality layer per budget (SNR scalability — truncate
+    after any layer to get that budget's quality)."""
     img = np.asarray(img)
     if signed is None:
         signed = img.dtype.kind == "i"
@@ -942,4 +1027,6 @@ def encode_j2c(img: np.ndarray, depth: Optional[int] = None,
     plan = J2CPlan(img, depth, signed, levels, wavelet=wavelet)
     if target_bytes is None:
         return plan.lossless()
+    if isinstance(target_bytes, (list, tuple)):
+        return plan.at_sizes(target_bytes)
     return plan.at_size(target_bytes)

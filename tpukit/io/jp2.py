@@ -565,7 +565,10 @@ class JP2Decoder:
                 raise ValueError(f"expected SOT at {pos}, got 0x{mk:04X}")
             (ln, isot, psot, _tpsot, _tnsot) = struct.unpack_from(
                 ">HHIBB", cs, pos + 2)
-            if psot == 0:
+            if psot == 0 or pos + psot > len(cs):
+                # open-ended (Psot=0) or truncated final tile-part:
+                # take what is actually present (progressive streams are
+                # cut mid-body by design)
                 psot = len(cs) - pos
             body0 = pos + 2 + ln
             # walk to SOD; tile-part header overrides (COD/COC/QCD/QCC/
@@ -865,6 +868,8 @@ class JP2Decoder:
                     f"progression order {cod.prog} unsupported")
 
         for (l, c, r, pi, pj) in packets_in_order():
+            if pos >= len(buf):
+                break          # truncated stream: keep what arrived
             res = res_all[c]
             st = sts[c]
             rinfo = res[r]
@@ -872,10 +877,13 @@ class JP2Decoder:
             if cod.use_sop and buf[pos:pos + 2] == b"\xff\x91":
                 pos += 6
             br = HdrBits(buf, pos)
-            nonempty = br.bit()
+            if pos >= len(buf):
+                break
             body_specs = []
-            if nonempty:
-                for band in rinfo["bands"]:
+            try:
+                nonempty = br.bit()
+                bands_iter = rinfo["bands"] if nonempty else []
+                for band in bands_iter:
                     if band.cw == 0:
                         continue
                     ci0, cj0, ci1, cj1, _ = self._precinct_cb_range(
@@ -938,16 +946,28 @@ class JP2Decoder:
                                 body_specs.append((band, n, take, seglen))
                                 rem -= take
                                 k += take
+            except IndexError:
+                break          # header cut off: keep completed packets
             pos = br.flush()
             if cod.use_eph:
+                if pos + 2 > len(buf):
+                    break
                 if buf[pos:pos + 2] != b"\xff\x92":
                     raise ValueError("missing EPH")
                 pos += 2
+            truncated = False
             for band, n, np_new, seglen in body_specs:
+                if pos + seglen > len(buf):
+                    # chunk cut off: drop this and later contributions
+                    # (cb_passes counts only fully-present chunks)
+                    truncated = True
+                    break
                 band.cb_chunks[n].append(buf[pos:pos + seglen])
                 band.cb_piece_passes[n].append(np_new)
                 band.cb_passes[n] += np_new
                 pos += seglen
+            if truncated:
+                break
         return pos
 
     # -- synthesis ------------------------------------------------------------
