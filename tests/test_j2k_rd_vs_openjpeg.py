@@ -50,11 +50,15 @@ def tiles(rng):
             "texture": tex.astype(np.uint16)}
 
 
-# max PSNR deficit vs OpenJPEG at its achieved bpp (dB); with the J=64
-# Rice backend tpukit measures +0.3..+0.9 dB ABOVE OpenJPEG at 4-8 bpp
-# and -0.4..-0.9 dB below at 0.5-1 bpp — bounds keep ~1 dB headroom so
-# only real regressions trip
-BOUNDS = {4: 0.8, 8: 0.5, 16: 1.7, 32: 1.9}
+# max PSNR deficit vs OpenJPEG at its achieved bpp (dB). With the triple
+# entropy backend (Rice + sparse run-length wrle + bit-plane, exact-model
+# min-selection per band) tpukit measures ABOVE OpenJPEG at every rate
+# from 0.25 to 4 bpp (+0.06..+0.89 dB on these tiles); the one deficit is
+# rate=2 (8 bpp) on the smooth tile, where the int16 Rice boundary makes
+# the bisection undershoot the byte budget (~7.3 of 8 bpp used) at
+# near-transparent (>75 dB) quality. Bounds keep ~0.2-0.4 dB headroom so
+# only real coder/quantizer regressions trip.
+BOUNDS = {2: 1.8, 4: 0.1, 8: 0.3, 16: 0.3, 32: 0.2, 64: 0.2}
 
 
 @pytest.mark.parametrize("rate", sorted(BOUNDS))

@@ -100,21 +100,31 @@ def test_mixed_backend_quality_ladder_roundtrip(rng):
 
 
 def test_sparse_config_selected_and_matches_model(rng):
-    """Sparse streams pick the (J=32, rsi=8) config via the shared nnz
-    rule; model and coder stay byte-agreed, round-trip exact."""
+    """The Rice candidate's (J=32, rsi=8) sparse config still follows the
+    shared nnz rule (mirrored by the device model inside the min), and the
+    full wenc selection stays byte-agreed with the model: at 1% density
+    the wrle backend must now win outright, at 20% Rice keeps the stream."""
     import jax.numpy as jnp
-    for frac, expect_sparse in ((0.01, True), (0.2, False)):
+    for frac in (0.01, 0.2):
         q = np.zeros(4096, np.int32)
         k = max(1, int(frac * q.size))
         ix = rng.choice(q.size, k, replace=False)
         q[ix] = rng.integers(-2000, 2000, k)
+        # the rule itself (drives the Rice candidate on both sides)
+        J, rsi = wc._rice_cfg(q)
+        assert (J == wc.RICE_J_SPARSE) == (frac == 0.01)
         bs = wc.wenc_encode(q)
-        assert bs[0] & wc.RICE_MARK
-        J = 1 << (bs[0] & 0x07)
-        assert (J == wc.RICE_J_SPARSE) == expect_sparse, (frac, J)
+        # with large magnitudes at these densities the run-length backend
+        # wins outright (Rice pays per sample, wrle per nonzero)
+        assert bs[0] == wc.RLE_MARK
         assert np.array_equal(wc.wenc_decode(bs, q.size), q)
         model = int(np.asarray(wenc_size_bytes(jnp.asarray(q[None])))[0])
         assert model == len(bs), (frac, model, len(bs))
+    # a dense plane keeps the Rice backend, with the rule's dense config
+    qd = (rng.standard_t(3, 4096) * 40).astype(np.int32)
+    bs = wc.wenc_encode(qd)
+    assert bs[0] & wc.RICE_MARK
+    assert (1 << (bs[0] & 0x07)) == wc._rice_cfg(qd)[0]
 
 
 def test_quant_encode_sparse_agrees(rng):

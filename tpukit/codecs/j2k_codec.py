@@ -12,11 +12,13 @@ codec *class* natively and TPU-first:
   * lossy: 5-level CDF 9/7 DWT on device, per-subband deadzone
     quantization (steps weighted by exact synthesis-basis L2 norms)
     driven by QUALITY 1..100
-  * entropy backend: auto-selected per band between the byte-exact
-    CCSDS-121 Rice coder over zigzag-mapped coefficients (~0.55 bpp
-    tighter, used whenever the zigzag fits 16 bits) and the embedded
-    bit-plane coder (wavelet_common.wenc_encode; exact device size model
-    for both in wenc_size_bytes)
+  * entropy backend: auto-selected per band among the byte-exact
+    CCSDS-121 Rice coder over zigzag-mapped coefficients, the sparse
+    run-length backend (per-subband gap/magnitude Rice — wins below
+    ~1.5 bpp, where it closes the measured PSNR gap to OpenJPEG), and
+    the embedded bit-plane coder; selection is min() over EXACT size
+    models so coder and device model agree byte-for-byte
+    (wavelet_common.wenc_encode; device models in wenc_size_bytes)
   * the reference's CR→quality and bpp→quality heuristics are preserved
     verbatim so sweep configurations translate 1:1 (j2k_wrap.py:32-47)
 
@@ -122,9 +124,10 @@ def _subband_steps(H: int, W: int, base: float) -> np.ndarray:
     return steps
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "segbounds"))
 def _fit_base_device(perm_coefs: jax.Array, perm_scale: jax.Array,
-                     target_bytes: jax.Array, iters: int = 24) -> jax.Array:
+                     target_bytes: jax.Array, iters: int = 24,
+                     segbounds=None) -> jax.Array:
     """Rate targeting on device: geometric bisection over the base
     quantization step, pricing every candidate with the EXACT dual-backend
     size model (wenc_size_bytes) — no trial encodes. Returns the
@@ -140,7 +143,7 @@ def _fit_base_device(perm_coefs: jax.Array, perm_scale: jax.Array,
         # same multiply-quantizer as the coding path: trunc(c * inv_step)
         inv = (jnp.float32(1.0) / perm_scale)[None] * (jnp.float32(1.0) / base)
         qc = jnp.trunc(perm_coefs * inv).astype(jnp.int32)
-        return jnp.sum(wenc_size_bytes(qc))
+        return jnp.sum(wenc_size_bytes(qc, segbounds))
 
     def body(_, lohi):
         lo, hi = lohi
@@ -203,26 +206,32 @@ def _device_requant_recon_ladder(coefs: jax.Array, inv_scale_map: jax.Array,
     return jax.vmap(one)(inv_bases, bases)
 
 
-def wenc_size_bytes(qc: jax.Array) -> jax.Array:
+def wenc_size_bytes(qc: jax.Array, segbounds=None) -> jax.Array:
     """Exact per-band stream byte length of wavelet_common.wenc_encode
-    over the last axis of scan-ordered int32 coefficients: the Rice/GPO2
-    backend's exact CCSDS-121 size model (+1 header byte) where the zigzag
-    fits 16 bits, the embedded bit-plane model otherwise — the same purely
-    coefficient-driven selection the host coder makes, so model and coder
-    agree byte-for-byte (tests/test_wenc_backend.py)."""
+    over the last axis of scan-ordered int32 coefficients: where the
+    zigzag fits 16 bits, the min of the Rice/GPO2 backend's exact
+    CCSDS-121 size model (+1 header byte) and the sparse run-length
+    backend's exact model (wavelet_common.rle_size_bytes_model, per-
+    subband segments via ``segbounds``); the embedded bit-plane model
+    otherwise — the same purely coefficient-driven selection the host
+    coder makes, so model and coder agree byte-for-byte
+    (tests/test_wenc_backend.py, tests/test_wenc_rle.py)."""
     from tpukit.codecs import ccsds121 as ck_dev
     from tpukit.codecs.bitplane_model import bpc_size_bytes
     from tpukit.codecs.wavelet_common import (RICE_BITS, RICE_J,
                                               RICE_J_SPARSE, RICE_RSI,
-                                              RICE_RSI_SPARSE)
+                                              RICE_RSI_SPARSE,
+                                              rle_size_bytes_model)
 
-    if qc.shape[-1] % RICE_J:   # Rice backend needs whole J blocks; the
-        return bpc_size_bytes(qc)   # host coder makes the same choice
     # fits-test on qc itself: zigzag of |qc| >= 2^30 would overflow int32
     # and could wrap past the comparison (host check: _fits_rice)
     fits = ((jnp.max(qc, axis=-1) <= 32767)
             & (jnp.min(qc, axis=-1) >= -32768))
     qcc = jnp.clip(qc, -32768, 32767)          # model input, garbage-proof
+    size_rle = rle_size_bytes_model(qcc, segbounds)
+    if qc.shape[-1] % RICE_J:   # Rice backend needs whole J blocks; the
+        size_bpc = bpc_size_bytes(qc)   # host coder makes the same choice
+        return jnp.where(fits, jnp.minimum(size_bpc, size_rle), size_bpc)
     z = jnp.where(qcc >= 0, 2 * qcc, -2 * qcc - 1).astype(jnp.uint16)
     zf = z.reshape(-1, z.shape[-1])
     size_dense = jax.vmap(
@@ -239,24 +248,25 @@ def wenc_size_bytes(qc: jax.Array) -> jax.Array:
     sparse = (nnz * 32 < qc.shape[-1]).reshape(size_dense.shape)
     size_rice = 1 + jnp.where(sparse, size_sparse,
                               size_dense).reshape(fits.shape)
-    return jnp.where(fits, size_rice, bpc_size_bytes(qc))
+    return jnp.where(fits, jnp.minimum(size_rice, size_rle),
+                     bpc_size_bytes(qc))
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("segbounds",))
 def _device_perm_sizes(perm_coefs: jax.Array, inv_scale_perm: jax.Array,
-                       inv_base: jax.Array) -> jax.Array:
+                       inv_base: jax.Array, segbounds=None) -> jax.Array:
     """Per-band exact stream byte counts for one quantization point from
     coefficients ALREADY in scan order (the same f32 multiply-quantizer
-    as the coder + the dual-backend size model)."""
+    as the coder + the triple-backend size model)."""
     qc = jnp.trunc(perm_coefs *
                    (inv_scale_perm * inv_base)[None]).astype(jnp.int32)
-    return wenc_size_bytes(qc)
+    return wenc_size_bytes(qc, segbounds)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("segbounds",))
 def _device_ladder_sizes(coefs: jax.Array, order: jax.Array,
                          inv_scale_perm: jax.Array,
-                         inv_bases: jax.Array) -> jax.Array:
+                         inv_bases: jax.Array, segbounds=None) -> jax.Array:
     """(Q, B) exact stream byte counts for a whole quality ladder in one
     dispatch — the scan-order gather runs once, each point is then one
     fused quantize + size reduction."""
@@ -266,18 +276,19 @@ def _device_ladder_sizes(coefs: jax.Array, order: jax.Array,
     def one(inv_base):
         qc = jnp.trunc(perm * (inv_scale_perm * inv_base)[None]) \
             .astype(jnp.int32)
-        return wenc_size_bytes(qc)
+        return wenc_size_bytes(qc, segbounds)
 
     return jax.vmap(one)(inv_bases)
 
 
-@jax.jit
-def _device_lossless_sizes(coefs: jax.Array, order: jax.Array) -> jax.Array:
+@partial(jax.jit, static_argnames=("segbounds",))
+def _device_lossless_sizes(coefs: jax.Array, order: jax.Array,
+                           segbounds=None) -> jax.Array:
     """Per-band exact byte counts of the full (reversible) streams over
-    the device-resident 5/3 coefficients (dual-backend)."""
+    the device-resident 5/3 coefficients (triple-backend)."""
     B = coefs.shape[0]
     perm = jnp.take(coefs.reshape(B, -1).astype(jnp.int32), order, axis=1)
-    return wenc_size_bytes(perm)
+    return wenc_size_bytes(perm, segbounds)
 
 
 
@@ -427,6 +438,7 @@ class J2KCodec(Codec):
         H0, W0 = H, W
         Hp, Wp = H + (-H) % m, W + (-W) % m
         order = wc.scan_order(Hp, Wp, LEVELS)
+        segb = wc.subband_seg_bounds(Hp, Wp, LEVELS)
         peak = float(np.abs(cube.astype(np.float64)).max()) or 1.0
         info = np.iinfo(cube.dtype)
 
@@ -482,7 +494,7 @@ class J2KCodec(Codec):
                 sizes = np.asarray(_device_ladder_sizes(
                     coefs_dev, jnp.asarray(order),
                     jnp.asarray(inv_scale_perm),
-                    jnp.asarray(inv_bases)))
+                    jnp.asarray(inv_bases), segbounds=segb))
             t_sizes = time.perf_counter() - t0
             t0 = time.perf_counter()
             with mem_phase("dec"):
@@ -517,14 +529,16 @@ class J2KCodec(Codec):
                 # cube reduction) accumulate inside the same native pass.
                 enc_qc = list(pmap(
                     lambda cf: wc.wenc_quant_encode_ck(cf, inv_scale_perm,
-                                                       inv_base), perm_coefs))
+                                                       inv_base,
+                                                       segbounds=segb),
+                    perm_coefs))
                 encoded = [e for e, _, _, _ in enc_qc]
                 perm = [qv for _, qv, _, _ in enc_qc]
             t_comp = time.perf_counter() - t0 + t_dwt
             t0 = time.perf_counter()
             with mem_phase("dec"):
                 decs = list(pmap(
-                    lambda e: wc.wenc_decode(e, Hp * Wp), encoded))
+                    lambda e: wc.wenc_decode(e, Hp * Wp, segb), encoded))
                 for b in range(B):
                     if not np.array_equal(decs[b], perm[b]):
                         raise RuntimeError(
@@ -630,6 +644,7 @@ class J2KCodec(Codec):
 
         work, H0, W0 = wc.pad_to_multiple(cube.astype(np.int32), m)
         order = wc.scan_order(Hp, Wp, LEVELS)
+        segb = wc.subband_seg_bounds(Hp, Wp, LEVELS)
         streams: Dict[str, bytes] = {}
         sum_bytes = 0
         recon = np.empty_like(cube)
@@ -645,7 +660,8 @@ class J2KCodec(Codec):
                     work = work >> shift
                 coefs = np.asarray(dwtk.dwt2(jnp.asarray(work), "53", LEVELS))
                 encoded = [bytes([shift]) +
-                           wc.wenc_encode(coefs[b].ravel()[order])
+                           wc.wenc_encode(coefs[b].ravel()[order],
+                                          segbounds=segb)
                            for b in range(B)]
             t_comp = time.perf_counter() - t0
             sum_bytes = sum(len(e) for e in encoded)
@@ -655,7 +671,7 @@ class J2KCodec(Codec):
                 planes = []
                 for b in range(B):
                     c = np.zeros(Hp * Wp, np.int32)
-                    c[order] = wc.wenc_decode(encoded[b][1:], Hp * Wp)
+                    c[order] = wc.wenc_decode(encoded[b][1:], Hp * Wp, segb)
                     planes.append(c.reshape(Hp, Wp))
                 rec = np.asarray(dwtk.idwt2(jnp.asarray(np.stack(planes)),
                                             "53", LEVELS))
@@ -682,7 +698,8 @@ class J2KCodec(Codec):
                     perm_coefs = jnp.take(coefs_dev.reshape(B, -1),
                                           jnp.asarray(order), axis=1)
                     base = float(_fit_base_device(perm_coefs, perm_scale,
-                                                  jnp.float32(target)))
+                                                  jnp.float32(target),
+                                                  segbounds=segb))
                     q_used = None
                 else:
                     scale_host = _subband_steps(Hp, Wp, 1.0)
@@ -695,7 +712,8 @@ class J2KCodec(Codec):
                     (np.float32(1.0) / np.float32(base))
                 coefs = np.asarray(coefs_dev)
                 qc = np.trunc(coefs * inv_steps[None]).astype(np.int32)
-                encoded = [wc.wenc_encode(qc[b].ravel()[order])
+                encoded = [wc.wenc_encode(qc[b].ravel()[order],
+                                          segbounds=segb)
                            for b in range(B)]
             t_comp = time.perf_counter() - t0
             sum_bytes = sum(len(e) for e in encoded)
@@ -705,7 +723,7 @@ class J2KCodec(Codec):
                 planes = []
                 for b in range(B):
                     c = np.zeros(Hp * Wp, np.int32)
-                    c[order] = wc.wenc_decode(encoded[b], Hp * Wp)
+                    c[order] = wc.wenc_decode(encoded[b], Hp * Wp, segb)
                     planes.append(c.reshape(Hp, Wp))
                 deq = np.stack(planes).astype(np.float32)
                 # pure-f32 dequant, bit-identical to the device path
@@ -868,6 +886,7 @@ class J2KCodec(Codec):
         inv_scale_host = np.float32(1.0) / scale_host
         order_dev, _ = wc.device_scan_orders(Hp, Wp, LEVELS)
         order = np.asarray(order_dev)
+        segb = wc.subband_seg_bounds(Hp, Wp, LEVELS)
 
         t0 = time.perf_counter()
         with mem_phase("comp"):
@@ -886,13 +905,15 @@ class J2KCodec(Codec):
                     target = (W * H * B * 2.0) / max(rate.value, 1e-6)
                 perm_scale = jnp.asarray(scale_host.ravel()[order])
                 base = float(_fit_base_device(perm_coefs, perm_scale,
-                                              jnp.float32(target)))
+                                              jnp.float32(target),
+                                              segbounds=segb))
                 q_used = None
             else:
                 base = base_step_for_quality(q_used, peak)
             inv_base = np.float32(1.0) / np.float32(base)
             sizes = _device_perm_sizes(perm_coefs, inv_scale_perm,
-                                       jnp.float32(inv_base))
+                                       jnp.float32(inv_base),
+                                       segbounds=segb)
             sum_bytes = int(np.asarray(sizes).sum())
         t_comp = time.perf_counter() - t0
 
@@ -938,7 +959,9 @@ class J2KCodec(Codec):
                 wi = wi >> shift        # exact: the dropped LSBs are zero
             order_dev, _ = wc.device_scan_orders(Hp, Wp, LEVELS)
             coefs_dev = dwtk.dwt2(wi, "53", LEVELS)
-            sizes = _device_lossless_sizes(coefs_dev, order_dev)
+            sizes = _device_lossless_sizes(
+                coefs_dev, order_dev,
+                segbounds=wc.subband_seg_bounds(Hp, Wp, LEVELS))
             # +1 byte per band: the stream's LSB-shift prefix (host path)
             sum_bytes = int(np.asarray(sizes).sum()) + B
         t_comp = time.perf_counter() - t0

@@ -148,17 +148,20 @@ def bpc_decode(bitstream: bytes, n: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Dual entropy backend for NON-truncating wavelet codecs (J2K).
+# Triple entropy backend for NON-truncating wavelet codecs (J2K).
 #
 # Quantized 9/7 (and reversible 5/3) coefficients are near-Laplacian, and
 # the block-adaptive Rice/GPO2 coder (CCSDS-121 backend, byte-exact vs
 # libaec, with an exact on-device size model) codes them ~0.55 bpp tighter
-# than the embedded bit-plane coder at every rate (measured; see
-# docs/SCALING.md §7b). J2K's rate control is a bisection over the base
-# quantization step priced by the size model — it never truncates streams —
-# so embeddedness buys it nothing. Backend selection is per band and purely
-# a function of the quantized coefficients (Rice needs the zigzag to fit 16
-# bits), so the device size model and the host coder always agree:
+# than the embedded bit-plane coder at every rate; below ~1.5 bpp the
+# planes turn sparse and the run-length backend (wrle, native/src/rle.cpp)
+# beats Rice by 35-65% (measured; see docs/SCALING.md §7b). J2K's rate
+# control is a bisection over the base quantization step priced by the
+# size model — it never truncates streams — so embeddedness buys it
+# nothing. Backend selection is per band and purely a function of the
+# quantized coefficients (min over EXACT sizes; Rice and wrle need the
+# values to fit int16), so the device size model and the host coder
+# always agree:
 #
 #   header bit 7 set       -> zigzag + CCSDS-121 backend (nbit=16, no
 #                             preprocessing — the DWT already decorrelated;
@@ -166,6 +169,8 @@ def bpc_decode(bitstream: bytes, n: int) -> np.ndarray:
 #   header 0x40|nplanes    -> embedded bit-plane backend (bitplane.cpp;
 #                             also the only backend CCSDS-122 uses, since
 #                             its -r bpp surface requires truncation)
+#   header 0x20            -> sparse run-length backend (rle.cpp; subband
+#                             segment layout passed out-of-band)
 # ---------------------------------------------------------------------------
 
 RICE_MARK = 0x80
@@ -188,8 +193,205 @@ RICE_RSI_SPARSE = 8
 
 def _fits_rice(qc: np.ndarray) -> bool:
     """Rice backend applies iff zigzag(qc) fits RICE_BITS (qc in int16
-    range). Mirrored on device by wenc_size_bytes."""
+    range). Mirrored on device by wenc_size_bytes. The RLE backend shares
+    this eligibility gate (its device size model's magnitude sums are then
+    int32-exact, see rle_size_bytes_model)."""
     return bool(qc.min() >= -32768 and qc.max() <= 32767)
+
+
+# ---------------------------------------------------------------------------
+# Third backend: sparse run-length + magnitude Rice ("wrle", native/src/
+# rle.cpp). At low rates the quantized coefficient planes are sparse and the
+# block-adaptive Rice backend costs 1.2-2.6x the order-0 entropy (measured);
+# coding (gap, |v|-1, sign) per nonzero with per-subband optimal Rice
+# parameters recovers most of that. Selected per band by EXACT size
+# comparison against the Rice/bit-plane candidate (strictly smaller wins;
+# the device model computes the same min, so model and coder always agree).
+#   header byte 0x20 -> wrle backend (segment layout passed out-of-band:
+#   the subband boundaries are a pure function of (Hp, Wp, levels) known to
+#   both encoder and decoder)
+# ---------------------------------------------------------------------------
+
+RLE_MARK = 0x20
+# saturation ceiling for the device model's int32-safe magnitude-cost sums:
+# any candidate whose true cost reaches CAP bits (64 MiB) is clamped to CAP,
+# which still exceeds every possible winning candidate (the Rice/bit-plane
+# alternative never exceeds ~33 bits/sample), so clamping can change
+# neither the backend choice nor a selected stream's reported size
+RLE_CAP_BITS = 1 << 29
+
+
+@lru_cache(maxsize=32)
+def subband_seg_bounds(H: int, W: int, levels: int):
+    """Static (start, stop) pairs of each subband's span in scan order —
+    the wrle backend's segment layout (same traversal as scan_order)."""
+    subs = dwtk.subband_slices(H, W, levels)
+    lens = []
+    ll = subs[-1][2]
+    lens.append((ll[0].stop - ll[0].start) * (ll[1].stop - ll[1].start))
+    for lv in range(levels - 1, -1, -1):
+        for name, l, sl in subs[:-1]:
+            if l == lv:
+                lens.append((sl[0].stop - sl[0].start)
+                            * (sl[1].stop - sl[1].start))
+    out, off = [], 0
+    for n in lens:
+        out.append((off, off + n))
+        off += n
+    assert off == H * W
+    return tuple(out)
+
+
+def _seg_lens(segbounds, n: int) -> np.ndarray:
+    if segbounds is None:
+        return np.array([n], np.int64)
+    segs = np.array([b - a for a, b in segbounds], np.int64)
+    if int(segs.sum()) != n:
+        raise ValueError("segbounds do not cover the stream")
+    return segs
+
+
+def rle_size_host(qc: np.ndarray, segbounds=None) -> int:
+    """Exact total stream bytes (incl. the marker byte) of the wrle
+    backend for scan-ordered int32 coefficients."""
+    lib = native.load()
+    qc = np.ascontiguousarray(qc.ravel(), np.int32)
+    segs = _seg_lens(segbounds, qc.size)
+    bits = lib.wrle_size_bits(
+        qc.ctypes.data_as(ct.POINTER(ct.c_int32)), qc.size,
+        segs.ctypes.data_as(ct.POINTER(ct.c_longlong)), len(segs))
+    if bits < 0:
+        raise RuntimeError(f"wrle_size_bits failed: {bits}")
+    return 1 + (int(bits) + 7) // 8
+
+
+def rle_encode(qc: np.ndarray, segbounds=None) -> bytes:
+    lib = native.load()
+    qc = np.ascontiguousarray(qc.ravel(), np.int32)
+    segs = _seg_lens(segbounds, qc.size)
+    buf = _tls_buf("rle", qc.size * 8 + 4096, np.uint8)
+    n = lib.wrle_encode(
+        qc.ctypes.data_as(ct.POINTER(ct.c_int32)), qc.size,
+        segs.ctypes.data_as(ct.POINTER(ct.c_longlong)), len(segs),
+        buf.ctypes.data_as(ct.POINTER(ct.c_uint8)), buf.size)
+    if n < 0:
+        raise RuntimeError(f"wrle_encode failed: {n}")
+    return bytes([RLE_MARK]) + buf[:n].tobytes()
+
+
+def rle_decode(bitstream: bytes, n: int, segbounds=None) -> np.ndarray:
+    lib = native.load()
+    b = np.frombuffer(bitstream, np.uint8)
+    segs = _seg_lens(segbounds, n)
+    out = np.empty(n, np.int32)
+    r = lib.wrle_decode(
+        b.ctypes.data_as(ct.POINTER(ct.c_uint8)), b.size,
+        segs.ctypes.data_as(ct.POINTER(ct.c_longlong)), len(segs),
+        out.ctypes.data_as(ct.POINTER(ct.c_int32)), n)
+    if r != n:
+        raise RuntimeError(f"wrle_decode failed: {r}")
+    return out
+
+
+@lru_cache(maxsize=64)
+def _rle_model_consts(segbounds):
+    """Static helper arrays for rle_size_bytes_model: per-position segment
+    floor index (seg_start - 1, resets the prev-nonzero chain at segment
+    boundaries) and the per-segment nnz field widths."""
+    n = segbounds[-1][1]
+    floor = np.empty(n, np.int32)
+    widths = []
+    for a, b in segbounds:
+        floor[a:b] = a - 1
+        widths.append(int(b - a).bit_length())
+    return floor, np.asarray(widths, np.int32)
+
+
+def rle_size_bytes_model(qc, segbounds=None):
+    """EXACT device model of rle_size_host over the last axis (jnp, jit-
+    and vmap-safe) for int16-range inputs (the shared fits_rice
+    eligibility gate — callers clip first, as the j2k model does).
+
+    Structure (kept to a few hundred traceable ops so jit compile stays
+    bounded): ONE prev-nonzero max-scan over the whole axis with a static
+    per-position floor handling segment resets (indices from earlier
+    segments never exceed seg_start-1, so a max with the floor is exact);
+    gap costs from 16 direct shift-sums per segment (always int32-exact:
+    sum(gaps) <= seglen); magnitude costs from the 15-bit decomposition
+    sum(m >> k) == sum_j S_j 2^(j-k), combined over a static (k, j) grid
+    with terms and partial sums saturated at RLE_CAP_BITS — exact whenever
+    the true cost is below CAP, and any clamped candidate is >= CAP, which
+    both exceeds every winning candidate and loses the backend min() on
+    host and device alike (see RLE_CAP_BITS)."""
+    import jax
+
+    n = qc.shape[-1]
+    if segbounds is None:
+        segbounds = ((0, n),)
+    floor_np, widths_np = _rle_model_consts(tuple(segbounds))
+    CAP = jnp.int32(RLE_CAP_BITS)
+
+    nz = qc != 0
+    idx = jnp.arange(n, dtype=jnp.int32)
+    masked = jnp.where(nz, idx, jnp.int32(-1))
+    incl = jax.lax.associative_scan(jnp.maximum, masked, axis=-1)
+    prev = jnp.concatenate(
+        [jnp.full(incl.shape[:-1] + (1,), -1, incl.dtype),
+         incl[..., :-1]], axis=-1)
+    prev = jnp.maximum(prev, jnp.asarray(floor_np))
+    gap = jnp.where(nz, idx - prev - 1, 0)
+
+    def seg_sums(row):
+        # (..., n) -> (..., nsegs) static-slice reductions
+        return jnp.stack([jnp.sum(row[..., a:b], axis=-1)
+                          for a, b in segbounds], axis=-1)
+
+    nnz = seg_sums(nz.astype(jnp.int32))                     # (..., S)
+    # gap candidate costs: sum(gap >> k) exact in int32 (<= seglen)
+    gcand = jnp.stack([seg_sums(gap >> k) for k in range(16)],
+                      axis=-2)                               # (..., 16, S)
+    ks = jnp.arange(1, 17, dtype=jnp.int32)[:, None]         # (16, 1) = k+1
+    cost_g = jnp.min(gcand + nnz[..., None, :] * ks, axis=-2)
+
+    # magnitude bit-plane sums: m = |v|-1 <= 32766 -> 15 bit planes
+    mag = jnp.where(nz, jnp.abs(qc) - 1, 0)
+    S = jnp.stack([seg_sums((mag >> j) & 1) for j in range(15)],
+                  axis=-2)                                   # (..., 15, S)
+    # static (k=16, j=15) term grid: S_j * 2^(j-k), clamped at CAP
+    kk, jj = np.meshgrid(np.arange(16), np.arange(15), indexing="ij")
+    sh = np.clip(jj - kk, 0, 31).astype(np.int32)
+    valid = (jj >= kk)
+    thresh = np.where(valid, RLE_CAP_BITS >> sh, np.int32(2 ** 31 - 1))
+    sh_d = jnp.asarray(sh)[:, :, None]
+    thr_d = jnp.asarray(thresh)[:, :, None]
+    val_d = jnp.asarray(valid)[:, :, None]
+    Sb = S[..., None, :, :]                                  # (...,1,15,S)
+    term = jnp.where(val_d & (Sb > thr_d), CAP,
+                     jnp.where(val_d, Sb << sh_d, 0))        # (...,16,15,S)
+    # saturating pairwise tree over j: yields min(true_sum, CAP) exactly
+    acc = term
+    while acc.shape[-2] > 1:
+        m2 = acc.shape[-2]
+        if m2 % 2:
+            acc = jnp.concatenate(
+                [acc, jnp.zeros_like(acc[..., :1, :])], axis=-2)
+            m2 += 1
+        acc = jnp.minimum(acc[..., 0::2, :] + acc[..., 1::2, :], CAP)
+    mcand = jnp.minimum(acc[..., 0, :] + nnz[..., None, :] * ks, CAP)
+    cost_m = jnp.min(mcand, axis=-2)
+
+    widths = jnp.asarray(widths_np)
+    bits = widths + jnp.where(nnz > 0, 8 + cost_g + cost_m + nnz, 0)
+    # saturating pairwise total over segments (a plain sum of up to ~16
+    # CAP-clamped segments could overflow int32); exact below CAP
+    acc2 = bits[..., :, None]
+    while acc2.shape[-2] > 1:
+        if acc2.shape[-2] % 2:
+            acc2 = jnp.concatenate(
+                [acc2, jnp.zeros_like(acc2[..., :1, :])], axis=-2)
+        acc2 = jnp.minimum(acc2[..., 0::2, :] + acc2[..., 1::2, :], CAP)
+    total = acc2[..., 0, 0]
+    return 1 + (total + 7) // 8
 
 
 def _rice_cfg(qc: np.ndarray):
@@ -217,20 +419,31 @@ def unzigzag_np(z: np.ndarray) -> np.ndarray:
     return (z >> 1) ^ -(z & 1)
 
 
-def wenc_encode(qc: np.ndarray, max_bytes: int = 0) -> bytes:
+def wenc_encode(qc: np.ndarray, max_bytes: int = 0,
+                segbounds=None) -> bytes:
     """Entropy-encode scan-ordered int32 coefficients with the
-    auto-selected backend. ``max_bytes`` (byte budget) forces the embedded
-    backend — only it has truncation semantics."""
+    auto-selected backend (strictly-smaller exact size wins; ties keep the
+    Rice/bit-plane candidate — the device size model computes the same
+    min, j2k_codec.wenc_size_bytes). ``max_bytes`` (byte budget) forces
+    the embedded backend — only it has truncation semantics."""
     qc = np.ascontiguousarray(qc.ravel(), np.int32)
-    if max_bytes == 0 and qc.size % RICE_J == 0 and _fits_rice(qc):
+    if max_bytes:
+        return bpc_encode(qc, max_bytes)
+    fits = _fits_rice(qc)
+    rle_bytes = rle_size_host(qc, segbounds) if fits else None
+    if qc.size % RICE_J == 0 and fits:
         from tpukit.native import ccsds121_host as ck
         J, rsi = _rice_cfg(qc)
-        return bytes([_rice_header(J, rsi)]) + ck.encode(
+        base = bytes([_rice_header(J, rsi)]) + ck.encode(
             zigzag_np(qc), RICE_BITS, J, rsi, flags=0)
-    return bpc_encode(qc, max_bytes)
+    else:
+        base = bpc_encode(qc)
+    if rle_bytes is not None and rle_bytes < len(base):
+        return rle_encode(qc, segbounds)
+    return base
 
 
-def wenc_decode(bitstream: bytes, n: int) -> np.ndarray:
+def wenc_decode(bitstream: bytes, n: int, segbounds=None) -> np.ndarray:
     if bitstream and (bitstream[0] & RICE_MARK):
         from tpukit.native import ccsds121_host as ck
         jf = bitstream[0] & 0x07
@@ -238,19 +451,26 @@ def wenc_decode(bitstream: bytes, n: int) -> np.ndarray:
         rsi = 1 << (((bitstream[0] >> 3) & 0x03) + 1)
         z = ck.decode(bitstream[1:], n, RICE_BITS, J, rsi, flags=0)
         return unzigzag_np(z)
+    if bitstream and (bitstream[0] & 0x40):
+        return bpc_decode(bitstream, n)
+    if bitstream and bitstream[0] == RLE_MARK:
+        return rle_decode(bitstream[1:], n, segbounds)
     return bpc_decode(bitstream, n)
 
 
 def wenc_quant_encode_ck(coefs: np.ndarray, inv_steps: np.ndarray,
-                         inv_base: float):
+                         inv_base: float, segbounds=None):
     """Deadzone-quantize + auto-backend encode; returns
     (bitstream, qc, s1, s2) with the same wraparound-int32 checksums (and
     the same f32 multiply association order) as the device requantizer.
 
     The Rice case runs ONE fused native pass (ck121_quant_encode:
-    quantize + checksums + zigzag + encode, no numpy temporaries); when
-    the quantized values overflow int16 it reuses the already-quantized
-    qc through the embedded backend."""
+    quantize + checksums + zigzag + encode, no numpy temporaries), then
+    compares the exact wrle candidate size (one native sizing pass over
+    qc) and re-encodes only when wrle is strictly smaller — the same min
+    the device size model computes. When the quantized values overflow
+    int16 it reuses the already-quantized qc through the embedded backend
+    (wrle shares the int16 eligibility gate)."""
     c = np.ascontiguousarray(coefs.ravel(), np.float32)
     s = np.ascontiguousarray(inv_steps.ravel(), np.float32)
     if s.size != c.size:
@@ -271,6 +491,9 @@ def wenc_quant_encode_ck(coefs: np.ndarray, inv_steps: np.ndarray,
             out.ctypes.data_as(ct.POINTER(ct.c_uint8)), out.size,
             sums.ctypes.data_as(ct.POINTER(ct.c_uint32)))
         if r > 0:
+            if rle_size_host(qc, segbounds) < 1 + r:
+                return (rle_encode(qc, segbounds), qc,
+                        to_i32(int(sums[0])), to_i32(int(sums[1])))
             if sums[2]:
                 hdr = _rice_header(RICE_J_SPARSE, RICE_RSI_SPARSE)
             else:
@@ -288,4 +511,4 @@ def wenc_quant_encode_ck(coefs: np.ndarray, inv_steps: np.ndarray,
     u = qc.astype(np.uint32)
     s1 = int(u.sum(dtype=np.uint64) & 0xFFFFFFFF)
     s2 = int((u * u).sum(dtype=np.uint64) & 0xFFFFFFFF)
-    return wenc_encode(qc), qc, to_i32(s1), to_i32(s2)
+    return wenc_encode(qc, segbounds=segbounds), qc, to_i32(s1), to_i32(s2)

@@ -100,6 +100,9 @@ def _declare(lib: ctypes.CDLL) -> None:
                                    ct.POINTER(ct.c_float), ct.c_float,
                                    u32p, i64, u8p, i64, i64, u32p]),
         ("bpc_decode", i64, [u8p, i64, u32p, i64]),
+        ("wrle_size_bits", i64, [i32p, i64, ct.POINTER(i64), i32]),
+        ("wrle_encode", i64, [i32p, i64, ct.POINTER(i64), i32, u8p, i64]),
+        ("wrle_decode", i64, [u8p, i64, ct.POINTER(i64), i32, i32p, i64]),
         ("ck123_code", i64, [u32p, i64, i32, i32, u8p, i64]),
         ("ck123_decode", i64, [u8p, i64, i32, i32, u32p, i64]),
     ]:

@@ -132,7 +132,7 @@ def place_ladder_inputs(mesh: Mesh, ref: np.ndarray, recons,
             n_real)
 
 
-def sharded_j2k_model(mesh: Mesh, levels: int = 5):
+def sharded_j2k_model(mesh: Mesh, levels: int = 5, segbounds=None):
     """Sharded J2K quantized-coefficient model: tiles (T,B,Hp,Wp) float32
     (already edge-padded to multiples of 2^levels) shard over dp; per tile
     the step runs the device 9/7 DWT, deadzone-quantizes at the given base
@@ -152,7 +152,7 @@ def sharded_j2k_model(mesh: Mesh, levels: int = 5):
             coefs = dwtk.dwt2(cube, "97", levels)
             qc = jnp.trunc(coefs / (scale_map * base)[None]).astype(jnp.int32)
             perm = jnp.take(qc.reshape(qc.shape[0], -1), order, axis=1)
-            return jnp.sum(wenc_size_bytes(perm))
+            return jnp.sum(wenc_size_bytes(perm, segbounds))
 
         return jax.vmap(per_tile)(tiles)
 
