@@ -175,10 +175,25 @@ def test_sharded_j2k_model_matches_host_coder(rng):
     for t in range(T):
         coefs = np.asarray(dwtk.dwt2(jnp.asarray(tiles[t]), "97", LEVELS))
         qc = np.trunc(coefs / (scale * np.float32(base))[None]).astype(np.int32)
-        # the mesh model prices the dual entropy backend (wenc)
+        # the mesh model prices the triple entropy backend (wenc)
         expect = sum(len(wc.wenc_encode(qc[b].ravel()[order]))
                      for b in range(B))
         assert int(sizes[t]) == expect
+
+    # the per-subband segment layout (what the sweep's device ladder uses)
+    segb = wc.subband_seg_bounds(H, W, LEVELS)
+    step_sb = sharded_j2k_model(mesh, levels=LEVELS, segbounds=segb)
+    sizes_sb = np.asarray(step_sb(
+        jax.device_put(tiles, NamedSharding(mesh, P("dp", None, None, None))),
+        jax.device_put(scale, rep),
+        jax.device_put(np.float32(base), rep),
+        jax.device_put(order.astype(np.int32), rep)))
+    for t in range(T):
+        coefs = np.asarray(dwtk.dwt2(jnp.asarray(tiles[t]), "97", LEVELS))
+        qc = np.trunc(coefs / (scale * np.float32(base))[None]).astype(np.int32)
+        expect = sum(len(wc.wenc_encode(qc[b].ravel()[order], segbounds=segb))
+                     for b in range(B))
+        assert int(sizes_sb[t]) == expect
 
 
 def test_mesh_sweep_artifacts_match_single_device(tmp_path, rng):
