@@ -20,6 +20,50 @@ import jax  # noqa: E402
 
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
+
+def _raise_max_map_count(target: int = 262144) -> None:
+    """One pytest process JIT-loads every XLA:CPU executable the suite
+    compiles — including one mini-executable per eager op shape, times 8
+    virtual devices — at ~3 mappings each. Measured: the full suite needs
+    >65530 maps, the kernel's default vm.max_map_count, and crossing the
+    ceiling segfaults inside XLA's executable load (mmap failure surfaces
+    as a strlen on a garbage pointer). Raise the knob when we can (CI box
+    runs as root); otherwise the suite must be run in parts."""
+    path = "/proc/sys/vm/max_map_count"
+    try:
+        with open(path) as f:
+            cur = int(f.read().strip())
+        if cur < target:
+            with open(path, "w") as f:
+                f.write(str(target))
+    except (OSError, PermissionError, ValueError):
+        import warnings
+        warnings.warn("could not raise vm.max_map_count; a full-suite run "
+                      "may exhaust memory maps (see conftest)")
+
+
+_raise_max_map_count()
+
+# Persistent, CPU-feature-fingerprinted compile cache for the suite.
+# Two reasons (see tpukit.hostinfo): (a) one pytest process jit-compiles
+# ~300 programs, and the accumulated in-process LLVM/JIT state has
+# produced late-suite compile segfaults on this host — loading previously
+# compiled executables sidesteps most of that; (b) on migratable VMs,
+# cache entries from another boot's CPU feature set can SIGILL when
+# loaded, so the fingerprint keeps them unreachable instead.
+if os.environ.get("TPUKIT_TEST_JAX_CACHE", "1") != "0":
+    from tpukit.hostinfo import cpu_feature_fingerprint
+
+    _cache = os.path.join(os.path.dirname(__file__), "..",
+                          ".jax_cache_tests", cpu_feature_fingerprint())
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    try:
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -50,15 +50,14 @@ def tiles(rng):
             "texture": tex.astype(np.uint16)}
 
 
-# max PSNR deficit vs OpenJPEG at its achieved bpp (dB). With the triple
-# entropy backend (Rice + sparse run-length wrle + bit-plane, exact-model
-# min-selection per band) tpukit measures ABOVE OpenJPEG at every rate
-# from 0.25 to 4 bpp (+0.06..+0.89 dB on these tiles); the one deficit is
-# rate=2 (8 bpp) on the smooth tile, where the int16 Rice boundary makes
-# the bisection undershoot the byte budget (~7.3 of 8 bpp used) at
-# near-transparent (>75 dB) quality. Bounds keep ~0.2-0.4 dB headroom so
-# only real coder/quantizer regressions trip.
-BOUNDS = {2: 1.8, 4: 0.1, 8: 0.3, 16: 0.3, 32: 0.2, 64: 0.2}
+# max PSNR deficit vs OpenJPEG at its achieved bpp (dB). With the
+# quadruple entropy backend (Rice + sparse run-length wrle + Rice-split
+# for the >int16 regime + bit-plane, exact-model min-selection per band)
+# tpukit measures ABOVE OpenJPEG at EVERY tested rate from 0.25 to 8 bpp
+# (+0.06..+2.6 dB on these tiles; the former 8 bpp undershoot at the
+# int16 boundary is closed by the split candidate). Bounds keep
+# ~0.2-0.4 dB headroom so only real coder/quantizer regressions trip.
+BOUNDS = {2: 0.0, 4: 0.1, 8: 0.3, 16: 0.3, 32: 0.2, 64: 0.2}
 
 
 @pytest.mark.parametrize("rate", sorted(BOUNDS))

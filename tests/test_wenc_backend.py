@@ -21,12 +21,18 @@ def test_rice_selected_and_roundtrip(rng):
     assert np.array_equal(wc.wenc_decode(bs, q.size), q)
 
 
-def test_overflow_falls_back_to_bitplane(rng):
+def test_overflow_picks_bitplane_or_split(rng):
+    """Zigzag > 16 bits disqualifies the plain Rice and wrle candidates;
+    the min of the embedded coder and the Rice-split variant wins, and
+    the model agrees either way."""
+    import jax.numpy as jnp
     q = (rng.standard_t(3, 4096) * 40).astype(np.int32)
     q[7] = 1 << 20                       # zigzag > 16 bits
     bs = wc.wenc_encode(q)
-    assert not (bs[0] & wc.RICE_MARK)
+    assert (not (bs[0] & wc.RICE_MARK)) or (bs[0] & wc.SPLIT_FLAG)
     assert np.array_equal(wc.wenc_decode(bs, q.size), q)
+    model = int(np.asarray(wenc_size_bytes(jnp.asarray(q[None])))[0])
+    assert model == len(bs)
 
 
 def test_budget_forces_embedded_backend(rng):
@@ -93,10 +99,13 @@ def test_mixed_backend_quality_ladder_roundtrip(rng):
         np.testing.assert_array_equal(np.asarray(a.recon),
                                       np.asarray(b.recon))
         backends.update(v[0] for v in a.bitstreams.values())
-    # the ladder genuinely exercised BOTH backends
-    from tpukit.codecs.wavelet_common import RICE_MARK
-    assert any(m & RICE_MARK for m in backends) \
-        and any(not (m & RICE_MARK) for m in backends)
+    # the ladder genuinely exercised distinct backends: plain Rice at
+    # coarse quality, and at q=100 (int16 overflow) the min of the
+    # embedded coder and the Rice-split variant
+    from tpukit.codecs.wavelet_common import RICE_MARK, SPLIT_FLAG
+    assert any((m & RICE_MARK) and not (m & SPLIT_FLAG) for m in backends)
+    assert any((m & SPLIT_FLAG) or not (m & RICE_MARK) for m in backends)
+    assert len(backends) >= 2
 
 
 def test_sparse_config_selected_and_matches_model(rng):

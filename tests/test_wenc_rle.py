@@ -122,6 +122,29 @@ def test_quant_encode_ck_matches_wenc_encode(rng):
         assert np.array_equal(wc.wenc_decode(bs, n, segb), qc2)
 
 
+def test_split_roundtrip_model_and_boundary_continuity(rng):
+    """Rice-split variant (zigzag > 16 bits): exact round-trip incl.
+    int32 extremes, model == host, and selection continuity across the
+    int16 boundary (the 8 bpp rate dead zone it was built to close)."""
+    q = rng.integers(-2 ** 31, 2 ** 31, 4096).astype(np.int32)
+    q[0], q[1] = -2 ** 31, 2 ** 31 - 1
+    bs = wc.split_encode(q)
+    assert bs[0] & wc.RICE_MARK and bs[0] & wc.SPLIT_FLAG
+    assert np.array_equal(wc.split_decode(bs, q.size), q)
+    assert len(bs) == wc.split_size_host(q)
+
+    # overflow regime through the full selection: split or bpc wins,
+    # model byte-agrees, stream decodes
+    for scale in (3e4, 3e5, 3e6):
+        q = (rng.standard_t(2.5, 4096) * scale).astype(np.int64)
+        q = np.clip(q, -2 ** 31 + 1, 2 ** 31 - 1).astype(np.int32)
+        q[0] = 2 ** 20                      # force !fits16
+        bs = wc.wenc_encode(q)
+        model = int(np.asarray(wenc_size_bytes(jnp.asarray(q[None])))[0])
+        assert model == len(bs), (scale, hex(bs[0]))
+        assert np.array_equal(wc.wenc_decode(bs, q.size), q)
+
+
 def test_old_backend_streams_still_decode(rng):
     """Back-compat: streams whose min-selection picked Rice or the embedded
     coder decode through the same dispatch, with and without segbounds."""

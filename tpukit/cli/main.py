@@ -399,6 +399,11 @@ def _init_jax_compile_cache():
         if not d:
             d = os.path.join(os.path.expanduser("~"), ".cache", "tpukit",
                              "jax")
+        # key by CPU-feature fingerprint: on migratable VMs, AOT entries
+        # from a different boot's feature set can SIGILL/segfault when
+        # loaded (tpukit.hostinfo)
+        from tpukit.hostinfo import cpu_feature_fingerprint
+        d = os.path.join(d, cpu_feature_fingerprint())
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
         try:

@@ -15,10 +15,13 @@ codec *class* natively and TPU-first:
   * entropy backend: auto-selected per band among the byte-exact
     CCSDS-121 Rice coder over zigzag-mapped coefficients, the sparse
     run-length backend (per-subband gap/magnitude Rice — wins below
-    ~1.5 bpp, where it closes the measured PSNR gap to OpenJPEG), and
-    the embedded bit-plane coder; selection is min() over EXACT size
-    models so coder and device model agree byte-for-byte
-    (wavelet_common.wenc_encode; device models in wenc_size_bytes)
+    ~1.5 bpp, where it closes the measured PSNR gap to OpenJPEG), the
+    Rice-split variant (raw LSB planes + Rice of the 16-bit high parts —
+    keeps the rate curve continuous past the int16 boundary at very
+    fine steps), and the embedded bit-plane coder; selection is min()
+    over EXACT size models so coder and device model agree
+    byte-for-byte (wavelet_common.wenc_encode; device models in
+    wenc_size_bytes)
   * the reference's CR→quality and bpp→quality heuristics are preserved
     verbatim so sweep configurations translate 1:1 (j2k_wrap.py:32-47)
 
@@ -248,8 +251,23 @@ def wenc_size_bytes(qc: jax.Array, segbounds=None) -> jax.Array:
     sparse = (nnz * 32 < qc.shape[-1]).reshape(size_dense.shape)
     size_rice = 1 + jnp.where(sparse, size_sparse,
                               size_dense).reshape(fits.shape)
+    # Rice-split candidate for the overflow regime: s raw LSBs per zigzag
+    # value + Rice of the 16-bit high parts (wavelet_common.split_encode).
+    # The wraparound (qc << 1) ^ (qc >> 31) zigzag is exact for all int32.
+    n = qc.shape[-1]
+    z32 = ((qc << 1) ^ (qc >> 31)).astype(jnp.uint32)
+    maxz = jnp.max(z32, axis=-1)
+    s = jnp.zeros_like(maxz, dtype=jnp.int32)
+    for i in range(16):
+        s = s + (maxz >= jnp.uint32(1 << (16 + i))).astype(jnp.int32)
+    zhi = (z32 >> s[..., None].astype(jnp.uint32)).astype(jnp.uint16)
+    size_hi = jax.vmap(
+        lambda v: ck_dev.encode_size(v, bits=RICE_BITS, J=RICE_J,
+                                     rsi=RICE_RSI, preprocess=False))(
+        zhi.reshape(-1, n)).reshape(fits.shape)
+    size_split = 2 + (n * s + 7) // 8 + size_hi
     return jnp.where(fits, jnp.minimum(size_rice, size_rle),
-                     bpc_size_bytes(qc))
+                     jnp.minimum(bpc_size_bytes(qc), size_split))
 
 
 @partial(jax.jit, static_argnames=("segbounds",))

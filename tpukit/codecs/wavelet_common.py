@@ -148,7 +148,7 @@ def bpc_decode(bitstream: bytes, n: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Triple entropy backend for NON-truncating wavelet codecs (J2K).
+# Quadruple entropy backend for NON-truncating wavelet codecs (J2K).
 #
 # Quantized 9/7 (and reversible 5/3) coefficients are near-Laplacian, and
 # the block-adaptive Rice/GPO2 coder (CCSDS-121 backend, byte-exact vs
@@ -165,7 +165,9 @@ def bpc_decode(bitstream: bytes, n: int) -> np.ndarray:
 #
 #   header bit 7 set       -> zigzag + CCSDS-121 backend (nbit=16, no
 #                             preprocessing — the DWT already decorrelated;
-#                             log2 J in bits 0-2, log2(rsi)-1 in bits 3-4)
+#                             log2 J in bits 0-2, log2(rsi)-1 in bits 3-4;
+#                             bit 5 = Rice-split variant for the >int16
+#                             fine-quantization regime, see SPLIT_FLAG)
 #   header 0x40|nplanes    -> embedded bit-plane backend (bitplane.cpp;
 #                             also the only backend CCSDS-122 uses, since
 #                             its -r bpp surface requires truncation)
@@ -269,7 +271,15 @@ def rle_encode(qc: np.ndarray, segbounds=None) -> bytes:
     lib = native.load()
     qc = np.ascontiguousarray(qc.ravel(), np.int32)
     segs = _seg_lens(segbounds, qc.size)
-    buf = _tls_buf("rle", qc.size * 8 + 4096, np.uint8)
+    # exact-size the buffer: adversarial magnitudes (beyond the int16
+    # eligibility gate this backend is selected under) can cost far more
+    # than 8 bytes/sample in unary
+    bits = lib.wrle_size_bits(
+        qc.ctypes.data_as(ct.POINTER(ct.c_int32)), qc.size,
+        segs.ctypes.data_as(ct.POINTER(ct.c_longlong)), len(segs))
+    if bits < 0:
+        raise RuntimeError(f"wrle_size_bits failed: {bits}")
+    buf = _tls_buf("rle", (int(bits) + 7) // 8 + 64, np.uint8)
     n = lib.wrle_encode(
         qc.ctypes.data_as(ct.POINTER(ct.c_int32)), qc.size,
         segs.ctypes.data_as(ct.POINTER(ct.c_longlong)), len(segs),
@@ -405,8 +415,83 @@ def _rice_header(J: int, rsi: int) -> int:
     """0x80 | log2(J) in bits 0-2 | (log2(rsi) - 1) in bits 3-4. J=1 is
     never a valid block size, so a zero J field (a bare 0x80 header from
     the earliest wenc streams, which carried an implicit J=8/rsi=2) is
-    decoded as that legacy config."""
+    decoded as that legacy config. Bit 5 (SPLIT_FLAG) marks the split
+    variant: a second header byte carries s, the count of raw LSBs per
+    zigzag value packed ahead of the Rice stream of the high parts."""
     return RICE_MARK | (J.bit_length() - 1) | ((rsi.bit_length() - 2) << 3)
+
+
+# Rice-split variant: when the zigzag overflows 16 bits (very fine
+# quantization), send s = bitlen(max zigzag) - 16 raw LSBs per sample and
+# Rice-code the 16-bit high parts. Measured ~0.9 bpp under the embedded /
+# run-length alternatives just past the int16 boundary, closing the rate
+# dead zone that made --rate-fit undershoot ~8 bpp targets.
+SPLIT_FLAG = 0x20
+
+
+def _zigzag32(qc: np.ndarray) -> np.ndarray:
+    """Zigzag of full-range int32 as uint32 (matches the device's
+    wraparound (qc << 1) ^ (qc >> 31) trick bit-for-bit)."""
+    q = qc.astype(np.int64)
+    return (((q << 1) ^ (q >> 63)) & 0xFFFFFFFF).astype(np.uint32)
+
+
+def _split_s(maxz: int) -> int:
+    return max(0, int(maxz).bit_length() - 16)
+
+
+def split_encode(qc: np.ndarray, J: int = RICE_J,
+                 rsi: int = RICE_RSI) -> bytes:
+    """[hdr | s | packed LSB planes (ceil(n*s/8) bytes) | Rice(z >> s)]."""
+    from tpukit.native import ccsds121_host as ck
+
+    qc = np.ascontiguousarray(qc.ravel(), np.int32)
+    z = _zigzag32(qc)
+    s = _split_s(int(z.max()) if z.size else 0)
+    zhi = (z >> s).astype(np.uint16)
+    if s:
+        lsb = (z & ((1 << s) - 1)).astype(">u2")
+        bits = np.unpackbits(lsb.view(np.uint8)).reshape(-1, 16)[:, 16 - s:]
+        block = np.packbits(bits.ravel()).tobytes()
+    else:
+        block = b""
+    return (bytes([_rice_header(J, rsi) | SPLIT_FLAG, s]) + block
+            + ck.encode(zhi, RICE_BITS, J, rsi, flags=0))
+
+
+def split_decode(bitstream: bytes, n: int) -> np.ndarray:
+    from tpukit.native import ccsds121_host as ck
+
+    hdr = bitstream[0]
+    jf = hdr & 0x07
+    J = 8 if jf == 0 else 1 << jf
+    rsi = 1 << (((hdr >> 3) & 0x03) + 1)
+    s = bitstream[1]
+    nlsb = (n * s + 7) // 8
+    zhi = ck.decode(bitstream[2 + nlsb:], n, RICE_BITS, J, rsi, flags=0)
+    z = zhi.astype(np.uint64) << s
+    if s:
+        bits = np.unpackbits(
+            np.frombuffer(bitstream[2:2 + nlsb], np.uint8))[:n * s]
+        w = (np.uint64(1) << np.arange(s - 1, -1, -1, dtype=np.uint64))
+        z |= (bits.reshape(n, s).astype(np.uint64) * w).sum(
+            axis=1, dtype=np.uint64)
+    zi = z.astype(np.int64)
+    return (((zi >> 1) ^ -(zi & 1)) & 0xFFFFFFFF).astype(np.uint32) \
+        .astype(np.int32)
+
+
+def split_size_host(qc: np.ndarray, J: int = RICE_J,
+                    rsi: int = RICE_RSI) -> int:
+    """Exact stream bytes of split_encode without materializing it."""
+    from tpukit.native import ccsds121_host as ck
+
+    qc = np.ascontiguousarray(qc.ravel(), np.int32)
+    z = _zigzag32(qc)
+    s = _split_s(int(z.max()) if z.size else 0)
+    zhi = (z >> s).astype(np.uint16)
+    return 2 + (qc.size * s + 7) // 8 + len(
+        ck.encode(zhi, RICE_BITS, J, rsi, flags=0))
 
 
 def zigzag_np(qc: np.ndarray) -> np.ndarray:
@@ -430,22 +515,28 @@ def wenc_encode(qc: np.ndarray, max_bytes: int = 0,
     if max_bytes:
         return bpc_encode(qc, max_bytes)
     fits = _fits_rice(qc)
-    rle_bytes = rle_size_host(qc, segbounds) if fits else None
     if qc.size % RICE_J == 0 and fits:
         from tpukit.native import ccsds121_host as ck
         J, rsi = _rice_cfg(qc)
         base = bytes([_rice_header(J, rsi)]) + ck.encode(
             zigzag_np(qc), RICE_BITS, J, rsi, flags=0)
-    else:
-        base = bpc_encode(qc)
-    if rle_bytes is not None and rle_bytes < len(base):
+        if rle_size_host(qc, segbounds) < len(base):
+            return rle_encode(qc, segbounds)
+        return base
+    base = bpc_encode(qc)
+    if fits and rle_size_host(qc, segbounds) < len(base):
         return rle_encode(qc, segbounds)
+    if not fits and qc.size % RICE_J == 0 \
+            and split_size_host(qc) < len(base):
+        return split_encode(qc)
     return base
 
 
 def wenc_decode(bitstream: bytes, n: int, segbounds=None) -> np.ndarray:
     if bitstream and (bitstream[0] & RICE_MARK):
         from tpukit.native import ccsds121_host as ck
+        if bitstream[0] & SPLIT_FLAG:
+            return split_decode(bitstream, n)
         jf = bitstream[0] & 0x07
         J = 8 if jf == 0 else 1 << jf       # 0 == legacy implicit J=8
         rsi = 1 << (((bitstream[0] >> 3) & 0x03) + 1)
@@ -503,9 +594,11 @@ def wenc_quant_encode_ck(coefs: np.ndarray, inv_steps: np.ndarray,
         if r != -3:
             raise RuntimeError(f"ck121_quant_encode failed: {r}")
         # int16 overflow (very fine quantization): qc and checksums are
-        # already computed — embedded backend over qc
-        return (bpc_encode(qc), qc,
-                to_i32(int(sums[0])), to_i32(int(sums[1])))
+        # already computed — min of the embedded and Rice-split backends
+        bpc = bpc_encode(qc)
+        stream = (split_encode(qc) if split_size_host(qc) < len(bpc)
+                  else bpc)
+        return (stream, qc, to_i32(int(sums[0])), to_i32(int(sums[1])))
     # odd tail (never hit by padded tiles): plain numpy route
     qc = np.trunc(c * (s * np.float32(inv_base))).astype(np.int32)
     u = qc.astype(np.uint32)
