@@ -119,17 +119,8 @@ def _ensure_live_backend(deadline_s: float = 600.0):
 def main():
     _ensure_live_backend()
     import jax
-    from tpukit.hostinfo import cpu_feature_fingerprint
-    # fingerprint-keyed: stale AOT entries from a pre-migration boot can
-    # SIGILL/segfault when loaded on this class of VM (tpukit.hostinfo)
-    jax.config.update("jax_compilation_cache_dir",
-                      str(Path(__file__).parent / ".jax_cache"
-                          / cpu_feature_fingerprint()))
-    try:
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    except Exception:
-        pass
+    from tpukit.hostinfo import configure_jax_compile_cache
+    configure_jax_compile_cache(str(Path(__file__).parent / ".jax_cache"))
     import jax.numpy as jnp
     from tpukit.cli.main import run_codec_main
     from tpukit.codecs import ccsds121 as ck_dev

@@ -52,17 +52,10 @@ _raise_max_map_count()
 # cache entries from another boot's CPU feature set can SIGILL when
 # loaded, so the fingerprint keeps them unreachable instead.
 if os.environ.get("TPUKIT_TEST_JAX_CACHE", "1") != "0":
-    from tpukit.hostinfo import cpu_feature_fingerprint
+    from tpukit.hostinfo import configure_jax_compile_cache
 
-    _cache = os.path.join(os.path.dirname(__file__), "..",
-                          ".jax_cache_tests", cpu_feature_fingerprint())
-    os.makedirs(_cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    try:
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    except Exception:
-        pass
+    configure_jax_compile_cache(os.path.join(os.path.dirname(__file__),
+                                             "..", ".jax_cache_tests"))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -70,6 +70,18 @@ def test_rle_malformed_stream_rejected():
         wc.rle_decode(b"\xff\xff\xff\xff", 64, None)
 
 
+def test_wenc_decode_rejects_unknown_marker_and_bad_split():
+    with pytest.raises(RuntimeError):
+        wc.wenc_decode(b"\x01\x02\x03", 16)          # marker 0x01 invalid
+    with pytest.raises(RuntimeError):
+        wc.wenc_decode(b"", 16)
+    # split header with corrupt s byte / truncated LSB block
+    with pytest.raises(RuntimeError):
+        wc.split_decode(bytes([0xA6, 200, 0, 0]), 4096)
+    with pytest.raises(RuntimeError):
+        wc.split_decode(bytes([0xA6, 16]), 4096)
+
+
 def test_wenc_min_selection_agreement(rng):
     """Across the density sweep, len(wenc_encode) == device model and the
     stream decodes — regardless of which backend won."""

@@ -399,20 +399,8 @@ def _init_jax_compile_cache():
         if not d:
             d = os.path.join(os.path.expanduser("~"), ".cache", "tpukit",
                              "jax")
-        # key by CPU-feature fingerprint: on migratable VMs, AOT entries
-        # from a different boot's feature set can SIGILL/segfault when
-        # loaded (tpukit.hostinfo)
-        from tpukit.hostinfo import cpu_feature_fingerprint
-        d = os.path.join(d, cpu_feature_fingerprint())
-        os.makedirs(d, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", d)
-        try:
-            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
-                              -1)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              0)
-        except Exception:
-            pass
+        from tpukit.hostinfo import configure_jax_compile_cache
+        configure_jax_compile_cache(d)
     except Exception:
         pass
 

@@ -132,8 +132,9 @@ def _fit_base_device(perm_coefs: jax.Array, perm_scale: jax.Array,
                      target_bytes: jax.Array, iters: int = 24,
                      segbounds=None) -> jax.Array:
     """Rate targeting on device: geometric bisection over the base
-    quantization step, pricing every candidate with the EXACT dual-backend
-    size model (wenc_size_bytes) — no trial encodes. Returns the
+    quantization step, pricing every candidate with the EXACT
+    quadruple-backend size model (wenc_size_bytes) — no trial encodes.
+    Returns the
     smallest probed step whose total stream size is <= target (meet-or-beat
     rate control; the reference can only map bpp->QUALITY heuristically,
     j2k_wrap.py:38-47).
@@ -265,7 +266,10 @@ def wenc_size_bytes(qc: jax.Array, segbounds=None) -> jax.Array:
         lambda v: ck_dev.encode_size(v, bits=RICE_BITS, J=RICE_J,
                                      rsi=RICE_RSI, preprocess=False))(
         zhi.reshape(-1, n)).reshape(fits.shape)
-    size_split = 2 + (n * s + 7) // 8 + size_hi
+    # ceil(n*s/8) without the int32 n*s overflow (n up to 2^27, s <= 16):
+    # n*s = 8*(n//8)*s + (n%8)*s
+    lsb_bytes = (n // 8) * s + ((n % 8) * s + 7) // 8
+    size_split = 2 + lsb_bytes + size_hi
     return jnp.where(fits, jnp.minimum(size_rice, size_rle),
                      jnp.minimum(bpc_size_bytes(qc), size_split))
 
@@ -275,7 +279,7 @@ def _device_perm_sizes(perm_coefs: jax.Array, inv_scale_perm: jax.Array,
                        inv_base: jax.Array, segbounds=None) -> jax.Array:
     """Per-band exact stream byte counts for one quantization point from
     coefficients ALREADY in scan order (the same f32 multiply-quantizer
-    as the coder + the triple-backend size model)."""
+    as the coder + the quadruple-backend size model)."""
     qc = jnp.trunc(perm_coefs *
                    (inv_scale_perm * inv_base)[None]).astype(jnp.int32)
     return wenc_size_bytes(qc, segbounds)
@@ -303,7 +307,7 @@ def _device_ladder_sizes(coefs: jax.Array, order: jax.Array,
 def _device_lossless_sizes(coefs: jax.Array, order: jax.Array,
                            segbounds=None) -> jax.Array:
     """Per-band exact byte counts of the full (reversible) streams over
-    the device-resident 5/3 coefficients (triple-backend)."""
+    the device-resident 5/3 coefficients (quadruple-backend)."""
     B = coefs.shape[0]
     perm = jnp.take(coefs.reshape(B, -1).astype(jnp.int32), order, axis=1)
     return wenc_size_bytes(perm, segbounds)

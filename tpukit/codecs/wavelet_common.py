@@ -216,11 +216,20 @@ def _fits_rice(qc: np.ndarray) -> bool:
 
 RLE_MARK = 0x20
 # saturation ceiling for the device model's int32-safe magnitude-cost sums:
-# any candidate whose true cost reaches CAP bits (64 MiB) is clamped to CAP,
-# which still exceeds every possible winning candidate (the Rice/bit-plane
-# alternative never exceeds ~33 bits/sample), so clamping can change
-# neither the backend choice nor a selected stream's reported size
+# any candidate whose true cost reaches CAP bits is clamped to CAP. The
+# exact-or-losing argument needs CAP to EXCEED every possible winning
+# competitor (the Rice/bit-plane alternative never exceeds ~34
+# bits/sample), so the ceiling scales with the plane size for large
+# bands (_rle_cap_bits); int32 cost arithmetic bounds the model's domain
+# to n <= ~2^26 samples per band — far above the 4096^2 = 2^24 of the
+# largest real tile plane.
 RLE_CAP_BITS = 1 << 29
+
+
+def _rle_cap_bits(n: int) -> int:
+    """Saturation ceiling > 34*n (any competitor's size), <= 2^30 - 1 so
+    the pairwise saturating adds stay inside int32."""
+    return RLE_CAP_BITS if 34 * n <= RLE_CAP_BITS else (1 << 30) - 1
 
 
 @lru_cache(maxsize=32)
@@ -267,19 +276,24 @@ def rle_size_host(qc: np.ndarray, segbounds=None) -> int:
     return 1 + (int(bits) + 7) // 8
 
 
-def rle_encode(qc: np.ndarray, segbounds=None) -> bytes:
+def rle_encode(qc: np.ndarray, segbounds=None,
+               size_bytes: int | None = None) -> bytes:
+    """``size_bytes``: the already-known rle_size_host result (callers do
+    the min-selection sizing pass anyway) — skips a second native sizing
+    pass. Without it the buffer is exact-sized here: adversarial
+    magnitudes (beyond the int16 eligibility gate this backend is
+    selected under) can cost far more than 8 bytes/sample in unary."""
     lib = native.load()
     qc = np.ascontiguousarray(qc.ravel(), np.int32)
     segs = _seg_lens(segbounds, qc.size)
-    # exact-size the buffer: adversarial magnitudes (beyond the int16
-    # eligibility gate this backend is selected under) can cost far more
-    # than 8 bytes/sample in unary
-    bits = lib.wrle_size_bits(
-        qc.ctypes.data_as(ct.POINTER(ct.c_int32)), qc.size,
-        segs.ctypes.data_as(ct.POINTER(ct.c_longlong)), len(segs))
-    if bits < 0:
-        raise RuntimeError(f"wrle_size_bits failed: {bits}")
-    buf = _tls_buf("rle", (int(bits) + 7) // 8 + 64, np.uint8)
+    if size_bytes is None:
+        bits = lib.wrle_size_bits(
+            qc.ctypes.data_as(ct.POINTER(ct.c_int32)), qc.size,
+            segs.ctypes.data_as(ct.POINTER(ct.c_longlong)), len(segs))
+        if bits < 0:
+            raise RuntimeError(f"wrle_size_bits failed: {bits}")
+        size_bytes = 1 + (int(bits) + 7) // 8
+    buf = _tls_buf("rle", int(size_bytes) + 64, np.uint8)
     n = lib.wrle_encode(
         qc.ctypes.data_as(ct.POINTER(ct.c_int32)), qc.size,
         segs.ctypes.data_as(ct.POINTER(ct.c_longlong)), len(segs),
@@ -339,7 +353,8 @@ def rle_size_bytes_model(qc, segbounds=None):
     if segbounds is None:
         segbounds = ((0, n),)
     floor_np, widths_np = _rle_model_consts(tuple(segbounds))
-    CAP = jnp.int32(RLE_CAP_BITS)
+    cap_bits = _rle_cap_bits(n)
+    CAP = jnp.int32(cap_bits)
 
     nz = qc != 0
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -371,7 +386,7 @@ def rle_size_bytes_model(qc, segbounds=None):
     kk, jj = np.meshgrid(np.arange(16), np.arange(15), indexing="ij")
     sh = np.clip(jj - kk, 0, 31).astype(np.int32)
     valid = (jj >= kk)
-    thresh = np.where(valid, RLE_CAP_BITS >> sh, np.int32(2 ** 31 - 1))
+    thresh = np.where(valid, cap_bits >> sh, np.int32(2 ** 31 - 1))
     sh_d = jnp.asarray(sh)[:, :, None]
     thr_d = jnp.asarray(thresh)[:, :, None]
     val_d = jnp.asarray(valid)[:, :, None]
@@ -462,12 +477,18 @@ def split_encode(qc: np.ndarray, J: int = RICE_J,
 def split_decode(bitstream: bytes, n: int) -> np.ndarray:
     from tpukit.native import ccsds121_host as ck
 
+    if len(bitstream) < 2:
+        raise RuntimeError("split stream truncated (no header)")
     hdr = bitstream[0]
     jf = hdr & 0x07
     J = 8 if jf == 0 else 1 << jf
     rsi = 1 << (((hdr >> 3) & 0x03) + 1)
     s = bitstream[1]
+    if s > 16:
+        raise RuntimeError(f"split stream corrupt: s={s} > 16")
     nlsb = (n * s + 7) // 8
+    if len(bitstream) < 2 + nlsb:
+        raise RuntimeError("split stream truncated (LSB block)")
     zhi = ck.decode(bitstream[2 + nlsb:], n, RICE_BITS, J, rsi, flags=0)
     z = zhi.astype(np.uint64) << s
     if s:
@@ -520,14 +541,16 @@ def wenc_encode(qc: np.ndarray, max_bytes: int = 0,
         J, rsi = _rice_cfg(qc)
         base = bytes([_rice_header(J, rsi)]) + ck.encode(
             zigzag_np(qc), RICE_BITS, J, rsi, flags=0)
-        if rle_size_host(qc, segbounds) < len(base):
-            return rle_encode(qc, segbounds)
+        rle_bytes = rle_size_host(qc, segbounds)
+        if rle_bytes < len(base):
+            return rle_encode(qc, segbounds, size_bytes=rle_bytes)
         return base
     base = bpc_encode(qc)
-    if fits and rle_size_host(qc, segbounds) < len(base):
-        return rle_encode(qc, segbounds)
-    if not fits and qc.size % RICE_J == 0 \
-            and split_size_host(qc) < len(base):
+    if fits:
+        rle_bytes = rle_size_host(qc, segbounds)
+        if rle_bytes < len(base):
+            return rle_encode(qc, segbounds, size_bytes=rle_bytes)
+    elif qc.size % RICE_J == 0 and split_size_host(qc) < len(base):
         return split_encode(qc)
     return base
 
@@ -542,11 +565,13 @@ def wenc_decode(bitstream: bytes, n: int, segbounds=None) -> np.ndarray:
         rsi = 1 << (((bitstream[0] >> 3) & 0x03) + 1)
         z = ck.decode(bitstream[1:], n, RICE_BITS, J, rsi, flags=0)
         return unzigzag_np(z)
-    if bitstream and (bitstream[0] & 0x40):
+    if bitstream and (bitstream[0] & 0x40):   # 0x40|nplanes: bit-plane
         return bpc_decode(bitstream, n)
     if bitstream and bitstream[0] == RLE_MARK:
         return rle_decode(bitstream[1:], n, segbounds)
-    return bpc_decode(bitstream, n)
+    raise RuntimeError(
+        f"wenc stream has unknown backend marker "
+        f"0x{bitstream[0]:02x}" if bitstream else "empty wenc stream")
 
 
 def wenc_quant_encode_ck(coefs: np.ndarray, inv_steps: np.ndarray,
@@ -582,9 +607,10 @@ def wenc_quant_encode_ck(coefs: np.ndarray, inv_steps: np.ndarray,
             out.ctypes.data_as(ct.POINTER(ct.c_uint8)), out.size,
             sums.ctypes.data_as(ct.POINTER(ct.c_uint32)))
         if r > 0:
-            if rle_size_host(qc, segbounds) < 1 + r:
-                return (rle_encode(qc, segbounds), qc,
-                        to_i32(int(sums[0])), to_i32(int(sums[1])))
+            rle_bytes = rle_size_host(qc, segbounds)
+            if rle_bytes < 1 + r:
+                return (rle_encode(qc, segbounds, size_bytes=rle_bytes),
+                        qc, to_i32(int(sums[0])), to_i32(int(sums[1])))
             if sums[2]:
                 hdr = _rice_header(RICE_J_SPARSE, RICE_RSI_SPARSE)
             else:

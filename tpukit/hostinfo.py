@@ -17,15 +17,45 @@ import hashlib
 
 
 def cpu_feature_fingerprint() -> str:
-    """Short stable hash of the CPU feature flags visible to this boot."""
+    """Short stable hash of the CPU feature set visible to this boot
+    (x86 'flags', aarch64 'Features', ppc 'cpu'/'model' lines — the first
+    matching key of the first core)."""
+    prio = {"flags": 0, "features": 1, "cpu": 2, "model name": 3}
+    best = None          # (priority, normalized value)
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    feats = " ".join(sorted(set(line.split(":", 1)[1]
-                                                .split())))
-                    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+                key = line.split(":", 1)[0].strip().lower()
+                p = prio.get(key)
+                if p is not None and (best is None or p < best[0]):
+                    best = (p, " ".join(sorted(set(line.split(":", 1)[1]
+                                                   .split()))))
+                    if p == 0:
+                        break
     except OSError:
         pass
-    import platform
-    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+    if best is None:
+        import platform
+        best = (9, f"{platform.machine()} {platform.processor()}")
+    return hashlib.sha256(best[1].encode()).hexdigest()[:12]
+
+
+def configure_jax_compile_cache(root: str) -> str:
+    """Point jax's persistent compile cache at ``root/<fingerprint>`` with
+    no size/time thresholds. One shared implementation for the CLI, the
+    bench, and the test session — on migratable VMs, AOT entries from a
+    different boot's CPU feature set can SIGILL when loaded, so the
+    fingerprint keeps them unreachable."""
+    import os
+
+    import jax
+
+    d = os.path.join(root, cpu_feature_fingerprint())
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    try:
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+    return d
