@@ -69,6 +69,42 @@ def test_ccsds122_lossless(smooth_tile):
     assert res.extras["bpp_target_band"] == 16.0
 
 
+def test_ccsds122_lossless_wenc_streams(smooth_tile):
+    """Effective-lossless points code through the quadruple wenc backend
+    (no truncatability needed): streams decode exactly via the documented
+    recipe, sizes equal the device model, and never exceed the embedded
+    coder's output for the same coefficients."""
+    import jax.numpy as jnp
+    from tpukit.codecs import wavelet_common as wc
+    from tpukit.kernels import dwt as dwtk
+
+    res = CCSDS122Codec().run(smooth_tile, "uint16", RateSpec.none(),
+                              keep_bitstream=True)
+    assert sum(len(v) for v in res.bitstreams.values()) == \
+        res.bitstream_bytes
+    B, H, W = smooth_tile.shape
+    work, H0, W0 = wc.pad_to_multiple(smooth_tile.astype(np.int32), 8)
+    Hp, Wp = work.shape[-2:]
+    order = wc.scan_order(Hp, Wp, 3)
+    segb = wc.subband_seg_bounds(Hp, Wp, 3)
+    planes = []
+    sh = None
+    for b in range(B):
+        s = res.bitstreams[f"b{b+1:02d}.bit"]
+        sh = s[0]
+        c = np.zeros(Hp * Wp, np.int32)
+        c[order] = wc.wenc_decode(s[1:], Hp * Wp, segb)
+        planes.append(c.reshape(Hp, Wp))
+        # never larger than the embedded coder's stream for the same data
+        coefs = np.asarray(dwtk.dwt2(
+            jnp.asarray(work[b:b + 1] >> sh), "97m", 3))[0]
+        assert len(s) - 1 <= len(wc.bpc_encode(coefs.ravel()[order]))
+    rec = np.asarray(dwtk.idwt2(jnp.asarray(np.stack(planes)),
+                                "97m", 3))[:, :H0, :W0]
+    np.testing.assert_array_equal((rec << sh).astype(np.uint16),
+                                  smooth_tile)
+
+
 def test_ccsds122_rate_control(smooth_tile):
     B, H, W = smooth_tile.shape
     for bpp in (4.0, 2.0, 1.0):

@@ -13,12 +13,16 @@ Behavior surface mirrors the reference wrapper
 The transform is the standard's reversible integer 9/7M DWT (3 levels,
 CCSDS 122.0-B §3.3) on device with the standard's subband weights applied
 on rate-limited points (§3.6 — bit-plane significance then tracks pixel
-distortion; measured +0.9..+3.5 dB at 0.5-2 bpp); the entropy stage is
-tpukit's embedded bit-plane coder, truncated at the per-band byte budget
-— functionally
-equivalent rate control to the BPE's `-r {bpp}` (the reference's BPE is a
-user-supplied Windows binary, so bitstream-level parity is out of scope
-by construction; rate/quality behavior is the contract).
+distortion; measured +0.9..+3.5 dB at 0.5-2 bpp); the entropy stage on
+rate-limited points is tpukit's embedded bit-plane coder, truncated at
+the per-band byte budget — functionally equivalent rate control to the
+BPE's `-r {bpp}` (the reference's BPE is a user-supplied Windows binary,
+so bitstream-level parity is out of scope by construction; rate/quality
+behavior is the contract). Effective-lossless points (the reference drops
+`-r` entirely) need no truncatability, so they code through the quadruple
+wenc backend (wavelet_common: Rice / run-length / Rice-split / embedded,
+min-selected per band over exact device size models) — measured 3-6%
+smaller lossless streams than the embedded coder alone.
 
 TPU-first execution: the rate ladder never moves coefficient planes over
 the link. `bitplane_model.bpc_truncated_decode` reproduces the native
@@ -112,6 +116,26 @@ def _analyze_ladder_device(work, order, budgets, wmap, weighted: bool,
     return rec, nbytes, perm
 
 
+@partial(jax.jit, static_argnames=("segbounds", "shift"))
+def _lossless_analyze_device(work, order, segbounds, shift: int = 0):
+    """Effective-lossless analysis: the stream needs no truncatability
+    (the reference drops `-r` entirely, ccsds122_wrap.py:107/:121), so the
+    entropy stage is the quadruple wenc backend (Rice / run-length /
+    Rice-split / bit-plane, min-selected per band over exact device size
+    models — j2k_codec.wenc_size_bytes) instead of the embedded coder:
+    measured 3-6% smaller lossless streams. Returns ((B,n) scan-ordered
+    coefficients — the untruncated decode is exact, so they ARE the recon
+    coefficients — and (B,) exact stream bytes)."""
+    from tpukit.codecs.j2k_codec import wenc_size_bytes
+
+    B = work.shape[0]
+    if shift:
+        work = work >> shift
+    coefs = dwtk.dwt2(work, "97m", LEVELS)
+    perm = coefs.reshape(B, -1)[:, order]
+    return perm, wenc_size_bytes(perm, segbounds)
+
+
 @partial(jax.jit, static_argnames=("Hp", "Wp", "H0", "W0", "out_dtype",
                                    "shift"))
 def _synthesize_device(rec, inv, Hp, Wp, H0, W0, out_dtype, lo, hi,
@@ -166,6 +190,7 @@ class CCSDS122Codec(Codec):
         parts = {}
         for i, (_, budget) in enumerate(points):
             parts.setdefault(budget > 0, []).append(i)
+        segb = wc.subband_seg_bounds(Hp, Wp, LEVELS)
         for weighted, ixs in parts.items():
             # the shift applies to effective-lossless points only (a
             # rate-limited stream is budget-truncated either way)
@@ -173,13 +198,22 @@ class CCSDS122Codec(Codec):
             host_perm = None
             t0 = time.perf_counter()
             with mem_phase("comp"):
-                rec, nbytes, perm = _analyze_ladder_device(
-                    work, order,
-                    jnp.asarray([points[i][1] for i in ixs], jnp.int32),
-                    wmap, weighted, sh)
-                nbytes_host = np.asarray(nbytes)        # (len(ixs), B)
-                if sh:
-                    nbytes_host = nbytes_host + 1   # 1-byte shift prefix
+                if weighted:
+                    rec, nbytes, perm = _analyze_ladder_device(
+                        work, order,
+                        jnp.asarray([points[i][1] for i in ixs], jnp.int32),
+                        wmap, weighted, sh)
+                    nbytes_host = np.asarray(nbytes)    # (len(ixs), B)
+                else:
+                    # effective-lossless: untruncated streams through the
+                    # quadruple wenc backend; every such point shares one
+                    # analysis (identical recon and sizes)
+                    perm, sizes = _lossless_analyze_device(
+                        work, order, segb, sh)
+                    rec = perm[None]
+                    nbytes_host = np.broadcast_to(
+                        np.asarray(sizes)[None] + 1,    # 1-byte shift pfx
+                        (len(ixs), B))
                 if keep_bitstream:
                     # the ladder already holds the scan-ordered
                     # coefficients; this fetch is the materializing path's
@@ -208,18 +242,27 @@ class CCSDS122Codec(Codec):
                     # the .wbit suffix keeps them distinguishable on disk
                     # from raw-coefficient lossless streams (decode recipe:
                     # bpc_decode, then /subband_weight_map, then idwt)
-                    ext = "wbit" if weighted else "bit"
-                    # lossless .bit streams carry the 1-byte LSB-shift
-                    # prefix (decode: bpc_decode the rest, idwt, << shift)
-                    pre = bytes([sh]) if not weighted else b""
-                    streams = {f"b{b+1:02d}.{ext}":
-                               pre + wc.bpc_encode(host_perm[b], budget)
-                               for b in range(B)}
+                    if weighted:
+                        streams = {f"b{b+1:02d}.wbit":
+                                   wc.bpc_encode(host_perm[b], budget)
+                                   for b in range(B)}
+                    else:
+                        # lossless .bit streams: 1-byte LSB-shift prefix +
+                        # a wenc stream (marker-dispatched backend; decode:
+                        # wenc_decode the rest with the subband segbounds,
+                        # idwt, << shift)
+                        streams = {f"b{b+1:02d}.bit":
+                                   bytes([sh]) +
+                                   wc.wenc_encode(host_perm[b],
+                                                  segbounds=segb)
+                                   for b in range(B)}
                     t_streams = time.perf_counter() - t0
                 out[i] = CodecResult(
                     codec="ccsds122_ext", encoder=self.encoder_desc,
                     bitstream_bytes=int(nbytes_host[k].sum()),
-                    recon=recons[k],
+                    # all effective-lossless points share the single
+                    # analysis lane (recons has leading dim 1 there)
+                    recon=recons[k if weighted else 0],
                     t_comp_s=t_model / len(ixs) + t_streams,
                     t_dec_s=t_syn / len(ixs), bitstreams=streams,
                     extras={"bands": int(B),
