@@ -86,6 +86,18 @@ def test_main_dispatch_help(capsys):
     assert "run-codec" in out and "codec-ccsds121" in out
 
 
+def test_doctor_cli(capsys):
+    """Environment health check passes on a correctly provisioned box and
+    smoke round-trips every codec."""
+    from tpukit.cli.main import doctor_main
+    assert doctor_main(["--smoke"]) == 0
+    out = capsys.readouterr().out
+    assert "all required checks passed" in out
+    for name in ("ccsds121", "jpegls", "png", "j2k", "ccsds122",
+                 "ccsds123"):
+        assert f"codec {name}" in out
+
+
 def test_tile_complexity_cli(tile_file, capsys):
     from tpukit.cli.main import tile_complexity_main
     p, _ = tile_file

@@ -368,6 +368,96 @@ def tile_complexity_main(argv=None):
     return 0
 
 
+def doctor_main(argv=None):
+    """Deployment health check: backend/devices, native build, compile
+    caches, kernel map-count headroom, codec smoke round-trips. Exits
+    nonzero if any REQUIRED check fails (accelerator presence is
+    reported, not required — every path has a CPU fallback)."""
+    ap = argparse.ArgumentParser(
+        description="tpukit environment and install health check")
+    ap.add_argument("--smoke", action="store_true",
+                    help="also run tiny encode/decode round-trips through "
+                         "all six codecs (seconds)")
+    args = ap.parse_args(argv)
+    import os
+    failures = []
+
+    def row(name, ok, detail, required=True):
+        mark = "ok " if ok else ("FAIL" if required else "warn")
+        print(f"[{mark}] {name}: {detail}")
+        if required and not ok:
+            failures.append(name)
+
+    import platform
+    print(f"tpukit doctor — python {platform.python_version()} "
+          f"on {platform.machine()}")
+    try:
+        import jax
+        backend = jax.default_backend()
+        devs = jax.devices()
+        row("jax backend", True, f"{backend}, {len(devs)} device(s): "
+            f"{[str(d) for d in devs[:4]]}")
+        row("accelerator", backend not in ("cpu",),
+            "accelerator attached" if backend != "cpu"
+            else "CPU only (TPU paths fall back; fine for tests)",
+            required=False)
+    except Exception as e:
+        row("jax backend", False, f"import/init failed: {e}")
+
+    try:
+        from tpukit import native
+        path = native.build_library()
+        lib = native.load()
+        row("native library", True, f"{path.name} "
+            f"({len([s for s in dir(lib) if not s.startswith('_')])} syms)")
+    except Exception as e:
+        row("native library", False, f"build/load failed: {e}")
+
+    from tpukit.hostinfo import cpu_feature_fingerprint
+    fp = cpu_feature_fingerprint()
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "tpukit",
+                         "jax", fp)
+    n = len(os.listdir(cache)) if os.path.isdir(cache) else 0
+    row("compile cache", True,
+        f"{cache} ({n} entries, fingerprint {fp})", required=False)
+
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            mmc = int(f.read())
+        row("vm.max_map_count", mmc >= 131072,
+            f"{mmc}" + ("" if mmc >= 131072 else
+                        " — JIT-heavy runs (full test suite) may exhaust "
+                        "maps; raise to >=262144 (docs/SCALING.md)"),
+            required=False)
+    except OSError:
+        pass
+
+    if args.smoke:
+        import numpy as np
+        from tpukit.codecs.base import RateSpec
+        from tpukit.codecs.registry import create
+        rng = np.random.default_rng(0)
+        cube = ((rng.integers(0, 4096, (2, 64, 64)).astype(np.uint16))
+                << 4)
+        for name in ("ccsds121", "jpegls", "png", "j2k", "ccsds122",
+                     "ccsds123"):
+            try:
+                res = create(name).run(cube, "uint16", RateSpec.none(),
+                                       keep_bitstream=True)
+                exact = bool(np.array_equal(np.asarray(res.recon), cube))
+                row(f"codec {name}", exact,
+                    f"lossless round-trip, {res.bitstream_bytes} B")
+            except Exception as e:
+                row(f"codec {name}", False, f"{type(e).__name__}: {e}")
+
+    if failures:
+        print(f"doctor: {len(failures)} required check(s) failed: "
+              f"{failures}", file=sys.stderr)
+        return 1
+    print("doctor: all required checks passed")
+    return 0
+
+
 COMMANDS = {
     "run-codec": run_codec_main,
     "make-baseline-a": make_baseline_a_main,
@@ -377,6 +467,7 @@ COMMANDS = {
     "overlay-means": overlay_means_main,
     "fig-caseb": fig_caseb_main,
     "tile-complexity": tile_complexity_main,
+    "doctor": doctor_main,
 }
 
 
