@@ -173,7 +173,7 @@ def test_97_rd_matches_or_beats_openjpeg():
     plan = J2CPlan(img, 12, False, levels=5, wavelet="97")
     for rate in (4, 16, 64):
         buf = _io.BytesIO()
-        PILImage.fromarray(img, mode="I;16").save(
+        PILImage.fromarray(img).save(
             buf, format="JPEG2000", irreversible=True,
             quality_mode="rates", quality_layers=[rate])
         data = buf.getvalue()

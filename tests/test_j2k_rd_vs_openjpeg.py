@@ -32,7 +32,7 @@ def _psnr(a, b, peak=4095.0):
 
 def _opj_lossy(img: np.ndarray, rate: float):
     buf = io.BytesIO()
-    PIL.fromarray(img, mode="I;16").save(
+    PIL.fromarray(img).save(
         buf, format="JPEG2000", irreversible=True,
         quality_mode="rates", quality_layers=[rate])
     data = buf.getvalue()

@@ -16,7 +16,7 @@ warnings.filterwarnings("ignore", category=DeprecationWarning)
 
 
 def _write_jp2(path, arr, **kw):
-    im = PIL.fromarray(arr, mode="I;16")
+    im = PIL.fromarray(arr)
     im.save(str(path), irreversible=False, quality_mode="lossless", **kw)
 
 

@@ -55,7 +55,7 @@ def test_model_matches_coder_both_backends(rng):
         q = np.clip((rng.standard_t(3, n) * scale).astype(np.int64),
                     -2 ** 28, 2 ** 28 - 1).astype(np.int32)
         bs = wc.wenc_encode(q)
-        model = int(np.asarray(wenc_size_bytes(jnp.asarray(q[None]))))
+        model = int(np.asarray(wenc_size_bytes(jnp.asarray(q[None])))[0])
         assert model == len(bs), (t, scale, hex(bs[0]))
         assert np.array_equal(wc.wenc_decode(bs, n), q)
 
