@@ -63,30 +63,23 @@ def test_tpukit_decodes_charls_streams(rng, near):
         assert np.array_equal(dec, ref.astype(np.uint16)), (bits, near)
 
 
-def _scan_payload(stream: bytes) -> bytes:
-    """Entropy-coded bytes between the SOS header and EOI (CharLS
-    additionally emits an LSE preset marker before SOS at high precision;
-    the payload after SOS is the comparable part)."""
-    i = stream.find(b"\xff\xda")
-    ls = (stream[i + 2] << 8) | stream[i + 3]
-    return stream[i + 2 + ls:-2]
-
-
-def test_payload_byte_equal_charls(rng):
-    """tpukit's entropy-coded scan payload is BYTE-IDENTICAL to CharLS's
-    for the same (image, NEAR, bits) — same predictor, context model,
-    Golomb coding, run mode, default presets, bit order."""
+def test_full_stream_byte_equal_charls(rng):
+    """tpukit's WHOLE stream is BYTE-IDENTICAL to CharLS's for the same
+    (image, NEAR, bits) — same headers (incl. the LSE preset marker CharLS
+    emits at precision > 12), predictor, context model, Golomb coding, run
+    mode, default presets, bit order. The reference's `bitstream_bytes`
+    therefore reproduces exactly (encode_one_band.py:56)."""
     for img, bits in _images(rng):
         for near in (0, 2):
             src = img.astype(np.uint8 if bits <= 8 else np.uint16)
             bs_t = jls_encode(img.astype(np.uint16), near, bits)
             bs_c = co.encode(src, near=near, bits=bits)
-            assert _scan_payload(bs_t) == _scan_payload(bs_c), (bits, near)
+            assert bs_t == bs_c, (bits, near)
 
 
 def test_fuzz_cross_parity(rng):
-    """Random shapes/depths/NEARs: payload byte-equality with CharLS plus
-    both cross-decode directions in one pass."""
+    """Random shapes/depths/NEARs: whole-stream byte-equality with CharLS
+    plus both cross-decode directions in one pass."""
     for _ in range(60):
         bits = int(rng.integers(2, 17))
         hi = (1 << bits) - 1
@@ -102,7 +95,7 @@ def test_fuzz_cross_parity(rng):
         assert err.max() <= near, (bits, H, W, near)
         src = img.astype(np.uint8 if bits <= 8 else np.uint16)
         bs_c = co.encode(src, near=near, bits=bits)
-        assert _scan_payload(bs_t) == _scan_payload(bs_c), (bits, H, W, near)
+        assert bs_t == bs_c, (bits, H, W, near)
         ref_c, _ = co.decode(bs_c)
         assert np.array_equal(jls_decode(bs_c, W, H),
                               ref_c.astype(np.uint16)), (bits, H, W, near)

@@ -63,6 +63,11 @@ def run_codec_main(argv=None):
     ap.add_argument("--preproc", default=None)
     ap.add_argument("--nbit", type=int, default=None)
     ap.add_argument("--zlevel", type=int, default=None)
+    ap.add_argument("--png-writer", dest="png_writer",
+                    choices=("tpukit", "compat"), default=None,
+                    help="png: 'compat' writes via the reference's "
+                         "imageio/Pillow chain for byte-identical baseline "
+                         "sizes (png_wrap.py:76-116)")
     ap.add_argument("--crop-nodata", dest="crop_nodata", action="store_true",
                     help="ccsds123: skip coding of 100%% NoData tiles")
     ap.add_argument("--tilex", type=int, default=None,
@@ -113,6 +118,8 @@ def run_codec_main(argv=None):
                 copts[k] = v
         if args.crop_nodata:
             copts["crop_nodata"] = True
+        if args.png_writer is not None:
+            copts["writer"] = args.png_writer
         if args.rate_fit:
             copts["rate_fit"] = True
         codec = create(args.codec, **copts)

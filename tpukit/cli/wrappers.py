@@ -171,9 +171,14 @@ def jpegls_main(argv=None):
 def png_main(argv=None):
     def extra(ap):
         ap.add_argument("--zlevel", type=int, default=6)
+        ap.add_argument("--writer", choices=("tpukit", "compat"),
+                        default="tpukit",
+                        help="'compat' writes via the reference's "
+                             "imageio/Pillow chain for byte-identical "
+                             "baseline sizes (png_wrap.py:76-116)")
 
     def opts(a):
-        return dict(zlevel=a.zlevel)
+        return dict(zlevel=a.zlevel, writer=a.writer)
     return run_wrapper("png", argv, opts, extra)
 
 

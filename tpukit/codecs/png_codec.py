@@ -110,6 +110,32 @@ def png_encode(band: np.ndarray, zlevel: int = 6) -> bytes:
             _chunk(b"IEND", b""))
 
 
+def png_encode_compat(band: np.ndarray, zlevel: int = 6) -> bytes:
+    """Reference-chain PNG writer: imageio.v3 first, Pillow fallback, with
+    the exact arguments of reference png_wrap.py:76-116 — produces the SAME
+    bytes as the reference baseline, so CR/bpp columns reproduce exactly.
+    (pypng, the reference's third fallback, is not in this image; the first
+    two cover the chain because imageio wins whenever it is installed.)"""
+    import io
+    arr = np.ascontiguousarray(band)
+    if arr.dtype not in (np.dtype(np.uint16), np.dtype(np.uint8)):
+        arr = arr.astype(np.uint16, copy=False)
+    try:
+        import imageio.v3 as iio
+        buf = io.BytesIO()
+        iio.imwrite(buf, arr, extension=".png", compress_level=int(zlevel))
+        return buf.getvalue()
+    except Exception:
+        pass
+    from PIL import Image
+    im = Image.fromarray(arr)
+    if arr.dtype == np.uint16 and im.mode != "I;16":
+        im = im.convert("I;16")
+    buf = io.BytesIO()
+    im.save(buf, format="PNG", compress_level=int(zlevel))
+    return buf.getvalue()
+
+
 def png_decode(data: bytes) -> np.ndarray:
     """Decode grayscale PNG. Uses Pillow's C decoder when present (the
     reference PNG path is imageio/Pillow-backed anyway — png_wrap.py:118-146);
@@ -193,8 +219,11 @@ class PNGCodec(Codec):
     encoder_desc = "tpukit PNG (stdlib zlib, per-band 16-bit grayscale)"
     supports_lossy = False
 
-    def __init__(self, zlevel: int = 6):
+    def __init__(self, zlevel: int = 6, writer: str = "tpukit"):
+        if writer not in ("tpukit", "compat"):
+            raise ValueError(f"png writer must be tpukit|compat, got {writer!r}")
         self.zlevel = zlevel
+        self.writer = writer
 
     def run(self, cube: np.ndarray, dtype_name: str, rate: RateSpec,
             keep_bitstream: bool = False, **opts) -> CodecResult:
@@ -204,6 +233,7 @@ class PNGCodec(Codec):
         sum_bytes = 0
         recon = np.empty_like(cube)
 
+        enc = png_encode if self.writer == "tpukit" else png_encode_compat
         t0 = time.perf_counter()
         encoded = []
         with mem_phase("comp"):
@@ -211,7 +241,7 @@ class PNGCodec(Codec):
                 band = cube[i]
                 if band.dtype == np.int16:
                     band = band.view(np.uint16)  # lossless bit-view container
-                bs = png_encode(band, self.zlevel)
+                bs = enc(band, self.zlevel)
                 encoded.append(bs)
                 sum_bytes += len(bs)
                 if keep_bitstream:
@@ -235,5 +265,5 @@ class PNGCodec(Codec):
             t_comp_s=t_comp,
             t_dec_s=t_dec,
             bitstreams=streams if keep_bitstream else None,
-            extras={"zlevel": int(self.zlevel)},
+            extras={"zlevel": int(self.zlevel), "writer": self.writer},
         )

@@ -251,6 +251,17 @@ static int64_t jls_encode_impl(const uint16_t* img, int W, int H, int near,
     put16(H); put16(W);
     out.push_back(1);
     out.push_back(1); out.push_back(0x11); out.push_back(0);
+    if (bits > 12) {
+        // CharLS emits an LSE preset marker (T.87 C.2.4.1.1, id=1) for
+        // precision > 12, carrying MAXVAL and the DEFAULT thresholds it
+        // uses anyway; emit the identical marker for full-file parity
+        // (reference runs CharLS via imagecodecs, encode_one_band.py:56).
+        out.push_back(0xFF); out.push_back(0xF8);        // LSE
+        put16(13); out.push_back(1);
+        put16(maxval);
+        put16(p.t1); put16(p.t2); put16(p.t3);
+        put16(p.reset);
+    }
     out.push_back(0xFF); out.push_back(0xDA);            // SOS
     put16(8); out.push_back(1); out.push_back(1); out.push_back(0);
     out.push_back((uint8_t)near); out.push_back(0); out.push_back(0);

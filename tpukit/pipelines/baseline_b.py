@@ -470,7 +470,7 @@ def run(cfg: CaseBConfig) -> dict:
                                cfg.err_scale)
     try:
         from PIL import Image
-        Image.fromarray(u8, mode="L").save(err_png)
+        Image.fromarray(u8).save(err_png)
         artifacts["scene_err"] = err_png
     except Exception as e:
         # warn-and-continue policy (§5.3): quicklook artifacts are
@@ -504,7 +504,7 @@ def run(cfg: CaseBConfig) -> dict:
                                        vt, "max", cfg.k, cfg.err_scale)
             try:
                 from PIL import Image
-                Image.fromarray(u8t, mode="L").save(
+                Image.fromarray(u8t).save(
                     tpath.with_suffix(".ERRmax_vs16.png"))
             except Exception as e:
                 print(f"[WARN] tile error-map PNG failed: {e}")
