@@ -78,8 +78,8 @@ def test_ccsds122_lossless_wenc_streams(smooth_tile):
     from tpukit.codecs import wavelet_common as wc
     from tpukit.kernels import dwt as dwtk
 
-    res = CCSDS122Codec().run(smooth_tile, "uint16", RateSpec.none(),
-                              keep_bitstream=True)
+    res = CCSDS122Codec(entropy="embedded").run(
+        smooth_tile, "uint16", RateSpec.none(), keep_bitstream=True)
     assert sum(len(v) for v in res.bitstreams.values()) == \
         res.bitstream_bytes
     B, H, W = smooth_tile.shape
@@ -219,8 +219,8 @@ def test_ccsds122_streams_match_device_model(smooth_tile):
     from tpukit.kernels import dwt as dwtk
     import jax.numpy as jnp
 
-    res = CCSDS122Codec().run(smooth_tile, "uint16",
-                              RateSpec.of("bpp", 1.5), keep_bitstream=True)
+    res = CCSDS122Codec(entropy="embedded").run(
+        smooth_tile, "uint16", RateSpec.of("bpp", 1.5), keep_bitstream=True)
     assert res.bitstreams is not None
     assert sum(len(v) for v in res.bitstreams.values()) == res.bitstream_bytes
 
@@ -340,3 +340,49 @@ def test_j2k_lossless_lsb_shift(rng):
     full = rng.integers(0, 65536, (2, 64, 64)).astype(np.uint16)
     rf = codec.run(full, "uint16", spec, keep_bitstream=True)
     np.testing.assert_array_equal(np.asarray(rf.recon), full)
+
+
+def test_ccsds122_bpe_streams_roundtrip(smooth_tile):
+    """Default backend: CCSDS 122.0-B segment streams. keep_bitstream
+    materializes one .bpe stream per band; host-decoding them through
+    bpe122.decode_plane + inverse DWT must reproduce the codec's recon,
+    and an unbounded-rate run must be exactly lossless."""
+    import jax.numpy as jnp
+    from tpukit.codecs import bpe122
+    from tpukit.kernels import dwt as dwtk
+
+    res = CCSDS122Codec().run(smooth_tile, "uint16", RateSpec.none(),
+                              keep_bitstream=True)
+    assert res.extras["entropy"] == "bpe"
+    assert sum(len(v) for v in res.bitstreams.values()) == \
+        res.bitstream_bytes
+    np.testing.assert_array_equal(np.asarray(res.recon), smooth_tile)
+
+    B, H, W = smooth_tile.shape
+    Hp, Wp = -(-H // 8) * 8, -(-W // 8) * 8
+    planes = np.stack([bpe122.decode_plane(
+        res.bitstreams[f"b{b+1:02d}.bpe"], Hp, Wp) for b in range(B)])
+    rec = np.asarray(dwtk.idwt2(jnp.asarray(planes), "97m", 3))[:, :H, :W]
+    np.testing.assert_array_equal(rec.astype(np.uint16), smooth_tile)
+
+
+def test_ccsds122_bpe_rate_point_stream_parity(smooth_tile):
+    """A rate-limited BPE run: stream sizes respect the per-band budget
+    and decoding the kept segments reproduces the codec's recon exactly."""
+    import jax.numpy as jnp
+    from tpukit.codecs import bpe122
+    from tpukit.kernels import dwt as dwtk
+
+    B, H, W = smooth_tile.shape
+    res = CCSDS122Codec().run(smooth_tile, "uint16",
+                              RateSpec.of("bpp", 1.5), keep_bitstream=True)
+    budget = int(1.5 * H * W / 8)
+    for b in range(B):
+        assert len(res.bitstreams[f"b{b+1:02d}.bpe"]) <= budget
+    Hp, Wp = -(-H // 8) * 8, -(-W // 8) * 8
+    planes = np.stack([bpe122.decode_plane(
+        res.bitstreams[f"b{b+1:02d}.bpe"], Hp, Wp) for b in range(B)])
+    rec = np.asarray(dwtk.idwt2(jnp.asarray(planes), "97m", 3))[:, :H, :W]
+    info = np.iinfo(smooth_tile.dtype)
+    rec = np.clip(rec, info.min, info.max).astype(smooth_tile.dtype)
+    np.testing.assert_array_equal(np.asarray(res.recon), rec)

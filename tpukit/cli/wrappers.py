@@ -34,6 +34,15 @@ def _common(ap: argparse.ArgumentParser):
     g.add_argument("--quality", type=float)
     g.add_argument("--nearlossless_eps", type=int)
     g.add_argument("--lossless", action="store_true")
+    # reference-compat no-ops: the reference wrappers run external codec
+    # binaries, optionally under WSL with Windows temp bases
+    # (ccsds121_wrap.py:120-121, ccsds123_wrap.py:110-112, :121); tpukit
+    # codes in-framework, so scripts passing these must not crash
+    ap.add_argument("--run-in-wsl", action="store_true",
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--tmp-base", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--wsl-enc", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--wsl-dec", default=None, help=argparse.SUPPRESS)
 
 
 def _rate_from_args(args) -> RateSpec:
@@ -200,9 +209,17 @@ def j2k_main(argv=None):
 
 def ccsds122_main(argv=None):
     def extra(ap):
+        ap.add_argument("--entropy", choices=("bpe", "embedded"),
+                        default="bpe",
+                        help="'bpe' (default) emits CCSDS 122.0-B "
+                             "segment-structured streams; 'embedded' "
+                             "keeps the device-resident tpukit format")
         _add_tpl_args(ap,
                       'e.g. "bpe -e {in} -o {out} -r {bpp} -w {w} -h {h}"',
                       'e.g. "bpe -d {in} -o {out} -w {w} -h {h}"')
+
+    def opts(a):
+        return dict(entropy=a.entropy)
 
     def factory(a, o):
         if not _require_both_tpls(a):
@@ -210,7 +227,7 @@ def ccsds122_main(argv=None):
         from tpukit.codecs.extern import ExternalCodec
         return ExternalCodec(a.enc_cmd, a.dec_cmd, structure="band",
                              name="ccsds122_ext", use_uss=True)
-    return run_wrapper("ccsds122", argv, None, extra, codec_factory=factory)
+    return run_wrapper("ccsds122", argv, opts, extra, codec_factory=factory)
 
 
 def ccsds123_main(argv=None):

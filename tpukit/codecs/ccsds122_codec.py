@@ -149,9 +149,21 @@ def _synthesize_device(rec, inv, Hp, Wp, H0, W0, out_dtype, lo, hi,
 
 
 class CCSDS122Codec(Codec):
+    """entropy='bpe' (default) codes CCSDS 122.0-B segment-structured
+    streams (native/src/bpe122.cpp: headers, gaggle DC/depth coding,
+    stages 0-4, SegByteLimit truncation — see the conformance note
+    there); entropy='embedded' keeps the original tpukit embedded-coder
+    format whose rate ladder is fully device-resident."""
+
     name = "ccsds122"
     encoder_desc = "tpukit CCSDS-122-class (device 9/7M DWT + embedded bit-plane coder)"
+    bpe_desc = "tpukit CCSDS-122 BPE (9/7M DWT, segment/gaggle/stage structure)"
     supports_lossy = True
+
+    def __init__(self, entropy: str = "bpe"):
+        if entropy not in ("bpe", "embedded"):
+            raise ValueError(f"entropy must be bpe|embedded, got {entropy!r}")
+        self.entropy = entropy
 
     def budget_for(self, rate: RateSpec, B: int, H: int, W: int,
                    dtype_name: str):
@@ -163,11 +175,78 @@ class CCSDS122Codec(Codec):
         budget = 0 if lossless_req else int(target_bpp_band * H * W / 8.0)
         return target_bpp_band, budget
 
+    def _sweep_bpe(self, cube: np.ndarray, dtype_name: str, specs,
+                   keep_bitstream: bool = False, **opts) -> list:
+        """Standard-structure backend: one device DWT feeds the ladder;
+        streams are CCSDS 122.0-B segments from the native BPE, truncated
+        per budget. The standard codes raw pixel planes (no LSB shift —
+        the reference's bpe.exe sees unshifted samples too); zero LSB
+        planes of bit-packed baselines cost only near-empty planes."""
+        from tpukit.codecs import bpe122
+
+        specs = list(specs)
+        B, H, W = cube.shape
+        work = device_work(cube, opts, 1 << LEVELS, "int32")
+        Hp, Wp = work.shape[-2:]
+        info = np.iinfo(cube.dtype)
+        points = [self.budget_for(spec, B, H, W, dtype_name)
+                  for spec in specs]
+
+        t0 = time.perf_counter()
+        with mem_phase("comp"):
+            coefs = np.asarray(dwtk.dwt2(work, "97m", LEVELS))
+        t_dwt = time.perf_counter() - t0
+
+        # distinct budgets encode once; every spec reuses its point
+        out: list = [None] * len(points)
+        by_budget: Dict[int, list] = {}
+        for i, (_, budget) in enumerate(points):
+            by_budget.setdefault(budget, []).append(i)
+
+        signed = 1 if dtype_name.startswith("int") else 0
+        for budget, ixs in by_budget.items():
+            t0 = time.perf_counter()
+            with mem_phase("comp"):
+                streams = [bpe122.encode_plane(
+                    coefs[b], seg_byte_limit=budget, img_width=W,
+                    pad_rows=Hp - H, pixel_bitdepth=16,
+                    signed_pixels=signed) for b in range(B)]
+            t_enc = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            with mem_phase("dec"):
+                rec = np.stack([bpe122.decode_plane(s, Hp, Wp)
+                                for s in streams])
+                outp = dwtk.idwt2(jnp.asarray(rec), "97m", LEVELS)
+                recon = jnp.clip(outp[:, :H, :W], info.min,
+                                 info.max).astype(cube.dtype.name)
+                recon.block_until_ready()
+            t_dec = time.perf_counter() - t0
+
+            nbytes = sum(len(s) for s in streams)
+            for i in ixs:
+                target_bpp_band, _ = points[i]
+                out[i] = CodecResult(
+                    codec="ccsds122_ext", encoder=self.bpe_desc,
+                    bitstream_bytes=nbytes, recon=recon,
+                    t_comp_s=(t_dwt + t_enc) / len(ixs),
+                    t_dec_s=t_dec / len(ixs),
+                    bitstreams={f"b{b+1:02d}.bpe": streams[b]
+                                for b in range(B)} if keep_bitstream
+                    else None,
+                    extras={"bands": int(B),
+                            "bpp_target_band": float(target_bpp_band),
+                            "entropy": "bpe"})
+        return out
+
     def sweep_rates(self, cube: np.ndarray, dtype_name: str, specs,
                     keep_bitstream: bool = False, **opts) -> list:
         """Rate ladder, device-resident end to end: one DWT feeds every
         budget point; reconstructions and exact stream sizes come from the
         on-device truncated-decode model; host streams only on demand."""
+        if self.entropy == "bpe":
+            return self._sweep_bpe(cube, dtype_name, specs,
+                                   keep_bitstream=keep_bitstream, **opts)
         specs = list(specs)
         B, H, W = cube.shape
         work = device_work(cube, opts, 1 << LEVELS, "int32")

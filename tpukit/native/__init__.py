@@ -105,6 +105,9 @@ def _declare(lib: ctypes.CDLL) -> None:
         ("wrle_decode", i64, [u8p, i64, ct.POINTER(i64), i32, i32p, i64]),
         ("ck123_code", i64, [u32p, i64, i32, i32, u8p, i64]),
         ("ck123_decode", i64, [u8p, i64, i32, i32, u32p, i64]),
+        ("tpukit_bpe122_encode", i64, [i32p, i64, i64, i64, i32, i32,
+                                       i32, i32, u8p, i64]),
+        ("tpukit_bpe122_decode", i64, [u8p, i64, i64, i32p]),
     ]:
         try:
             fn = getattr(lib, name)
