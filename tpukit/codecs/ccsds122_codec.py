@@ -46,6 +46,7 @@ import numpy as np
 
 from tpukit.codecs.base import Codec, CodecResult, RateSpec, device_work
 from tpukit.codecs import bitplane_model as bm
+from tpukit.codecs import bpe122_model as bpm
 from tpukit.codecs import wavelet_common as wc
 from tpukit.kernels import dwt as dwtk
 from tpukit.sweep.proc import mem_phase
@@ -136,6 +137,49 @@ def _lossless_analyze_device(work, order, segbounds, shift: int = 0):
     return perm, wenc_size_bytes(perm, segbounds)
 
 
+@jax.jit
+def _bpe_ladder_device(work, gather, wexp, budgets):
+    """(B,Hp,Wp) int32 pixels + (Q,) byte budgets -> ((Q,B,Sp,64) int32
+    reconstructed WEIGHTED blocks, (Q,B) exact stream bytes) for the
+    CCSDS 122.0-B BPE backend.
+
+    The budget-independent stream layout (gaggle DC/depth sections,
+    per-coefficient acquisition ends, stage-4 positions) is computed ONCE
+    per band and shared across the ladder; each budget point pays only
+    the cut comparisons (bpe122_model.bpe_decode_at). lax.map over
+    budgets keeps the per-point decode intermediates at single-budget
+    size and compiles the point body once regardless of ladder length."""
+    B = work.shape[0]
+    coefs = dwtk.dwt2(work, "97m", LEVELS)
+    blocks = (coefs << wexp[None]).reshape(B, -1)[:, gather]
+    layouts = jax.vmap(bpm.bpe_stream_layout)(blocks)
+    rec, nbytes = jax.lax.map(
+        lambda b: jax.vmap(lambda l: bpm.bpe_decode_at(l, b))(layouts),
+        budgets)
+    return rec, nbytes, blocks
+
+
+@partial(jax.jit, static_argnames=("Hp", "Wp", "H0", "W0", "out_dtype"))
+def _bpe_synthesize_device(rec, scatter, wexp, Hp, Wp, H0, W0, out_dtype,
+                           lo, hi):
+    """(B, Sp, 64) weighted recon blocks -> (B, H0, W0) clipped pixels.
+    The pow2 subband weights (§3.6) divide back out with round-half-to-
+    even in exact integer arithmetic — bit-identical to
+    bpe122.decode_plane's float64 np.rint (truncated streams midpoint-
+    fill, so reconstructions need not stay weight multiples)."""
+    B = rec.shape[0]
+    nb = (Hp // 8) * (Wp // 8)
+    plane = rec[:, :nb].reshape(B, -1)[:, scatter].reshape(B, Hp, Wp)
+    k = wexp[None]
+    q = plane >> k
+    r = plane - (q << k)
+    half = (jnp.int32(1) << k) >> 1
+    up = (k > 0) & ((r > half) | ((r == half) & ((q & 1) == 1)))
+    plane = q + up.astype(jnp.int32)
+    out = dwtk.idwt2(plane, "97m", LEVELS)[:, :H0, :W0]
+    return jnp.clip(out, lo, hi).astype(out_dtype)
+
+
 @partial(jax.jit, static_argnames=("Hp", "Wp", "H0", "W0", "out_dtype",
                                    "shift"))
 def _synthesize_device(rec, inv, Hp, Wp, H0, W0, out_dtype, lo, hi,
@@ -177,11 +221,17 @@ class CCSDS122Codec(Codec):
 
     def _sweep_bpe(self, cube: np.ndarray, dtype_name: str, specs,
                    keep_bitstream: bool = False, **opts) -> list:
-        """Standard-structure backend: one device DWT feeds the ladder;
-        streams are CCSDS 122.0-B segments from the native BPE, truncated
-        per budget. The standard codes raw pixel planes (no LSB shift —
-        the reference's bpe.exe sees unshifted samples too); zero LSB
-        planes of bit-packed baselines cost only near-empty planes."""
+        """Standard-structure backend, device-resident: one device DWT +
+        one stream-layout analysis feed every budget point; exact stream
+        sizes and truncated reconstructions come from the on-device model
+        (bpe122_model, fuzz-pinned byte- and coefficient-exact vs the
+        native coder in tests/test_bpe122_model.py). The host BPE
+        materializes real CCSDS 122.0-B segments only when
+        ``keep_bitstream`` asks for them — and those sizes are asserted
+        against the model. The standard codes raw pixel planes (no LSB
+        shift — the reference's bpe.exe sees unshifted samples too);
+        zero LSB planes of bit-packed baselines cost only near-empty
+        planes."""
         from tpukit.codecs import bpe122
 
         specs = list(specs)
@@ -192,44 +242,57 @@ class CCSDS122Codec(Codec):
         points = [self.budget_for(spec, B, H, W, dtype_name)
                   for spec in specs]
 
-        t0 = time.perf_counter()
-        with mem_phase("comp"):
-            coefs = np.asarray(dwtk.dwt2(work, "97m", LEVELS))
-        t_dwt = time.perf_counter() - t0
-
-        # distinct budgets encode once; every spec reuses its point
+        # distinct budgets evaluate once; every spec reuses its point
         out: list = [None] * len(points)
         by_budget: Dict[int, list] = {}
         for i, (_, budget) in enumerate(points):
             by_budget.setdefault(budget, []).append(i)
+        budgets = list(by_budget)
 
+        gather, scatter = bpe122.block_indices(Hp, Wp)
+        wexp = bpe122.weight_exp_map(Hp, Wp)
+
+        t0 = time.perf_counter()
+        with mem_phase("comp"):
+            rec_all, nbytes_all, blocks = _bpe_ladder_device(
+                work, jnp.asarray(gather), jnp.asarray(wexp),
+                jnp.asarray(budgets, jnp.int32))
+            nbytes_all = np.asarray(nbytes_all)       # (Q, B) small fetch
+        t_ladder = time.perf_counter() - t0
+
+        blocks_host = np.asarray(blocks) if keep_bitstream else None
         signed = 1 if dtype_name.startswith("int") else 0
-        for budget, ixs in by_budget.items():
-            t0 = time.perf_counter()
-            with mem_phase("comp"):
-                streams = [bpe122.encode_plane(
-                    coefs[b], seg_byte_limit=budget, img_width=W,
-                    pad_rows=Hp - H, pixel_bitdepth=16,
-                    signed_pixels=signed) for b in range(B)]
-            t_enc = time.perf_counter() - t0
-
+        for qi, (budget, ixs) in enumerate(by_budget.items()):
             t0 = time.perf_counter()
             with mem_phase("dec"):
-                rec = np.stack([bpe122.decode_plane(s, Hp, Wp)
-                                for s in streams])
-                outp = dwtk.idwt2(jnp.asarray(rec), "97m", LEVELS)
-                recon = jnp.clip(outp[:, :H, :W], info.min,
-                                 info.max).astype(cube.dtype.name)
+                recon = _bpe_synthesize_device(
+                    rec_all[qi], jnp.asarray(scatter), jnp.asarray(wexp),
+                    Hp, Wp, H, W, cube.dtype.name,
+                    int(info.min), int(info.max))
                 recon.block_until_ready()
             t_dec = time.perf_counter() - t0
 
-            nbytes = sum(len(s) for s in streams)
+            streams = None
+            t_enc = 0.0
+            if keep_bitstream:
+                t0 = time.perf_counter()
+                with mem_phase("comp"):
+                    streams = [bpe122.bpe_encode_blocks(
+                        blocks_host[b], seg_byte_limit=budget,
+                        img_width=W, pad_rows=Hp - H, pixel_bitdepth=16,
+                        signed_pixels=signed) for b in range(B)]
+                t_enc = time.perf_counter() - t0
+                assert [len(s) for s in streams] == \
+                    nbytes_all[qi].tolist(), "bpe122 device size model " \
+                    "disagrees with the native coder"
+
+            nbytes = int(nbytes_all[qi].sum())
             for i in ixs:
                 target_bpp_band, _ = points[i]
                 out[i] = CodecResult(
                     codec="ccsds122_ext", encoder=self.bpe_desc,
                     bitstream_bytes=nbytes, recon=recon,
-                    t_comp_s=(t_dwt + t_enc) / len(ixs),
+                    t_comp_s=(t_ladder / len(budgets) + t_enc) / len(ixs),
                     t_dec_s=t_dec / len(ixs),
                     bitstreams={f"b{b+1:02d}.bpe": streams[b]
                                 for b in range(B)} if keep_bitstream
