@@ -172,3 +172,67 @@ def test_spectral_predictor_beats_1d_coder(rng):
     np.testing.assert_array_equal(np.asarray(r123.recon), cube)
     assert r123.bitstream_bytes < r121.bitstream_bytes * 0.92, \
         (r123.bitstream_bytes, r121.bitstream_bytes)
+
+
+# ---- predictor='standard': CCSDS 123.0-B conformant path ----------------
+
+def test_standard_roundtrip_int16(spectral_cube):
+    res = CCSDS123Codec(predictor="standard").run(
+        spectral_cube, "int16", RateSpec.none(), keep_bitstream=True)
+    np.testing.assert_array_equal(res.recon, spectral_cube)
+    assert res.extras["predictor"] == "standard"
+    assert "123.0-B" in res.encoder
+
+
+def test_standard_roundtrip_uint16_random(rng):
+    cube = rng.integers(0, 65536, (6, 16, 16)).astype(np.uint16)
+    res = CCSDS123Codec(predictor="standard").run(
+        cube, "uint16", RateSpec.none())
+    np.testing.assert_array_equal(res.recon, cube)
+
+
+def test_standard_header_fields(spectral_cube):
+    """Blue Book §5.3 header: geometry and parameters parse back."""
+    from tpukit.codecs import ccsds123_std as std
+    res = CCSDS123Codec(predictor="standard").run(
+        spectral_cube, "int16", RateSpec.none(), keep_bitstream=True)
+    bs = next(iter(res.bitstreams.values()))
+    info = std.stream_info(bs)
+    B, H, W = spectral_cube.shape
+    assert (info["bands"], info["height"], info["width"]) == (B, H, W)
+    assert info["D"] == 16 and info["signed"] and info["P"] == 3
+    assert info["full_mode"] and not info["column_sums"]
+    assert info["umax"] == 16
+
+
+def test_standard_tiled_roundtrip(spectral_cube):
+    res = CCSDS123Codec(tile=16, predictor="standard").run(
+        spectral_cube, "int16", RateSpec.none(), keep_bitstream=True)
+    np.testing.assert_array_equal(res.recon, spectral_cube)
+    assert len(res.bitstreams) == 4
+    assert all(k.endswith(".l123") for k in res.bitstreams)
+
+
+def test_standard_modes_roundtrip(rng):
+    """Reduced mode and column-oriented local sums round-trip too."""
+    from tpukit.codecs import ccsds123_std as std
+    cube = (rng.integers(0, 4096, (5, 17, 23)) << 2).astype(np.uint16)
+    for full in (True, False):
+        for colsum in (False, True):
+            bs = std.encode(cube, is_signed=False, full_mode=full,
+                            colsum=colsum)
+            info = std.stream_info(bs)
+            assert info["full_mode"] == full
+            assert info["column_sums"] == colsum
+            np.testing.assert_array_equal(std.decode(bs), cube)
+
+
+def test_standard_beats_1d_coder(spectral_cube):
+    """The sample-adaptive inter-band predictor must also exploit
+    spectral redundancy (sanity: smaller than the 1-D CCSDS-121 coder)."""
+    from tpukit.codecs.ccsds121_codec import CCSDS121Codec
+    r_std = CCSDS123Codec(predictor="standard").run(
+        spectral_cube, "int16", RateSpec.none())
+    r121 = CCSDS121Codec(tile=32, preproc="none").run(
+        spectral_cube, "int16", RateSpec.none())
+    assert r_std.bitstream_bytes < r121.bitstream_bytes

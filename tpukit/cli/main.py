@@ -70,6 +70,11 @@ def run_codec_main(argv=None):
                          "sizes (png_wrap.py:76-116)")
     ap.add_argument("--crop-nodata", dest="crop_nodata", action="store_true",
                     help="ccsds123: skip coding of 100%% NoData tiles")
+    ap.add_argument("--predictor", choices=("ls", "standard"), default=None,
+                    help="ccsds123: 'standard' emits CCSDS 123.0-B "
+                         "conformant streams (sample-adaptive predictor + "
+                         "GPO2, Blue Book header); 'ls' (default) keeps "
+                         "the TPU-first transmitted-weights design")
     ap.add_argument("--tilex", type=int, default=None,
                     help="j2k: independent-tile width (TILEXSIZE)")
     ap.add_argument("--tiley", type=int, default=None,
@@ -112,7 +117,7 @@ def run_codec_main(argv=None):
     else:
         copts = {}
         for k in ("tile", "interleave", "preproc", "nbit", "zlevel",
-                  "tilex", "tiley", "entropy"):
+                  "tilex", "tiley", "entropy", "predictor"):
             v = getattr(args, k)
             if v is not None:
                 copts[k] = v

@@ -242,6 +242,12 @@ def ccsds123_main(argv=None):
                         action="store_true",
                         help="write the recon GeoTIFF with sparse blocks "
                              "(GDAL SPARSE_OK equivalent)")
+        ap.add_argument("--predictor", choices=("ls", "standard"),
+                        default="ls",
+                        help="'standard' emits CCSDS 123.0-B conformant "
+                             "streams (sample-adaptive predictor + GPO2); "
+                             "'ls' (default) keeps the TPU-first "
+                             "transmitted-weights design")
         _add_tpl_args(ap,
                       'e.g. "enc123 -i {in} -o {out} -w {w} -h {h} '
                       '-b {bands} --mode {mode} --dtype {dtype}"',
@@ -250,7 +256,7 @@ def ccsds123_main(argv=None):
 
     def opts(a):
         return dict(tile=a.tile, interleave=a.interleave,
-                    crop_nodata=a.crop_nodata)
+                    crop_nodata=a.crop_nodata, predictor=a.predictor)
 
     def factory(a, o):
         if not _require_both_tpls(a):

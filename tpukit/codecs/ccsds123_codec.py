@@ -148,9 +148,19 @@ def decode_model(mapped: jax.Array, wq: jax.Array) -> jax.Array:
 
 
 class CCSDS123Codec(Codec):
+    """predictor='ls' (default) is tpukit's TPU-first redesign: closed-form
+    least-squares band weights transmitted in the stream, device band scan
+    decode. predictor='standard' codes CCSDS 123.0-B conformant streams —
+    the Blue Book's sample-adaptive predictor (local sums + per-sample LMS
+    weight updates) and sample-adaptive GPO2 coder with the §5.3 header
+    (native/src/ccsds123std.cpp), the same algorithm the reference runs
+    through the CNES enc123/dec123 binaries (ccsds123_wrap.py:8)."""
+
     name = "ccsds123"
     encoder_desc = ("tpukit CCSDS-123-class (LS-adaptive inter-band predictor "
                     "+ block-adaptive Golomb)")
+    std_desc = ("tpukit CCSDS-123.0-B (sample-adaptive predictor + "
+                "sample-adaptive GPO2)")
     supports_lossy = False
     # the reference wrapper copies the source's validity mask into the
     # reconstruction (ccsds123_wrap.py:279-283 dst.write_mask)
@@ -160,10 +170,14 @@ class CCSDS123Codec(Codec):
     strip_exact = True
 
     def __init__(self, tile: int = 512, interleave: str = "bsq",
-                 crop_nodata: bool = False):
+                 crop_nodata: bool = False, predictor: str = "ls"):
+        if predictor not in ("ls", "standard"):
+            raise ValueError(f"predictor must be ls|standard, "
+                             f"got {predictor!r}")
         self.tile = tile
         self.interleave = interleave
         self.crop_nodata = crop_nodata
+        self.predictor = predictor
 
     @staticmethod
     def _tile_all_nodata(tile_bsq: np.ndarray, nd, mask_win) -> bool:
@@ -199,8 +213,10 @@ class CCSDS123Codec(Codec):
         shift = trailing_zero_shift(cube)
         # HBM-resident uint16 source (rides the runner's metric upload
         # when present — shared shape/dtype adoption rules in
-        # base.device_work); tiles slice from it on device
-        devw = device_work(cube, opts, 1, "uint16")
+        # base.device_work); tiles slice from it on device. The standard
+        # path is host-only (serial per-sample recurrence) — no upload.
+        devw = (device_work(cube, opts, 1, "uint16")
+                if self.predictor == "ls" else None)
         streams: Dict[str, bytes] = {}
         sum_bytes = 0
         t_comp = t_dec = 0.0
@@ -225,6 +241,31 @@ class CCSDS123Codec(Codec):
                         recon[:, y0:y0 + th, x0:x0 + tw] = np.asarray(
                             fill, cube.dtype)
                     skipped += 1
+                    continue
+
+                if self.predictor == "standard":
+                    # CCSDS 123.0-B conformant stream: the Blue Book's
+                    # sample-adaptive recurrence is serial per sample, so
+                    # this path runs in-process C++ (ccsds123_std)
+                    from tpukit.codecs import ccsds123_std as std
+                    signed = cube.dtype == np.int16
+                    t0 = time.perf_counter()
+                    with mem_phase("comp"):
+                        bs = std.encode(
+                            np.ascontiguousarray(tile_bsq).view(np.uint16),
+                            is_signed=signed)
+                    t_comp += time.perf_counter() - t0
+                    sum_bytes += len(bs)
+                    if keep_bitstream:
+                        streams[f"t_x{x0:05d}_y{y0:05d}.l123"] = bs
+                    t0 = time.perf_counter()
+                    with mem_phase("dec"):
+                        rec = std.decode(bs).view(cube.dtype)
+                        if single:
+                            recon = rec
+                        else:
+                            recon[:, y0:y0 + th, x0:x0 + tw] = rec
+                    t_dec += time.perf_counter() - t0
                     continue
 
                 t0 = time.perf_counter()
@@ -276,7 +317,8 @@ class CCSDS123Codec(Codec):
         bpp_total = sum_bytes * 8.0 / max(total_pixels, 1)
         return CodecResult(
             codec="ccsds123_ext",
-            encoder=self.encoder_desc,
+            encoder=(self.std_desc if self.predictor == "standard"
+                     else self.encoder_desc),
             bitstream_bytes=sum_bytes,
             recon=recon,
             t_comp_s=t_comp,
@@ -284,6 +326,7 @@ class CCSDS123Codec(Codec):
             bitstreams=streams if keep_bitstream else None,
             extras={
                 "mode": "lossless_only",
+                "predictor": self.predictor,
                 "bands": int(B), "dtype": dtype_name, "tile": int(tile),
                 "bpp_effective_total": float(bpp_total),
                 "bpp_effective_per_band": float(bpp_total / max(B, 1)),

@@ -1,0 +1,68 @@
+# -*- coding: utf-8 -*-
+"""CCSDS 123.0-B standard-mode bindings: the Blue Book's sample-adaptive
+predictor + sample-adaptive GPO2 coder (native/src/ccsds123std.cpp).
+
+This is the standard-conformant path the reference exercises through the
+CNES enc123/dec123 binaries (reference tools/codecs/ccsds123/
+ccsds123_wrap.py:8, :111-112); tpukit's TPU-first LS predictor
+(ccsds123_codec.encode_model) remains the default. The per-sample weight
+update is serial in raster order, so this path runs in-process C++ like
+tpukit's other bit-exact sequential coders.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from tpukit.native import load as load_native
+
+
+def encode(cube: np.ndarray, is_signed: bool, D: int = 16, P: int = 3,
+           full_mode: bool = True, colsum: bool = False) -> bytes:
+    """(B, H, W) uint16-viewed BSQ cube -> CCSDS 123.0-B stream."""
+    lib = load_native()
+    cube = np.ascontiguousarray(cube, np.uint16)
+    B, H, W = cube.shape
+    cap = 19 + cube.size * 4 + 4096    # worst case ~2x expansion headroom
+    out = np.empty(cap, np.uint8)
+    n = lib.ck123std_encode(
+        cube.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        B, H, W, int(D), int(bool(is_signed)), int(P),
+        int(bool(full_mode)), int(bool(colsum)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        raise RuntimeError("ccsds123 standard encode failed")
+    return out[:n].tobytes()
+
+
+def stream_info(stream: bytes) -> dict:
+    """Parse the §5.3 header: geometry + key parameters."""
+    lib = load_native()
+    buf = np.frombuffer(stream, np.uint8)
+    info = np.zeros(9, np.int32)
+    if lib.ck123std_info(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+            info.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))) != 0:
+        raise ValueError("bad CCSDS-123 header")
+    return {"bands": int(info[0]), "height": int(info[1]),
+            "width": int(info[2]), "D": int(info[3]),
+            "signed": bool(info[4]), "P": int(info[5]),
+            "full_mode": bool(info[6]), "column_sums": bool(info[7]),
+            "umax": int(info[8])}
+
+
+def decode(stream: bytes) -> np.ndarray:
+    """CCSDS 123.0-B stream -> (B, H, W) uint16-viewed BSQ cube."""
+    lib = load_native()
+    info = stream_info(stream)
+    B, H, W = info["bands"], info["height"], info["width"]
+    buf = np.frombuffer(stream, np.uint8)
+    out = np.zeros((B, H, W), np.uint16)
+    got = lib.ck123std_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), out.size)
+    if got != out.size:
+        raise RuntimeError("ccsds123 standard decode failed")
+    return out

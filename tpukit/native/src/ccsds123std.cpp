@@ -1,0 +1,468 @@
+// CCSDS 123.0-B-1 lossless multispectral/hyperspectral compression:
+// the STANDARD's sample-adaptive predictor (local sums + weight-adaptive
+// linear prediction with per-sample LMS updates) and sample-adaptive
+// GPO2 entropy coder, with the Blue Book §5.3 header bit layout.
+//
+// This is the standard-conformant companion to tpukit's TPU-first
+// CCSDS-123-class LS predictor (codecs/ccsds123_codec.py): the reference
+// pipeline wraps the CNES enc123/dec123 binaries implementing this
+// algorithm (reference tools/codecs/ccsds123/ccsds123_wrap.py:8,
+// :129-153), and the per-sample weight-update recurrence is inherently
+// serial in raster order — exactly the kind of sequential bit-exact
+// stage tpukit runs in-process C++ (like the J2K MQ coder and the
+// CCSDS-121 packers) while the batched modeling stages stay on device.
+//
+// Coverage (all parameters recorded in the header, §5.3):
+//   * prediction: full or reduced mode, neighbor- or column-oriented
+//     local sums, P in [0,15] previous bands, default weight init,
+//     register size R, weight resolution Om, update scaling v_min/v_max
+//     with interval 2^kappa
+//   * entropy: sample-adaptive GPO2 with unary limit U_max, counter
+//     gamma0/gamma*, accumulator init constant K; the first sample of
+//     each band rides uncompressed in D bits
+//   * encoding order: BSQ (the reference wrapper's default interleave,
+//     ccsds123_wrap.py:116)
+// Lossless only — the reference pipeline runs the CNES coder with
+// quantizer_fidelity_control_method = 0 (ccsds123_wrap.py:8).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+#include "bitio.hpp"
+
+namespace {
+
+using tpukit::BitReader;
+using tpukit::BitWriter;
+
+struct Params {
+    int32_t Nx, Ny, Nz;
+    int D = 16;
+    bool is_signed = false;
+    int P = 3;
+    bool full = true;      // full (directional + central) prediction mode
+    bool colsum = false;   // column-oriented local sums
+    int R = 32;            // register size (max(32, D+Om+2) <= R <= 64)
+    int Om = 13;           // weight component resolution (4..19)
+    int kappa = 6;         // weight update interval t_inc = 2^kappa (4..11)
+    int vmin = -1, vmax = 3;  // update scaling exponents (-6..9)
+    int Umax = 16;         // unary length limit (8..32)
+    int g0 = 1;            // initial count exponent (1..8)
+    int gstar = 6;         // rescaling counter size (max(4,g0+1)..9)
+    int K = 5;             // accumulator init constant (0..min(D-2,14))
+
+    int64_t smin() const { return is_signed ? -(1ll << (D - 1)) : 0; }
+    int64_t smax() const {
+        return is_signed ? (1ll << (D - 1)) - 1 : (1ll << D) - 1;
+    }
+    int64_t smid() const { return is_signed ? 0 : 1ll << (D - 1); }
+};
+
+inline int64_t mod_star(int64_t x, int R) {
+    // mod*_R[x] = ((x + 2^(R-1)) mod 2^R) - 2^(R-1)
+    uint64_t mask = (R >= 64) ? ~0ull : ((1ull << R) - 1);
+    uint64_t y = ((uint64_t)x + (1ull << (R - 1))) & mask;
+    return (int64_t)y - (1ll << (R - 1));
+}
+
+inline int64_t clampi(int64_t v, int64_t lo, int64_t hi) {
+    return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// ---- header (§5.3): 12-byte image + 5-byte predictor + 2-byte entropy ----
+
+void write_header(BitWriter& bw, const Params& p) {
+    // image metadata (96 bits)
+    bw.put_bits(0, 8);                        // user-defined data
+    bw.put_bits((uint64_t)p.Nx & 0xFFFF, 16); // X size mod 2^16
+    bw.put_bits((uint64_t)p.Ny & 0xFFFF, 16); // Y size mod 2^16
+    bw.put_bits((uint64_t)p.Nz & 0xFFFF, 16); // Z size mod 2^16
+    bw.put_bits(p.is_signed ? 1 : 0, 1);      // sample type
+    bw.put_bits(0, 2);                        // reserved
+    bw.put_bits((uint64_t)(p.D & 15), 4);     // dynamic range mod 16
+    bw.put_bits(1, 1);                        // encoding order: 1 = BSQ
+    bw.put_bits(0, 16);                       // sub-frame interleaving depth
+    bw.put_bits(0, 2);                        // reserved
+    bw.put_bits(1, 3);                        // output word size (bytes)
+    bw.put_bits(0, 1);                        // entropy coder: sample-adaptive
+    bw.put_bits(0, 10);                       // reserved
+    // predictor metadata (40 bits)
+    bw.put_bits(0, 2);                        // reserved
+    bw.put_bits((uint64_t)p.P, 4);            // prediction bands
+    bw.put_bits(p.full ? 0 : 1, 1);           // mode: 0 full, 1 reduced
+    bw.put_bits(0, 1);                        // reserved
+    bw.put_bits(p.colsum ? 1 : 0, 1);         // local sum: 1 column-oriented
+    bw.put_bits(0, 1);                        // reserved
+    bw.put_bits((uint64_t)(p.R & 63), 6);     // register size mod 64
+    bw.put_bits((uint64_t)(p.Om - 4), 4);     // weight resolution - 4
+    bw.put_bits((uint64_t)(p.kappa - 4), 4);  // log2(t_inc) - 4
+    bw.put_bits((uint64_t)(p.vmin + 6), 4);   // v_min + 6
+    bw.put_bits((uint64_t)(p.vmax + 6), 4);   // v_max + 6
+    bw.put_bits(0, 1);                        // reserved
+    bw.put_bits(0, 1);                        // weight init method: default
+    bw.put_bits(0, 1);                        // weight init table flag
+    bw.put_bits(0, 5);                        // weight init resolution
+    // entropy coder metadata, sample-adaptive (16 bits)
+    bw.put_bits((uint64_t)(p.Umax & 31), 5);  // unary length limit mod 32
+    bw.put_bits((uint64_t)(p.gstar - 4), 3);  // rescaling counter size - 4
+    bw.put_bits((uint64_t)(p.g0 & 7), 3);     // initial count exponent mod 8
+    bw.put_bits((uint64_t)p.K, 4);            // accumulator init constant
+    bw.put_bits(0, 1);                        // accumulator init table flag
+}
+
+bool read_header(BitReader& br, Params& p) {
+    br.get_bits(8);
+    p.Nx = (int32_t)br.get_bits(16);
+    p.Ny = (int32_t)br.get_bits(16);
+    p.Nz = (int32_t)br.get_bits(16);
+    if (p.Nx == 0) p.Nx = 1 << 16;   // mod-2^16 encoding of the full range
+    if (p.Ny == 0) p.Ny = 1 << 16;
+    if (p.Nz == 0) p.Nz = 1 << 16;
+    p.is_signed = br.get_bits(1) != 0;
+    br.get_bits(2);
+    p.D = (int)br.get_bits(4);
+    if (p.D == 0) p.D = 16;
+    if (br.get_bits(1) != 1) return false;    // only BSQ streams
+    br.get_bits(16);
+    br.get_bits(2);
+    br.get_bits(3);
+    if (br.get_bits(1) != 0) return false;    // only sample-adaptive
+    br.get_bits(10);
+    br.get_bits(2);
+    p.P = (int)br.get_bits(4);
+    p.full = br.get_bits(1) == 0;
+    br.get_bits(1);
+    p.colsum = br.get_bits(1) != 0;
+    br.get_bits(1);
+    p.R = (int)br.get_bits(6);
+    if (p.R == 0) p.R = 64;
+    p.Om = (int)br.get_bits(4) + 4;
+    p.kappa = (int)br.get_bits(4) + 4;
+    p.vmin = (int)br.get_bits(4) - 6;
+    p.vmax = (int)br.get_bits(4) - 6;
+    br.get_bits(1);
+    if (br.get_bits(1) != 0) return false;    // only default weight init
+    br.get_bits(1);
+    br.get_bits(5);
+    p.Umax = (int)br.get_bits(5);
+    if (p.Umax == 0) p.Umax = 32;
+    p.gstar = (int)br.get_bits(3) + 4;
+    p.g0 = (int)br.get_bits(3);
+    if (p.g0 == 0) p.g0 = 8;
+    p.K = (int)br.get_bits(4);
+    br.get_bits(1);
+    return !br.error;
+}
+
+// ---- shared predictor state for one band ----
+//
+// Encoder and decoder run the IDENTICAL per-sample recurrence; they
+// differ only in whether the sample is read (encode) or reconstructed
+// from the mapped residual (decode). Lossless, so the "reconstructed"
+// plane equals the source plane and feed-forward prediction is exact.
+
+struct BandPredictor {
+    const Params& p;
+    int z, Pz, C;
+    int64_t wmin_, wmax_, lo_, hi_;
+    int64_t W[19];        // weights: [dN dW dNW] (full) + central 1..Pz
+    int64_t U[19];        // local-difference vector of the current sample
+    int64_t sigma = 0, shat = 0, sddr = 0;
+
+    // planes: s_cur/s_prev = sample values as int64-convertible getters
+    const int32_t* cdiff_prev[15];  // previous bands' central differences
+    int32_t* cdiff_cur;
+
+    BandPredictor(const Params& pp, int zz, int32_t* cd_cur,
+                  const int32_t* const* cd_prev)
+        : p(pp), z(zz) {
+        Pz = std::min(z, p.P);
+        C = Pz + (p.full ? 3 : 0);
+        wmin_ = -(1ll << (p.Om + 3));
+        wmax_ = (1ll << (p.Om + 3)) - 1;
+        lo_ = (p.smin() << (p.Om + 2)) + (1ll << (p.Om + 1));
+        hi_ = (p.smax() << (p.Om + 2)) + (1ll << (p.Om + 1));
+        // default weight initialization (§4.6.3.2): central weight 1 is
+        // (7/8)*2^Om, each next an eighth of the previous; directional 0
+        int base = p.full ? 3 : 0;
+        for (int i = 0; i < base; i++) W[i] = 0;
+        int64_t wc = 7ll << (p.Om - 3);
+        for (int j = 0; j < Pz; j++) { W[base + j] = wc; wc >>= 3; }
+        cdiff_cur = cd_cur;
+        for (int j = 0; j < Pz; j++) cdiff_prev[j] = cd_prev[j];
+    }
+
+    // prediction for sample t (y,x); prev-row/current-row samples are
+    // read through `row` (current band, reconstructed == original)
+    template <class Row>
+    void predict(int64_t t, int32_t y, int32_t x, Row&& sample_at,
+                 int64_t s_z1_first) {
+        if (t == 0) {
+            shat = (z > 0 && p.P > 0) ? s_z1_first : p.smid();
+            sddr = 2 * shat;
+            return;
+        }
+        const int32_t Nx = p.Nx;
+        if (y == 0) {
+            sigma = 4 * sample_at(t - 1);
+        } else if (p.colsum) {
+            sigma = 4 * sample_at(t - Nx);
+        } else if (x == 0) {
+            sigma = 2 * (sample_at(t - Nx) + sample_at(t - Nx + 1));
+        } else if (x == Nx - 1) {
+            sigma = sample_at(t - 1) + sample_at(t - Nx - 1)
+                    + 2 * sample_at(t - Nx);
+        } else {
+            sigma = sample_at(t - 1) + sample_at(t - Nx - 1)
+                    + sample_at(t - Nx) + sample_at(t - Nx + 1);
+        }
+        int ci = 0;
+        if (p.full) {
+            if (y == 0) {
+                U[ci++] = 0; U[ci++] = 0; U[ci++] = 0;
+            } else {
+                int64_t sN = sample_at(t - Nx);
+                U[ci++] = 4 * sN - sigma;                        // d_N
+                U[ci++] = 4 * (x > 0 ? sample_at(t - 1) : sN) - sigma;
+                U[ci++] = 4 * (x > 0 ? sample_at(t - Nx - 1) : sN) - sigma;
+            }
+        }
+        for (int j = 0; j < Pz; j++) U[ci++] = cdiff_prev[j][t];
+        int64_t dhat = 0;
+        for (int i = 0; i < C; i++) dhat += W[i] * U[i];
+        int64_t stilde = clampi(
+            mod_star(dhat + ((sigma - 4 * p.smid()) << p.Om), p.R)
+                + (p.smid() << (p.Om + 2)) + (1ll << (p.Om + 1)),
+            lo_, hi_);
+        sddr = stilde >> (p.Om + 1);
+        shat = sddr >> 1;
+    }
+
+    // after the sample value s is known: record the central local
+    // difference and update the weights (§4.6.3.3)
+    void update(int64_t t, int64_t s) {
+        if (t > 0) cdiff_cur[t] = (int32_t)(4 * s - sigma);
+        else cdiff_cur[0] = 0;
+        if (t == 0) return;
+        int64_t e = 2 * s - sddr;
+        int64_t step = (t - p.Nx) >> p.kappa;           // floor division
+        int rho = (int)clampi(p.vmin + step, p.vmin, p.vmax) + p.D - p.Om;
+        int sgn = (e >= 0) ? 1 : -1;
+        for (int i = 0; i < C; i++) {
+            int64_t su = (int64_t)sgn * U[i];
+            int64_t scaled = (rho >= 0) ? (su >> rho) : (su << (-rho));
+            W[i] = clampi(W[i] + ((scaled + 1) >> 1), wmin_, wmax_);
+        }
+    }
+};
+
+// mapped-residual transform (§4.8) and inverse
+inline uint32_t map_residual(int64_t s, int64_t shat, int64_t sddr,
+                             int64_t smin, int64_t smax) {
+    int64_t delta = s - shat;
+    int64_t theta = std::min(shat - smin, smax - shat);
+    int64_t a = delta < 0 ? -delta : delta;
+    if (a > theta) return (uint32_t)(a + theta);
+    bool even = (sddr & 1) == 0;
+    if ((even && delta >= 0) || (!even && delta <= 0))
+        return (uint32_t)(2 * a);
+    return (uint32_t)(2 * a - 1);
+}
+
+inline int64_t unmap_residual(uint32_t mapped, int64_t shat, int64_t sddr,
+                              int64_t smin, int64_t smax) {
+    int64_t theta = std::min(shat - smin, smax - shat);
+    int64_t m = (int64_t)mapped;
+    bool even = (sddr & 1) == 0;
+    int64_t delta;
+    if (m > 2 * theta) {
+        int64_t mag = m - theta;
+        delta = (smax - shat > theta) ? mag : -mag;
+    } else if ((m & 1) == 0) {
+        delta = even ? m / 2 : -(m / 2);
+    } else {
+        delta = even ? -((m + 1) / 2) : (m + 1) / 2;
+    }
+    return shat + delta;
+}
+
+// sample-adaptive GPO2 state (§5.4.3): counter/accumulator per band
+struct SampleAdaptive {
+    uint64_t cnt, acc;
+    int D, Umax, gstar;
+
+    SampleAdaptive(const Params& p) : D(p.D), Umax(p.Umax), gstar(p.gstar) {
+        cnt = 1ull << p.g0;
+        acc = (((3ull << (p.K + 6)) - 49) * cnt) >> 7;
+    }
+    inline int select_k() const {
+        uint64_t thresh = acc + ((49 * cnt) >> 7);
+        int k = 0;
+        while (k < D - 2 && (cnt << (k + 1)) <= thresh) k++;
+        return (2 * cnt > thresh) ? 0 : k;
+    }
+    inline void update(uint32_t mapped) {
+        if (cnt < (1ull << gstar) - 1) { acc += mapped; cnt += 1; }
+        else { acc = (acc + mapped + 1) >> 1; cnt = (cnt + 1) >> 1; }
+    }
+};
+
+inline void put_gpo2(BitWriter& bw, uint32_t v, int k, int D, int Umax) {
+    uint32_t q = v >> k;
+    if (q < (uint32_t)Umax) {
+        bw.put_zeros(q);
+        bw.put_bits(1, 1);
+        if (k) bw.put_bits(v, k);
+    } else {
+        bw.put_zeros(Umax);
+        bw.put_bits(v, D);
+    }
+}
+
+inline uint32_t get_gpo2(BitReader& br, int k, int D, int Umax) {
+    uint32_t q = 0;
+    while (q < (uint32_t)Umax) {
+        if (br.get_bits(1)) return (q << k) | (uint32_t)br.get_bits(k);
+        q++;
+    }
+    return (uint32_t)br.get_bits(D);
+}
+
+inline int64_t sample_value(uint16_t raw, bool is_signed) {
+    return is_signed ? (int64_t)(int16_t)raw : (int64_t)raw;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode a BSQ (Nz, Ny, Nx) cube of uint16-viewed samples. Returns the
+// stream byte count, or -1 on overflow / bad parameters.
+long long ck123std_encode(const uint16_t* cube, int32_t Nz, int32_t Ny,
+                          int32_t Nx, int32_t D, int32_t is_signed,
+                          int32_t P, int32_t full_mode, int32_t colsum,
+                          uint8_t* out, long long cap) {
+    if (Nz <= 0 || Ny <= 0 || Nx <= 0 || D < 2 || D > 16 || P < 0 ||
+        P > 15)
+        return -1;
+    Params p;
+    p.Nx = Nx; p.Ny = Ny; p.Nz = Nz; p.D = D;
+    p.is_signed = is_signed != 0;
+    p.P = P; p.full = full_mode != 0; p.colsum = colsum != 0;
+    const int64_t NP = (int64_t)Ny * Nx;
+    const int64_t smin = p.smin(), smax = p.smax();
+
+    BitWriter bw(out, cap);
+    write_header(bw, p);
+
+    std::vector<int32_t> cdiff((size_t)(std::min(P, 15) + 1) * NP);
+    std::vector<int32_t*> ring;
+    for (int j = 0; j <= std::min(P, 15); j++)
+        ring.push_back(cdiff.data() + (size_t)j * NP);
+
+    for (int z = 0; z < Nz; z++) {
+        const uint16_t* plane = cube + (size_t)z * NP;
+        const int32_t* prev[15];
+        int Pz = std::min(z, P);
+        for (int j = 0; j < Pz; j++)
+            prev[j] = ring[(z - 1 - j) % (P + 1 > 0 ? P + 1 : 1)];
+        BandPredictor bp(p, z, ring[P > 0 ? z % (P + 1) : 0], prev);
+        SampleAdaptive sa(p);
+        int64_t s_z1 = z > 0
+            ? sample_value(cube[(size_t)(z - 1) * NP], p.is_signed) : 0;
+        auto sample_at = [&](int64_t t) {
+            return sample_value(plane[t], p.is_signed);
+        };
+        int64_t t = 0;
+        for (int32_t y = 0; y < Ny; y++) {
+            for (int32_t x = 0; x < Nx; x++, t++) {
+                bp.predict(t, y, x, sample_at, s_z1);
+                int64_t s = sample_value(plane[t], p.is_signed);
+                uint32_t mapped =
+                    map_residual(s, bp.shat, bp.sddr, smin, smax);
+                if (t == 0) {
+                    bw.put_bits(mapped, p.D);
+                } else {
+                    put_gpo2(bw, mapped, sa.select_k(), p.D, p.Umax);
+                    sa.update(mapped);
+                }
+                bp.update(t, s);
+            }
+        }
+    }
+    int64_t n = bw.bytes();
+    return bw.overflow ? -1 : n;
+}
+
+// Parse only the header: fills info[0..8] with Nz, Ny, Nx, D, signed,
+// P, full, colsum, Umax. Returns 0 on success.
+long long ck123std_info(const uint8_t* in, long long nbytes,
+                        int32_t* info) {
+    BitReader br(in, nbytes);
+    Params p;
+    p.Nx = p.Ny = p.Nz = 0;
+    if (!read_header(br, p)) return -1;
+    info[0] = p.Nz; info[1] = p.Ny; info[2] = p.Nx; info[3] = p.D;
+    info[4] = p.is_signed ? 1 : 0; info[5] = p.P;
+    info[6] = p.full ? 1 : 0; info[7] = p.colsum ? 1 : 0;
+    info[8] = p.Umax;
+    return 0;
+}
+
+// Decode a stream produced by ck123std_encode into a BSQ uint16-viewed
+// cube. Returns the sample count, or -1 on error.
+long long ck123std_decode(const uint8_t* in, long long nbytes,
+                          uint16_t* out, long long cap_samples) {
+    BitReader br(in, nbytes);
+    Params p;
+    if (!read_header(br, p)) return -1;
+    const int64_t NP = (int64_t)p.Ny * p.Nx;
+    const int64_t total = NP * p.Nz;
+    if (total > cap_samples) return -1;
+    const int64_t smin = p.smin(), smax = p.smax();
+    const int P = p.P;
+
+    std::vector<int32_t> cdiff((size_t)(P + 1) * NP);
+    std::vector<int32_t*> ring;
+    for (int j = 0; j <= P; j++)
+        ring.push_back(cdiff.data() + (size_t)j * NP);
+
+    for (int z = 0; z < p.Nz; z++) {
+        uint16_t* plane = out + (size_t)z * NP;
+        const int32_t* prev[15];
+        int Pz = std::min(z, P);
+        for (int j = 0; j < Pz; j++)
+            prev[j] = ring[(z - 1 - j) % (P + 1)];
+        BandPredictor bp(p, z, ring[P > 0 ? z % (P + 1) : 0], prev);
+        SampleAdaptive sa(p);
+        int64_t s_z1 = z > 0
+            ? sample_value(out[(size_t)(z - 1) * NP], p.is_signed) : 0;
+        auto sample_at = [&](int64_t t) {
+            return sample_value(plane[t], p.is_signed);
+        };
+        int64_t t = 0;
+        for (int32_t y = 0; y < p.Ny; y++) {
+            for (int32_t x = 0; x < p.Nx; x++, t++) {
+                bp.predict(t, y, x, sample_at, s_z1);
+                uint32_t mapped;
+                if (t == 0) {
+                    mapped = (uint32_t)br.get_bits(p.D);
+                } else {
+                    mapped = get_gpo2(br, sa.select_k(), p.D, p.Umax);
+                    sa.update(mapped);
+                }
+                int64_t s =
+                    unmap_residual(mapped, bp.shat, bp.sddr, smin, smax);
+                if (s < smin || s > smax || br.error) return -1;
+                plane[t] = (uint16_t)(p.is_signed ? (int16_t)s : s);
+                bp.update(t, s);
+            }
+        }
+    }
+    return total;
+}
+
+}  // extern "C"
