@@ -302,3 +302,90 @@ def test_sharded_ccsds122_ladder_matches_host_coder(rng):
                 H * W).astype(np.float32) / wperm).astype(np.int32)
             [inv].reshape(H, W) for b in range(B)])), "97m", 3))
         np.testing.assert_array_equal(rec[t], want)
+
+
+def test_mesh_j2k_quality_ladder_matches_single(rng):
+    """Codec-phase parallelism: the mesh J2K quality ladder (one
+    identical single-point program dispatched per device) prices every
+    point byte-exactly like the single-device vmapped ladder (the
+    quantizer is multiplies only — no FMA hazard) and reconstructs
+    within the +-1 LSB that f32 fusion differences between program
+    shapes allow; point results are independent of the device count."""
+    from tpukit.codecs.base import RateSpec
+    from tpukit.codecs.registry import create
+    from tpukit.parallel.mesh import make_mesh
+
+    base = rng.integers(300, 3000, (32, 32)).astype(np.int32)
+    cube = np.clip(base[None] + rng.integers(-80, 80, (4, 32, 32)),
+                   0, 4095).astype(np.uint16)
+    specs = [RateSpec.of("quality", q) for q in (10, 35, 80)]
+    single = create("j2k").sweep_rates(cube, "uint16", specs)
+    mesh = make_mesh(jax.devices("cpu")[:8], dp=4, sp=2)
+    meshed = create("j2k").sweep_rates(cube, "uint16", specs, mesh=mesh)
+    mesh1 = make_mesh(jax.devices("cpu")[:1], dp=1, sp=1)
+    meshed1 = create("j2k").sweep_rates(cube, "uint16", specs, mesh=mesh1)
+    for s, m, m1 in zip(single, meshed, meshed1):
+        assert s.bitstream_bytes == m.bitstream_bytes
+        assert s.extras["quality_used"] == m.extras["quality_used"]
+        diff = (np.asarray(s.recon).astype(np.int32)
+                - np.asarray(m.recon).astype(np.int32))
+        assert np.abs(diff).max() <= 1
+        # ANY device count runs the identical executable: bit-equal
+        np.testing.assert_array_equal(np.asarray(m.recon),
+                                      np.asarray(m1.recon))
+        assert m.bitstream_bytes == m1.bitstream_bytes
+
+
+def test_mesh_bpe122_ladder_matches_single(rng):
+    """Codec-phase sharding: the mesh CCSDS-122 BPE budget ladder equals
+    the single-device model ladder bit for bit (integer math)."""
+    from tpukit.codecs.base import RateSpec
+    from tpukit.codecs.registry import create
+    from tpukit.parallel.mesh import make_mesh
+
+    base = rng.integers(300, 3000, (32, 32)).astype(np.int32)
+    cube = np.clip(base[None] + rng.integers(-80, 80, (4, 32, 32)),
+                   0, 4095).astype(np.uint16)
+    specs = [RateSpec.of("bpp", v) for v in (0.5, 1.5, 16.0)]
+    single = create("ccsds122").sweep_rates(cube, "uint16", specs)
+    mesh = make_mesh(jax.devices("cpu")[:8], dp=4, sp=2)
+    meshed = create("ccsds122").sweep_rates(cube, "uint16", specs,
+                                            mesh=mesh)
+    for s, m in zip(single, meshed):
+        assert s.bitstream_bytes == m.bitstream_bytes
+        np.testing.assert_array_equal(np.asarray(s.recon),
+                                      np.asarray(m.recon))
+
+
+def test_mesh_artifacts_match_single_device(tmp_path, rng):
+    """--mesh artifact parity: recon.tif, RGB8 and ERR8 quicklooks from a
+    mesh sweep are byte-identical to the single-device sweep's (integer
+    codec: the ccsds122 BPE ladder and the e8 maps are exact on both
+    paths)."""
+    from tpukit.codecs.registry import create
+    from tpukit.io import tiff, write_manifest
+    from tpukit.sweep.runner import SweepConfig, run_sweep
+
+    base = rng.integers(300, 3000, (32, 32)).astype(np.int32)
+    cube = np.clip(base[None] + rng.integers(-80, 80, (4, 32, 32)),
+                   0, 4095).astype(np.uint16)
+    p = tmp_path / "t.tif"
+    tiff.write_geotiff(p, cube)
+    idx = tmp_path / "index.json"
+    write_manifest(idx, "caseA", "tile", [{"tile_id": "T", "path": p}])
+
+    for name, mesh in (("single", None), ("mesh", "4,2")):
+        cfg = SweepConfig(
+            indices=idx, codec=create("ccsds122"), codec_label="ccsds122",
+            outdir=tmp_path / f"runs_{name}", rate_key="bpp",
+            rates=[1.0, 4.0], reps=2, ql_rgb=True, mesh=mesh)
+        run_sweep(cfg)
+
+    sdir, mdir = tmp_path / "runs_single", tmp_path / "runs_mesh"
+    sfiles = sorted(q.relative_to(sdir) for q in sdir.rglob("*.tif"))
+    mfiles = sorted(q.relative_to(mdir) for q in mdir.rglob("*.tif"))
+    assert sfiles == mfiles and sfiles
+    assert any("ERR8" in str(f) for f in sfiles)
+    assert any("RGB8" in str(f) for f in sfiles)
+    for f in sfiles:
+        assert (sdir / f).read_bytes() == (mdir / f).read_bytes(), f

@@ -236,8 +236,8 @@ class CCSDS122Codec(Codec):
 
         specs = list(specs)
         B, H, W = cube.shape
-        work = device_work(cube, opts, 1 << LEVELS, "int32")
-        Hp, Wp = work.shape[-2:]
+        mult = 1 << LEVELS
+        Hp, Wp = H + (-H) % mult, W + (-W) % mult
         info = np.iinfo(cube.dtype)
         points = [self.budget_for(spec, B, H, W, dtype_name)
                   for spec in specs]
@@ -252,6 +252,16 @@ class CCSDS122Codec(Codec):
         gather, scatter = bpe122.block_indices(Hp, Wp)
         wexp = bpe122.weight_exp_map(Hp, Wp)
 
+        mesh = opts.get("mesh")
+        if mesh is not None and not keep_bitstream:
+            # codec-phase sharding: budgets over dp, bands over sp
+            # (parallel.mesh.sharded_bpe122_budget_ladder); integer math
+            # end to end, so mesh layouts agree bit-for-bit
+            return self._sweep_bpe_mesh(
+                mesh, cube, points, by_budget, budgets, gather, scatter,
+                wexp, Hp, Wp, H, W, info)
+
+        work = device_work(cube, opts, mult, "int32")
         t0 = time.perf_counter()
         with mem_phase("comp"):
             rec_all, nbytes_all, blocks = _bpe_ladder_device(
@@ -297,6 +307,65 @@ class CCSDS122Codec(Codec):
                     bitstreams={f"b{b+1:02d}.bpe": streams[b]
                                 for b in range(B)} if keep_bitstream
                     else None,
+                    extras={"bands": int(B),
+                            "bpp_target_band": float(target_bpp_band),
+                            "entropy": "bpe"})
+        return out
+
+    def _sweep_bpe_mesh(self, mesh, cube, points, by_budget, budgets,
+                        gather, scatter, wexp, Hp, Wp, H, W, info) -> list:
+        """BPE budget ladder on a device mesh: distinct budgets shard over
+        dp, bands over sp (parallel.mesh.sharded_bpe122_budget_ladder)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from tpukit.codecs.j2k_codec import (_MESH_LADDERS,
+                                             mesh_for_bands)
+        from tpukit.parallel.mesh import (pad_to_dp,
+                                          sharded_bpe122_budget_ladder)
+
+        B = cube.shape[0]
+        m = mesh_for_bands(mesh, B)
+        key = ("bpe122", m, LEVELS, H, W, Hp, Wp, int(info.min),
+               int(info.max), cube.dtype.name)
+        step = _MESH_LADDERS.get(key)
+        if step is None:
+            step = sharded_bpe122_budget_ladder(
+                m, LEVELS, H, W, int(info.min), int(info.max),
+                cube.dtype.name)
+            _MESH_LADDERS[key] = step
+        refs = NamedSharding(m, P("sp", None, None))
+        rep = NamedSharding(m, P())
+        qv = NamedSharding(m, P("dp"))
+
+        t0 = time.perf_counter()
+        with mem_phase("comp"):
+            work = np.pad(cube.astype(np.int32),
+                          ((0, 0), (0, Hp - H), (0, Wp - W)), mode="edge")
+            budgets_p, _ = pad_to_dp(m, np.asarray(budgets, np.int32))
+            rec_all, nbytes_all = step(
+                jax.device_put(work, refs),
+                jax.device_put(np.asarray(gather), rep),
+                jax.device_put(np.asarray(wexp), rep),
+                jax.device_put(budgets_p, qv),
+                jax.device_put(np.asarray(scatter), rep))
+            nbytes_all = np.asarray(nbytes_all)
+        t_ladder = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        with mem_phase("dec"):
+            rec_all.block_until_ready()
+        t_dec = time.perf_counter() - t0
+
+        out: list = [None] * len(points)
+        for qi, (budget, ixs) in enumerate(by_budget.items()):
+            nbytes = int(nbytes_all[qi].sum())
+            for i in ixs:
+                target_bpp_band, _ = points[i]
+                out[i] = CodecResult(
+                    codec="ccsds122_ext", encoder=self.bpe_desc,
+                    bitstream_bytes=nbytes, recon=rec_all[qi],
+                    t_comp_s=t_ladder / len(budgets) / len(ixs),
+                    t_dec_s=t_dec / len(budgets) / len(ixs),
+                    bitstreams=None,
                     extras={"bands": int(B),
                             "bpp_target_band": float(target_bpp_band),
                             "entropy": "bpe"})

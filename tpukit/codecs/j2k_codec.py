@@ -274,6 +274,31 @@ def wenc_size_bytes(qc: jax.Array, segbounds=None) -> jax.Array:
                      jnp.minimum(bpc_size_bytes(qc), size_split))
 
 
+@partial(jax.jit, static_argnames=("levels", "H0", "W0", "lo", "hi",
+                                   "dtype", "segbounds"))
+def _mesh_quality_point(coefs, inv_scale_map, scale_map, inv_base, base,
+                        order, inv_scale_perm, levels: int, H0: int,
+                        W0: int, lo: int, hi: int, dtype: str,
+                        segbounds=None):
+    """ONE quality point from device-resident coefficients: quantize,
+    exact quadruple-backend sizes, requant recon. The mesh sweep
+    dispatches this identical executable per point across devices
+    (J2KCodec._sweep_qualities_mesh) — same program shape on every
+    device, so any device count reconstructs bit-identical pixels."""
+    inv_steps = inv_scale_map * inv_base
+    qc = jnp.trunc(coefs * inv_steps[None]).astype(jnp.int32)
+    steps = scale_map * base
+    qf = qc.astype(jnp.float32)
+    deq = jnp.where(qc != 0, (qf + jnp.sign(qf) * 0.5) * steps[None], 0.0)
+    rec = dwtk.idwt2(deq, "97", levels)
+    recon = jnp.clip(jnp.rint(rec[:, :H0, :W0]), lo, hi).astype(dtype)
+    B = coefs.shape[0]
+    perm = jnp.take(coefs.reshape(B, -1), order, axis=1)
+    qp = jnp.trunc(perm * (inv_scale_perm * inv_base)[None]) \
+        .astype(jnp.int32)
+    return recon, wenc_size_bytes(qp, segbounds)
+
+
 @partial(jax.jit, static_argnames=("segbounds",))
 def _device_perm_sizes(perm_coefs: jax.Array, inv_scale_perm: jax.Array,
                        inv_base: jax.Array, segbounds=None) -> jax.Array:
@@ -312,6 +337,19 @@ def _device_lossless_sizes(coefs: jax.Array, order: jax.Array,
     perm = jnp.take(coefs.reshape(B, -1).astype(jnp.int32), order, axis=1)
     return wenc_size_bytes(perm, segbounds)
 
+
+
+_MESH_LADDERS: Dict[tuple, object] = {}
+
+
+def mesh_for_bands(mesh, B: int):
+    """sp must divide the band axis; otherwise flatten the mesh to
+    dp-only (same fallback the sweep runner's metric ladder applies)."""
+    sp = mesh.shape["sp"]
+    if B % sp == 0:
+        return mesh
+    from tpukit.parallel.mesh import make_mesh
+    return make_mesh(mesh.devices.ravel(), dp=mesh.devices.size, sp=1)
 
 
 class J2KCodec(Codec):
@@ -424,7 +462,8 @@ class J2KCodec(Codec):
                                        [qmap[i] for i in lossy_ix],
                                        keep_bitstream=keep_bitstream,
                                        cache=opts.get("device_plan_cache"),
-                                       device_cube=opts.get("device_cube"))
+                                       device_cube=opts.get("device_cube"),
+                                       mesh=opts.get("mesh"))
             for i, r in zip(lossy_ix, res):
                 out[i] = r
         for i, s in enumerate(specs):
@@ -436,7 +475,7 @@ class J2KCodec(Codec):
     def sweep_qualities(self, cube: np.ndarray, dtype_name: str,
                         qualities, keep_bitstream: bool = False,
                         cache: dict | None = None,
-                        device_cube=None) -> list:
+                        device_cube=None, mesh=None) -> list:
         """Rate sweep with the transform amortized and transfers minimized.
 
         The reference re-runs the full codec per rate point
@@ -497,6 +536,14 @@ class J2KCodec(Codec):
         bases = np.array([base_step_for_quality(q, peak)
                           for q in qualities], np.float32)
         inv_bases = np.float32(1.0) / bases
+        if mesh is not None and not keep_bitstream:
+            # codec-phase sharding: the whole quality ladder (quantize +
+            # exact size model + requant recon) runs on the mesh, Q over
+            # dp, bands over sp — multi-chip accelerates codec work, not
+            # just metrics
+            return self._sweep_qualities_mesh(
+                mesh, cube, qualities, bases, inv_bases, Hp, Wp, H0, W0,
+                info, scale_host, inv_scale_host, order, segb)
         # dispatch the whole recon ladder NOW — the device works while the
         # host runs the entropy coder below
         recons, s1d_v, s2d_v = _device_requant_recon_ladder(
@@ -889,6 +936,64 @@ class J2KCodec(Codec):
                 out[i] = self._run_ebcot(cube, dtype_name, s,
                                          keep_bitstream)
         return out
+
+    def _sweep_qualities_mesh(self, mesh, cube, qualities, bases,
+                              inv_bases, Hp, Wp, H0, W0, info,
+                              scale_host, inv_scale_host, order,
+                              segb) -> list:
+        """Codec-phase data parallelism over the mesh devices: each
+        quality point runs the SAME single-point compiled program
+        (_mesh_quality_point: quantize + exact size model + requant
+        recon) on device q mod ndev, all dispatched asynchronously.
+
+        Why explicit per-device dispatch instead of a GSPMD-partitioned
+        vmap ladder: this path is float32, and XLA's fusion/FMA
+        contraction decisions change with the per-device program SHAPE —
+        a dp=8 partition (1 point per device) and a dp=1 partition (Q
+        points) would reconstruct pixels that differ in the last bit.
+        Running one identical executable per point makes results
+        bit-identical for ANY device count, which `run-codec --mesh`
+        promises (tests/test_parallel.py CSV-equality pins). Integer
+        ladders (ccsds122 BPE) have no such hazard and use GSPMD
+        sharding instead."""
+        import jax
+
+        devs = list(mesh.devices.ravel())
+        t0 = time.perf_counter()
+        with mem_phase("comp"):
+            work = np.pad(cube.astype(np.float32),
+                          ((0, 0), (0, Hp - H0), (0, Wp - W0)),
+                          mode="edge")
+            order_np = np.asarray(order)
+            inv_perm = inv_scale_host.ravel()[order_np]
+            coefs_by_dev: Dict[object, object] = {}
+            points = []
+            for i, (base, inv_base) in enumerate(zip(bases, inv_bases)):
+                d = devs[i % len(devs)]
+                if d not in coefs_by_dev:
+                    coefs_by_dev[d] = dwtk.dwt2(
+                        jax.device_put(work, d), "97", LEVELS)
+                points.append(_mesh_quality_point(
+                    coefs_by_dev[d], jax.device_put(inv_scale_host, d),
+                    jax.device_put(scale_host, d),
+                    jnp.float32(inv_base), jnp.float32(base),
+                    jax.device_put(order_np, d),
+                    jax.device_put(inv_perm, d),
+                    LEVELS, H0, W0, int(info.min), int(info.max),
+                    cube.dtype.name, segb))
+            sizes = [np.asarray(s) for _, s in points]
+        t_comp = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        with mem_phase("dec"):
+            jax.block_until_ready([r for r, _ in points])
+        t_rec = time.perf_counter() - t0
+        Q = max(len(qualities), 1)
+        return [CodecResult(
+            codec="j2k_gdal", encoder=self.encoder_desc,
+            bitstream_bytes=int(sizes[i].sum()), recon=points[i][0],
+            t_comp_s=t_comp / Q, t_dec_s=t_rec / Q,
+            bitstreams=None, extras={"quality_used": q})
+            for i, q in enumerate(qualities)]
 
     def _run_lossy_device(self, cube, dtype_name, rate, q_used,
                           Hp, Wp, **opts):

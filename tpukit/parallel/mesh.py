@@ -208,6 +208,66 @@ def sharded_ccsds122_ladder(mesh: Mesh, levels: int = 3,
                    out_shardings=(tl, szs))
 
 
+def sharded_bpe122_budget_ladder(mesh: Mesh, levels: int, H0: int, W0: int,
+                                 lo: int, hi: int, dtype: str):
+    """Mesh-sharded CCSDS-122 BPE rate ladder: the Q byte budgets shard
+    over dp, bands over sp. One shared 9/7M DWT + one stream-layout
+    analysis (bpe122_model.bpe_stream_layout) feed every budget point;
+    each dp group evaluates its budgets' exact stream bytes and
+    truncated-decode reconstructions. Integer arithmetic end to end —
+    mesh and single-device results are bit-identical
+    (ccsds122_codec._bpe_ladder_device / _bpe_synthesize_device).
+
+    Returns step(work (B,Hp,Wp) int32, gather (nb,64), wexp (Hp,Wp),
+    budgets (Q,), scatter (Hp*Wp,)) ->
+    (recons (Q,B,H0,W0) dtype, bytes (Q,B))."""
+    from tpukit.codecs import bpe122_model as bpm
+    from tpukit.kernels import dwt as dwtk
+
+    refs = NamedSharding(mesh, P("sp", None, None))
+    rep = NamedSharding(mesh, P())
+    qv = NamedSharding(mesh, P("dp"))
+    recon_sh = NamedSharding(mesh, P("dp", "sp", None, None))
+    sz_sh = NamedSharding(mesh, P("dp", "sp"))
+
+    def fn(work, gather, wexp, budgets, scatter):
+        B = work.shape[0]
+        Hp, Wp = work.shape[-2:]
+        nb = (Hp // 8) * (Wp // 8)
+        coefs = dwtk.dwt2(work, "97m", levels)
+        blocks = (coefs << wexp[None]).reshape(B, -1)[:, gather]
+        layouts = jax.vmap(bpm.bpe_stream_layout)(blocks)
+
+        def point(b):
+            rec, nbytes = jax.vmap(
+                lambda l: bpm.bpe_decode_at(l, b))(layouts)
+            plane = rec[:, :nb].reshape(B, -1)[:, scatter] \
+                .reshape(B, Hp, Wp)
+            k = wexp[None]
+            q = plane >> k
+            r = plane - (q << k)
+            half = (jnp.int32(1) << k) >> 1
+            up = (k > 0) & ((r > half) | ((r == half) & ((q & 1) == 1)))
+            plane = q + up.astype(jnp.int32)
+            out = dwtk.idwt2(plane, "97m", levels)[:, :H0, :W0]
+            return jnp.clip(out, lo, hi).astype(dtype), nbytes
+
+        return jax.vmap(point)(budgets)
+
+    return jax.jit(fn, in_shardings=(refs, rep, rep, qv, rep),
+                   out_shardings=(recon_sh, sz_sh))
+
+
+def pad_to_dp(mesh: Mesh, vals: np.ndarray):
+    """Pad a ladder axis to a multiple of dp by repeating the last entry
+    (callers slice the padded rows back off)."""
+    dp = mesh.shape["dp"]
+    pad = (-len(vals)) % dp
+    if pad:
+        vals = np.concatenate([vals, np.repeat(vals[-1:], pad, axis=0)])
+    return vals, pad
+
+
 def run_sharded_batch(tiles: np.ndarray, recons: np.ndarray,
                       valid: np.ndarray, mesh: Optional[Mesh] = None):
     """Host entry: place a (T,B,H,W) batch on the mesh and run the step.

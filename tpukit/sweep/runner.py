@@ -102,7 +102,14 @@ def _build_mesh(spec: str):
     dp = parts[0]
     sp = parts[1] if len(parts) > 1 else 1
     n = dp * sp
-    devices = jax.devices()
+    # one PLATFORM for the whole mesh, honoring a pinned default device
+    # (test sessions pin jax_default_device to the virtual CPU backend —
+    # a `--mesh 1` must not grab the real accelerator there, and mixing
+    # platforms across mesh sizes would compare f32 results across
+    # hardware)
+    dflt = jax.config.jax_default_device
+    devices = (jax.devices(dflt.platform) if dflt is not None
+               else jax.devices())
     if len(devices) < n:
         devices = jax.devices("cpu")
     if len(devices) < n:
@@ -541,15 +548,17 @@ def _write_artifacts_phase(cfg: "SweepConfig", jobs: Dict[tuple, "_Job"],
 
 
 _WARMED = False
+_WARM_THREAD = None
 
 
 def _warm_transfer_channel():
     """Trigger the first device->host fetch in a background thread.
 
     On remote/tunneled TPU attachments the first fetch of a process pays a
-    one-time transfer-channel warmup that can stall for tens of seconds;
-    overlapping it with host-side IO and codec work keeps it off the
-    sweep's critical path (no-op cost on co-located hosts)."""
+    one-time transfer-channel warmup that can stall for tens of seconds
+    (observed to grow to minutes with machine uptime); overlapping it with
+    host-side IO and codec work keeps it off the sweep's critical path
+    (no-op cost on co-located hosts)."""
     global _WARMED
     if _WARMED:
         return
@@ -563,7 +572,21 @@ def _warm_transfer_channel():
         except Exception:
             pass
 
-    threading.Thread(target=_warm, daemon=True).start()
+    global _WARM_THREAD
+    _WARM_THREAD = threading.Thread(target=_warm, daemon=True)
+    _WARM_THREAD.start()
+
+
+def wait_transfer_channel(timeout: float = None) -> bool:
+    """Block until the per-process transfer-channel warmup fetch finishes
+    (starting it if needed). Returns False on timeout. The bench joins
+    this UNTIMED before its timed iterations: the warmup is one-time
+    per-process environment setup (tunnel channel dial, not framework
+    work), and its magnitude grows with host uptime — letting it land
+    inside iteration 0 would measure the tunnel, not the sweep."""
+    _warm_transfer_channel()
+    _WARM_THREAD.join(timeout)
+    return not _WARM_THREAD.is_alive()
 
 
 def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
@@ -594,7 +617,6 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
     rk = None if cfg.rate_key == "none" else cfg.rate_key
     rows: List[dict] = []
     mesh_obj = _build_mesh(cfg.mesh) if cfg.mesh else None
-    ladder_steps: Dict[tuple, object] = {}
 
     # Thread-free tile overlap: each tile's phase-2 programs AND their
     # device->host copies are launched (async) right after its codec
@@ -718,6 +740,12 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
                         # (ccsds121's parallel plan) reuse the metric upload
                         ctx.setdefault("device_cube", ref_dev)
                         ctx.setdefault("device_plan_cache", tile_plan_cache)
+                    else:
+                        # codec-phase sharding: codecs with mesh ladders
+                        # (j2k quality ladder, ccsds122 BPE budgets) run
+                        # their rate ladders over dp×sp instead of the
+                        # default backend
+                        ctx.setdefault("mesh", mesh_obj)
                     _tr = _time.perf_counter()
                     with MemorySampler() as ms:
                         results = cfg.codec.sweep_rates(
@@ -773,53 +801,84 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
             lane_art = None
 
             if mesh_obj is not None:
-                # sharded ladder: lanes over dp, bands over sp (falls back to
-                # sp=1 when the band count doesn't divide)
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                from tpukit.parallel.mesh import make_mesh, sharded_metric_ladder
-                m = mesh_obj
-                sp = m.shape["sp"]
-                if B % sp != 0:
-                    log(f"[WARN] bands={B} not divisible by sp={sp}; "
-                        f"using sp=1 for this tile")
-                    sp = 1
-                key = (sp, has_nodata, is_caseb)
-                if key not in ladder_steps:
-                    if sp != m.shape["sp"]:
-                        m = make_mesh(m.devices.ravel(),
-                                      dp=m.devices.size, sp=1)
-                    ladder_steps[key] = (m, sharded_metric_ladder(
-                        m, has_nodata, is_caseb))
-                m, step = ladder_steps[key]
-                lane_sh = NamedSharding(m, P("dp", "sp", None, None))
-                rep_sh = NamedSharding(m, P())
-                ref_m = jax.device_put(cube, NamedSharding(m, P("sp", None, None)))
-                vm_m = jax.device_put(vm_base, rep_sh)
-                sam_m = jax.device_put(sam_vm, rep_sh)
-                nod_m = jax.device_put(nod_val, rep_sh)
-                dp = m.shape["dp"]
-                for c0 in range(0, len(lanes), max(chunk, dp)):
-                    batch = lanes[c0:c0 + max(chunk, dp)]
-                    n_real = len(batch)
-                    pad = (-n_real) % dp
-                    stack_np = np.stack([np.asarray(x) for x in batch]
-                                        + [np.asarray(batch[-1])] * pad)
-                    stack = jax.device_put(stack_np, lane_sh)
-                    qs, ss = step(ref_m, stack, vm_m, sam_m, nod_m)
+                # Mesh mode: per-device ROUND-ROBIN dispatch of identical
+                # single-lane programs — every lane's metrics (and its
+                # quicklook error maps, artifact parity with the
+                # single-device pass) run the SAME compiled executable
+                # regardless of the device count, so `--mesh N` CSVs and
+                # artifacts are bit-identical for any N. (A
+                # GSPMD-partitioned lane ladder changes the per-device
+                # program SHAPE with dp — and f32 reduction tiling with
+                # it; lanes are independent, so explicit data parallelism
+                # over the mesh devices costs zero collectives and keeps
+                # determinism. Integer ladders are immune and the library
+                # GSPMD steps remain in parallel/mesh.py.)
+                devs = list(mesh_obj.devices.ravel())
+                want_ql = (cfg.write_artifacts and bool(ql_caps)
+                           and bool(lanes)
+                           and not np.issubdtype(np.dtype(str(
+                               lanes[0].dtype)), np.floating))
+                if want_ql:
+                    from tpukit.viz.quicklooks import err8_lut
+                    lut_np = np.stack([err8_lut(c) for c in ql_caps])
+                    ql_fn = _ql_ladder_fn()
+                if cfg.write_artifacts:
+                    lane_art = []
+                per_dev: Dict[object, dict] = {}
+                pend = []
+                for i, lane in enumerate(lanes):
+                    d = devs[i % len(devs)]
+                    ctx_d = per_dev.get(d)
+                    if ctx_d is None:
+                        ctx_d = per_dev[d] = {
+                            "ref": jax.device_put(cube, d),
+                            "vm": jax.device_put(vm_base, d),
+                            "sam": (jax.device_put(sam_vm, d)
+                                    if is_caseb else None),
+                            "nod": jax.device_put(nod_val, d),
+                            "sv": (jax.device_put(src_valid, d)
+                                   if want_ql else None),
+                            "lut": (jax.device_put(lut_np, d)
+                                    if want_ql else None),
+                        }
+                    lane_np = np.asarray(lane)
+                    rec = jax.device_put(lane_np, d)[None]   # (1,B,H,W)
+                    qs = quality_stats_ladder(ctx_d["ref"], rec,
+                                              ctx_d["vm"], ctx_d["nod"],
+                                              has_nodata)
+                    ss = None
+                    ss_err = None
                     if is_caseb:
-                        qs_h, ss_h = jax.device_get((qs, ss))
-                        mets = assemble_quality_many(qs_h, float(data_range))
-                        sams = assemble_spectral_many(ss_h)
-                        for mm, s in zip(mets, sams):
-                            mm.update(s)
-                    else:
-                        qs_h = jax.device_get(qs)
-                        mets = assemble_quality_many(qs_h, float(data_range))
-                        for mm in mets:
-                            mm.update({"sam_deg": float("nan"),
-                                       "sid": float("nan"),
-                                       "lmse": float("nan")})
-                    met_rows.extend(mets[:n_real])
+                        try:
+                            ss = spectral_stats_ladder(ctx_d["ref"], rec,
+                                                       ctx_d["sam"])
+                        except Exception as e:
+                            ss_err = e
+                    e8 = (ql_fn(ctx_d["ref"], rec, ctx_d["sv"],
+                                ctx_d["nod"], ctx_d["lut"], has_nodata)
+                          if want_ql else None)
+                    pend.append((lane_np, qs, ss, ss_err, e8))
+                for lane_np, qs, ss, ss_err, e8 in pend:
+                    met = assemble_quality_many(jax.device_get(qs),
+                                                float(data_range))[0]
+                    sam = {"sam_deg": float("nan"), "sid": float("nan"),
+                           "lmse": float("nan")}
+                    if is_caseb and ss is not None:
+                        try:
+                            sam = assemble_spectral_many(
+                                jax.device_get(ss))[0]
+                        except Exception as e:
+                            ss_err = e
+                    if ss_err is not None:
+                        log(f"[WARN] SAM/SID/LMSE failed: {ss_err}")
+                    met.update(sam)
+                    met_rows.append(met)
+                    if cfg.write_artifacts:
+                        lane_art.append(
+                            {"recon": lane_np,
+                             "e8": (np.asarray(e8)[0]
+                                    if e8 is not None else None),
+                             "ql_valid": None, "rec_ok": None})
             else:
                 chunks_state = _device_pass_dispatch(
                     jax, jnp, ref_dev, vm_dev, sam_vm_dev, lanes, chunk,
