@@ -303,3 +303,38 @@ def test_streamed_partial_resume_no_reencode(tmp_path, rng):
     d2 = tmp_path / "out" / "PR" / "norate" / "rep_02"
     with tiff.open(d2 / "recon.tif") as ds2:
         np.testing.assert_array_equal(ds2.read(), cube)
+
+
+def test_streamed_quicklooks_match_batched(tmp_path, rng):
+    """Streamed items produce the run_codec.py:511-520 quicklook artifacts:
+    ERR8 maps byte-identical to the batched path (integer compares + the
+    same fixed-cap LUT and writer), RGB8 within the stretch-pass deviation
+    (exact-histogram percentiles interpolate in float64 where the batched
+    path uses np.percentile on float32) — VERDICT round-2 missing #5."""
+    cube, item = _make_scene(tmp_path, rng, "QL")
+    idx = tmp_path / "idx.json"
+    write_manifest(idx, "caseA", "scene", [item])
+
+    def cfg(outdir, **kw):
+        return SweepConfig(
+            indices=idx, codec=create("ccsds121", tile=256),
+            codec_label="ccsds121", outdir=outdir, rate_key="none",
+            reps=2, quicklooks=True, ql_rgb=True, ql_err_global=255,
+            ql_err_zoom=15, **kw)
+
+    run_sweep(cfg(tmp_path / "whole"))
+    run_sweep(cfg(tmp_path / "strm", stream_rows=512))
+
+    wdir = tmp_path / "whole/QL/norate"
+    sdir = tmp_path / "strm/QL/norate"
+    for rep in ("rep_01", "rep_02"):
+        for cap in (255, 15):
+            name = f"{rep}/recon_ERR8_0_{cap}.tif"
+            wb = (wdir / name).read_bytes()
+            sb = (sdir / name).read_bytes()
+            assert wb == sb, name
+        for name in ("baseline_RGB8.tif", "recon_RGB8.tif"):
+            a = tiff.open(wdir / rep / name).read()
+            b = tiff.open(sdir / rep / name).read()
+            d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+            assert d.max() <= 1, (name, int(d.max()))

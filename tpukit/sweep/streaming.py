@@ -23,8 +23,14 @@ This module runs one sweep item in bounded host memory:
     metrics.spectral.merge_spectral_stats with 1-row halos so the Sobel
     in LMSE sees whole-image neighbourhoods).
 
-Quicklooks are skipped for streamed items (they would need whole-scene
-percentile stretches; run ``tpukit quicklooks`` on the artifacts instead).
+Quicklooks stream too (same artifact contract as the batched path,
+reference run_codec.py:511-520): the 8-bit maps are tiny next to the
+cube, so ERR8 planes and recon validity accumulate per strip (bit-exact
+to the batched renderer — integer compares + the fixed-cap LUT), the
+percentile stretch comes from exact per-channel histograms built during
+the pass (float64 interpolation of integer order statistics — the one
+deliberate deviation from np.percentile's float32 path), and RGB8
+renders in a second windowed pass over just the 3 RGB bands.
 """
 
 from __future__ import annotations
@@ -124,6 +130,208 @@ def _spectral_flush(jnp, spectral_stats_strip, acc: _LaneAcc,
     acc.pend = None
 
 
+class _StreamQuicklooks:
+    """Streamed-scene quicklooks (reference run_codec.py:511-520 artifact
+    contract; round-2 VERDICT missing #5).
+
+    The batched runner renders quicklooks from whole in-RAM cubes; a
+    streamed scene only ever holds strips. The 8-BIT artifacts are tiny
+    next to the cube (uint8 planes vs a 180-band int16 scene), so this
+    helper accumulates them instead:
+
+      * per-lane ERR8 maps at the fixed caps — ``lut[max|Δ|]`` per strip,
+        bit-identical to the batched renderer (integer compares + the
+        same viz.quicklooks LUT and writer);
+      * per-lane recon validity (rec_ok), the source validity plane and
+        the dataset mask;
+      * exact per-channel HISTOGRAMS of the baseline RGB bands over
+        valid pixels (65536 bins) for the percentile stretch. Percentiles
+        interpolate the exact integer order statistics in float64 — the
+        one place streamed output may differ from the batched
+        np.percentile(float32) path in the last bit ("identical modulo
+        stretch pass").
+
+    ``finalize`` then renders RGB8 in a second windowed pass over just
+    the 3 RGB bands (baseline from the source, recon from the
+    already-written recon.tif) and writes every file through the same
+    viz.quicklooks writers the batched artifact phase uses, hardlinking
+    replicas into the lane's other rep dirs."""
+
+    # uint8-plane budget; above this the helper disables itself (a sweep
+    # with hundreds of rate lanes should not hold hundreds of scene maps)
+    MAX_BYTES = 2 << 30
+
+    def __init__(self, H: int, W: int, caps: List[int], want_rgb: bool,
+                 rgb_order: List[int], signed: bool, n_lanes: int):
+        from tpukit.viz.quicklooks import err8_lut
+        self.H, self.W = H, W
+        self.caps = list(caps)
+        self.want_rgb = want_rgb
+        self.rgb_order = list(rgb_order)
+        self.off = 32768 if signed else 0
+        need = (len(caps) + 1) * H * W * max(n_lanes, 1) + 2 * H * W
+        self.enabled = need <= self.MAX_BYTES
+        if not self.enabled:
+            log(f"[NOTE] streamed quicklooks disabled: {n_lanes} lanes x "
+                f"{len(caps)} caps would buffer {need >> 20} MiB of maps")
+            return
+        self.luts = [err8_lut(c) for c in caps]
+        self.src_valid = np.zeros((H, W), bool)
+        self.src_mask = np.zeros((H, W), np.uint8)
+        self.hist = (np.zeros((3, 65536), np.int64) if want_rgb else None)
+        self.lanes: Dict[object, dict] = {}
+
+    def src_strip(self, y0: int, block: np.ndarray,
+                  src_mask_w: np.ndarray, nodata, has_nodata: bool):
+        if not self.enabled:
+            return
+        rows = block.shape[1]
+        sv = src_mask_w > 0
+        if has_nodata:
+            sv = sv & (block[0] != nodata)
+        self.src_valid[y0:y0 + rows] = sv
+        self.src_mask[y0:y0 + rows] = src_mask_w
+        if self.hist is not None:
+            for c, b in enumerate(self.rgb_order):
+                vals = block[b - 1][sv].astype(np.int64) + self.off
+                if vals.size:
+                    self.hist[c] += np.bincount(vals, minlength=65536)
+
+    def lane_strip(self, key, y0: int, block: np.ndarray,
+                   recon: np.ndarray, src_mask_w: np.ndarray, nodata,
+                   has_nodata: bool):
+        """One (lane, strip) contribution. Source validity is computed
+        strip-locally (not from the buffer): a lane may accumulate in an
+        earlier rep than the one that fills the source planes."""
+        if not self.enabled:
+            return
+        lane = self.lanes.get(key)
+        if lane is None:
+            lane = self.lanes[key] = {
+                "e8": np.zeros((len(self.caps), self.H, self.W), np.uint8),
+                "rec_ok": np.zeros((self.H, self.W), bool)}
+        rows = block.shape[1]
+        rec_ok = (np.all(recon != nodata, axis=0) if has_nodata
+                  else np.ones((rows, self.W), bool))
+        lane["rec_ok"][y0:y0 + rows] = rec_ok
+        sv = src_mask_w > 0
+        if has_nodata:
+            sv = sv & (block[0] != nodata)
+        v = sv & rec_ok
+        err = np.max(np.abs(recon.astype(np.int32)
+                            - block.astype(np.int32)), axis=0)
+        err = np.where(v, err, 0)
+        for ci, lut in enumerate(self.luts):
+            lane["e8"][ci, y0:y0 + rows] = \
+                lut[np.clip(err, 0, lut.size - 1)]
+
+    def _stretch_params(self) -> List:
+        """(lo, hi) per channel from the exact histograms — same pct=(2,98)
+        and degenerate-range rules as quicklooks.stretch_params_from_arrays."""
+        params = []
+        for c in range(3):
+            h = self.hist[c]
+            n = int(h.sum())
+            if n == 0:
+                params.append((0.0, 1.0))
+                continue
+            cum = np.cumsum(h)
+
+            def order_stat(k):
+                return int(np.searchsorted(cum, k + 1)) - self.off
+
+            vals = []
+            for p in (2.0, 98.0):
+                r = (n - 1) * (p / 100.0)
+                k = int(np.floor(r))
+                a = order_stat(k)
+                b = order_stat(min(k + 1, n - 1))
+                vals.append(a + (b - a) * (r - k))
+            lo, hi = vals
+            if hi <= lo:
+                hi = lo + 1.0
+            params.append((float(lo), float(hi)))
+        return params
+
+    def finalize(self, ds: tiff.Dataset, lane_dirs: Dict[object, List],
+                 lane_src: Dict[object, Optional[Path]], geo,
+                 rows_blk: int):
+        """Write ERR8 + RGB8 for every lane and hardlink replicas.
+
+        ``lane_dirs``: lane key -> ordered run_dirs sharing the lane;
+        ``lane_src``: lane key -> recon.tif to re-read RGB bands from."""
+        if not self.enabled or not self.lanes:
+            return
+        import os
+        from tpukit.viz import quicklooks as ql
+
+        H, W = self.H, self.W
+        params = self._stretch_params() if self.hist is not None else None
+        base_rgb8 = None
+        if params is not None:
+            base_rgb8 = np.empty((3, H, W), np.uint8)
+            for y0 in range(0, H, rows_blk):
+                win = tiff.Window(col_off=0, row_off=y0, width=W,
+                                  height=min(rows_blk, H - y0))
+                bands = ds.read(self.rgb_order, window=win)
+                base_rgb8[:, y0:y0 + win.height] = \
+                    ql.rgb8_from_arrays(bands, params)
+
+        for key, lane in self.lanes.items():
+            dirs = lane_dirs.get(key) or []
+            if not dirs:
+                continue
+            v = self.src_valid & lane["rec_ok"]
+
+            def lane_emit(name, render, _dirs=dirs):
+                """Render into the lane's first run_dir, hardlink the
+                replicas (deterministic content across reps — same policy
+                as the batched artifact phase)."""
+                src = None
+                for d in _dirs:
+                    d.mkdir(parents=True, exist_ok=True)
+                    dst = d / name
+                    if src is None:
+                        src = render(dst)
+                        continue
+                    dst.unlink(missing_ok=True)
+                    try:
+                        os.link(src, dst)
+                    except OSError:
+                        import shutil
+                        shutil.copyfile(src, dst)
+
+            for cap, e8 in zip(self.caps, lane["e8"]):
+                lane_emit(f"recon_ERR8_0_{int(cap)}.tif",
+                          lambda p, _e8=e8: ql._write_err_tif(
+                              p, _e8, v, geo))
+            if params is not None:
+                lane_emit("baseline_RGB8.tif",
+                          lambda p: tiff.write_geotiff(
+                              p, base_rgb8, photometric="RGB",
+                              compress="DEFLATE", blockxsize=512,
+                              blockysize=512, geo=geo,
+                              mask=self.src_mask))
+                src_tif = lane_src.get(key)
+                if src_tif is not None and Path(src_tif).exists():
+                    rec_rgb8 = np.empty((3, H, W), np.uint8)
+                    with tiff.open(src_tif) as rds:
+                        for y0 in range(0, H, rows_blk):
+                            win = tiff.Window(
+                                col_off=0, row_off=y0, width=W,
+                                height=min(rows_blk, H - y0))
+                            bands = rds.read(self.rgb_order, window=win)
+                            rec_rgb8[:, y0:y0 + win.height] = \
+                                ql.rgb8_from_arrays(bands, params)
+                    rec_mask = lane["rec_ok"].astype(np.uint8) * 255
+                    lane_emit("recon_RGB8.tif",
+                              lambda p: tiff.write_geotiff(
+                                  p, rec_rgb8, photometric="RGB",
+                                  compress="DEFLATE", blockxsize=512,
+                                  blockysize=512, geo=geo,
+                                  mask=rec_mask))
+
+
 def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
                          rk: Optional[str], is_caseb: bool, link,
                          rows_blk: int, case_name=None,
@@ -154,9 +362,6 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
     if cfg.mesh:
         log("[WARN] --mesh is not supported with strip streaming; "
             "running on the default device")
-    if cfg.quicklooks and cfg.write_artifacts:
-        log(f"[NOTE] quicklooks skipped for streamed item {tile_id}; "
-            f"generate them from the artifacts with `tpukit quicklooks`")
 
     mask_path = item.get("mask") or guess_mask_path(item["path"])
     mask_ds = None
@@ -196,6 +401,20 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
                 lanes[key] = {"acc": _LaneAcc(),
                               "src": (recon_path if reused else None)}
             jobs[(ri, rep)] = job
+
+    # streamed quicklooks (same artifact contract as the batched phase)
+    sql = None
+    if cfg.write_artifacts and cfg.quicklooks:
+        from tpukit.sweep.runner import _pick_rgb_order
+        caps = [int(cfg.ql_err_global)]
+        if cfg.ql_err_zoom is not None:
+            caps.append(int(cfg.ql_err_zoom))
+        want_rgb = bool(cfg.ql_rgb) and B >= 3
+        if caps or want_rgb:
+            sql = _StreamQuicklooks(
+                H, W, caps, want_rgb,
+                _pick_rgb_order(ds, str(case_name).lower()),
+                signed=(dtype_name == "int16"), n_lanes=len(lanes))
 
     fresh_ri = sorted({job["ri"] for job in jobs.values()
                        if not job["reused"]})
@@ -265,6 +484,9 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
                 src_mask_w = ds.dataset_mask(window=win)
                 if is_metric_rep:
                     rscan.update(block)
+                    if sql is not None:
+                        sql.src_strip(y0, block, src_mask_w, nodata,
+                                      has_nodata)
                 ctx = dict(cfg.codec_opts)
                 ctx.setdefault("nodata", nodata)
                 ctx.setdefault("dataset_mask", src_mask_w)
@@ -310,6 +532,9 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
                             lanes[("fresh", ri)]["acc"], block_dev, block,
                             recon, vm_base, sam_vm, nodata, has_nodata,
                             is_caseb)
+                        if sql is not None:
+                            sql.lane_strip(("fresh", ri), y0, block, recon,
+                                           src_mask_w, nodata, has_nodata)
                 # resumed lanes: metric-only windowed read of their recons
                 if is_metric_rep:
                     for key, lane in lanes.items():
@@ -323,6 +548,9 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
                             jnp, quality_stats_dual, spectral_stats_strip,
                             lane["acc"], block_dev, block, recon, vm_base,
                             sam_vm, nodata, has_nodata, is_caseb)
+                        if sql is not None:
+                            sql.lane_strip(key, y0, block, recon,
+                                           src_mask_w, nodata, has_nodata)
             if is_caseb:
                 # settle any lane whose accumulation ended this rep (a
                 # lane with nothing pending is a no-op)
@@ -354,6 +582,22 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
             job["bs_bytes"] = sum_b[ri]
         for w in writers.values():
             w.close()
+
+    if sql is not None:
+        # quicklook artifact write-out (warn-and-continue, §5.3 policy —
+        # reference run_codec.py:519-520)
+        lane_dirs: Dict[object, List[Path]] = {}
+        for (ri, rep) in sorted(jobs):
+            job = jobs[(ri, rep)]
+            lane_dirs.setdefault(job["lane"], []).append(job["run_dir"])
+        lane_src = {key: (lane["src"] if lane["src"] is not None
+                          else (lane_dirs[key][0] / "recon.tif"
+                                if cfg.write_artifacts else None))
+                    for key, lane in lanes.items()}
+        try:
+            sql.finalize(ds, lane_dirs, lane_src, geo, rows_blk)
+        except Exception as e:
+            log(f"[WARN] Streamed quicklooks failed: {e}")
 
     for lane in lanes.values():
         if lane.get("ds") is not None:
