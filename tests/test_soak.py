@@ -1,8 +1,10 @@
 # -*- coding: utf-8 -*-
-"""Seed-randomized soak of the byte-exactness claims, gated behind
-TPUKIT_SOAK=1 (fresh entropy every run — this is what caught the
-partial-final-block gap the fixed-seed suites missed). Set
-TPUKIT_SOAK_SEED to reproduce a failure."""
+"""Seed-randomized soak of the byte-exactness claims (fresh entropy
+every run — this is what caught the partial-final-block gap the
+fixed-seed suites missed). A REDUCED tier (seconds) runs on every
+default `pytest tests/` invocation so the parity claims stay
+continuously exercised; TPUKIT_SOAK=1 switches to the full-iteration
+soak. Set TPUKIT_SOAK_SEED to reproduce a failure."""
 
 import os
 import time
@@ -10,8 +12,13 @@ import time
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.skipif(not os.environ.get("TPUKIT_SOAK"),
-                                reason="set TPUKIT_SOAK=1 to run")
+_SOAK = bool(os.environ.get("TPUKIT_SOAK"))
+
+
+def tier(full: int, reduced: int) -> int:
+    """Iterations for this run: the full soak count under TPUKIT_SOAK=1,
+    a seconds-scale default tier otherwise."""
+    return full if _SOAK else reduced
 
 
 @pytest.fixture
@@ -28,7 +35,7 @@ def test_ccsds121_vs_libaec_arbitrary_n(soak_rng):
     if not ae.available():
         pytest.skip("libaec oracle absent")
     rng, seed = soak_rng
-    for _ in range(200):
+    for _ in range(tier(200, 25)):
         bits = int(rng.integers(9, 17))
         n = int(rng.integers(1, 5000))
         x = rng.integers(0, 1 << bits, n).astype(np.uint16)
@@ -44,7 +51,7 @@ def test_wenc_model_matches_coder(soak_rng):
     from tpukit.codecs import wavelet_common as wc
     from tpukit.codecs.j2k_codec import wenc_size_bytes
     rng, seed = soak_rng
-    for t in range(80):
+    for t in range(tier(80, 12)):
         n = (512, 4096, 1024)[t % 3]
         scale = 10 ** rng.uniform(-0.5, 5)
         q = np.clip((rng.standard_t(2.2, n) * scale).astype(np.int64),
@@ -69,7 +76,7 @@ def test_jpegls_vs_charls_payloads(soak_rng):
         i = b.find(b"\xff\xda")
         return b[i + 2 + ((b[i + 2] << 8) | b[i + 3]):-2]
 
-    for _ in range(300):
+    for _ in range(tier(300, 40)):
         bits = int(rng.integers(2, 17))
         hi = (1 << bits) - 1
         H, W = int(rng.integers(1, 50)), int(rng.integers(1, 50))
@@ -105,7 +112,7 @@ def test_j2c_encoder_conformance(soak_rng):
     except Exception:
         have_pil = False
     rng, seed = soak_rng
-    for t in range(60):
+    for t in range(tier(60, 8)):
         H, W = int(rng.integers(1, 200)), int(rng.integers(1, 200))
         depth = int(rng.integers(2, 17))
         signed = bool(rng.random() < 0.3)
