@@ -94,7 +94,11 @@ def _ensure_live_backend(deadline_s: float = 600.0):
         return
     import subprocess
     import sys as _sys
-    deadline_s = float(os.environ.get("TPUKIT_BENCH_PROBE_S", deadline_s))
+    # default raised round 3: the healthy-but-slow first fetch has been
+    # observed past 10 minutes late in a host's uptime — falling back to
+    # CPU for a slow-but-alive accelerator benches the wrong hardware
+    deadline_s = float(os.environ.get("TPUKIT_BENCH_PROBE_S",
+                                      max(deadline_s, 1500.0)))
     code = ("import jax, numpy as np, jax.numpy as jnp;"
             "jax.devices();"
             "print(int(np.asarray(jnp.arange(8).sum())))")
@@ -134,7 +138,8 @@ def main():
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
     # the first device->host fetch of a process can stall for minutes on a
     # tunneled attachment — start it now so it overlaps input preparation
-    from tpukit.sweep.runner import _warm_transfer_channel
+    from tpukit.sweep.runner import _warm_transfer_channel, \
+        wait_transfer_channel
     _warm_transfer_channel()
     rng = np.random.default_rng(2026)
     work = Path(tempfile.mkdtemp(prefix="tpukit_bench_"))
@@ -174,10 +179,19 @@ def main():
             "--preproc", "none", "--nbit", "16", "--interleave", "bip",
             "--tile", "512"])
 
+    # settle the per-process transfer-channel warmup UNTIMED: its
+    # magnitude is a property of the tunnel (grows with host uptime —
+    # observed 30 s to many minutes), not of the framework; iteration 0
+    # should measure compiles + sweep work
+    t0 = time.perf_counter()
+    ok = wait_transfer_channel(timeout=1800)
+    log(f"transfer channel {'ready' if ok else 'NOT ready'} "
+        f"in {time.perf_counter()-t0:.1f}s (untimed)")
+
     tA, tB = [], []
-    # iteration 0 absorbs the per-process transfer-channel stall + XLA
-    # compiles; two further warm iterations resist host-side noise (the
-    # bench box is a shared single-core machine) via the min
+    # iteration 0 absorbs the XLA compile-cache loads; two further warm
+    # iterations resist host-side noise (the bench box is a shared
+    # single-core machine) via the min
     for it in range(3):
         for name, fn, acc in (("caseA", run_caseA, tA),
                               ("caseB", run_caseB, tB)):
