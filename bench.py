@@ -78,6 +78,18 @@ def reference_metrics_numpy(ref, tst, rng_peak):
     return m
 
 
+def _fallback_to_cpu(reason: str):
+    """Re-exec this bench pinned to CPU so it always produces its JSON
+    line, with the backend recorded in the output."""
+    import sys as _sys
+    log(f"falling back to CPU for this bench run: {reason}")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # site hook dials it at boot
+    env["TPUKIT_BENCH_NOPROBE"] = "1"
+    os.execve(_sys.executable, [_sys.executable, __file__], env)
+
+
 def _ensure_live_backend(deadline_s: float = 600.0):
     """Probe the default JAX backend in a SUBPROCESS with a deadline; on a
     hang/failure re-exec this process pinned to CPU.
@@ -85,23 +97,20 @@ def _ensure_live_backend(deadline_s: float = 600.0):
     On tunneled TPU attachments the accelerator can be half-up: the
     interpreter boots but the first device op blocks forever (observed
     during axon outages). The probe subprocess inherits the env, so it
-    hangs exactly like the main flow would; killing it and re-execing
-    with JAX_PLATFORMS=cpu guarantees the bench always produces its JSON
-    line, with the backend recorded in the output. The deadline is
-    generous because a healthy first contact can legitimately take
-    minutes (tunnel channel setup)."""
+    hangs exactly like the main flow would. The probe is COMPUTE-ONLY
+    (block_until_ready, no device->host fetch): the first FETCH of a
+    process legitimately stalls for minutes-growing-with-uptime on a
+    healthy tunnel, and paying that twice (probe + main process) would
+    double the setup cost — fetch health is checked instead by the
+    deadline on the main process's untimed transfer-channel warmup."""
     if os.environ.get("TPUKIT_BENCH_NOPROBE"):
         return
     import subprocess
     import sys as _sys
-    # default raised round 3: the healthy-but-slow first fetch has been
-    # observed past 10 minutes late in a host's uptime — falling back to
-    # CPU for a slow-but-alive accelerator benches the wrong hardware
-    deadline_s = float(os.environ.get("TPUKIT_BENCH_PROBE_S",
-                                      max(deadline_s, 1500.0)))
-    code = ("import jax, numpy as np, jax.numpy as jnp;"
+    deadline_s = float(os.environ.get("TPUKIT_BENCH_PROBE_S", deadline_s))
+    code = ("import jax, jax.numpy as jnp;"
             "jax.devices();"
-            "print(int(np.asarray(jnp.arange(8).sum())))")
+            "jnp.arange(8).sum().block_until_ready()")
     try:
         r = subprocess.run([_sys.executable, "-c", code],
                            timeout=deadline_s, capture_output=True)
@@ -109,15 +118,11 @@ def _ensure_live_backend(deadline_s: float = 600.0):
             return
         log(f"backend probe failed rc={r.returncode}: "
             f"{(r.stderr or b'').decode()[-400:]}")
+        _fallback_to_cpu("probe failed")
     except subprocess.TimeoutExpired:
         log(f"backend probe hung for {deadline_s:.0f}s "
             f"(accelerator tunnel down?)")
-    log("falling back to CPU for this bench run")
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PALLAS_AXON_POOL_IPS", None)   # site hook dials it at boot
-    env["TPUKIT_BENCH_NOPROBE"] = "1"
-    os.execve(_sys.executable, [_sys.executable, __file__], env)
+        _fallback_to_cpu("probe hung")
 
 
 def main():
@@ -182,11 +187,15 @@ def main():
     # settle the per-process transfer-channel warmup UNTIMED: its
     # magnitude is a property of the tunnel (grows with host uptime —
     # observed 30 s to many minutes), not of the framework; iteration 0
-    # should measure compiles + sweep work
+    # should measure compiles + sweep work. A warmup that never finishes
+    # means fetches are dead (half-up accelerator) — bench on CPU instead.
     t0 = time.perf_counter()
-    ok = wait_transfer_channel(timeout=1800)
+    ok = wait_transfer_channel(
+        timeout=float(os.environ.get("TPUKIT_BENCH_WARM_S", 1800)))
     log(f"transfer channel {'ready' if ok else 'NOT ready'} "
         f"in {time.perf_counter()-t0:.1f}s (untimed)")
+    if not ok and jax.default_backend() != "cpu":
+        _fallback_to_cpu("transfer-channel warmup never completed")
 
     tA, tB = [], []
     # iteration 0 absorbs the XLA compile-cache loads; two further warm

@@ -77,3 +77,41 @@ def test_quality_key(cube):
     e_hi = ((np.asarray(r_hi.recon).astype(np.float64) - cube) ** 2).mean()
     e_lo = ((np.asarray(r_lo.recon).astype(np.float64) - cube) ** 2).mean()
     assert e_hi < e_lo
+
+
+def test_quality_ladder_amortized_device_targets(cube):
+    """Quality ladders run from ONE tier-1 analysis: each point PCRD-
+    truncates to the byte budget the device backend's exact size model
+    spends at that quality's step. Sizes track the device backend, MSE
+    is monotone in quality, every stream stays ISO-decodable, and the
+    plan set is shared across reps through the harness cache."""
+    from tpukit.io.jp2 import JP2Decoder
+
+    codec = create("j2k", entropy="ebcot")
+    dev = create("j2k")   # device backend: the quality->size reference
+    qs = [10, 35, 80]
+    specs = [RateSpec.of("quality", q) for q in qs]
+    cache = {}
+    sw = codec.sweep_rates(cube, "uint16", specs,
+                           keep_bitstream=True, device_plan_cache=cache)
+    dv = dev.sweep_rates(cube, "uint16", specs)
+    assert any(k[0] == "j2c_plans" for k in cache)
+    prev_mse = None
+    for q, r, d in zip(qs, sw, dv):
+        assert r.extras["quality_used"] == q
+        assert r.bitstream_bytes <= d.bitstream_bytes  # PCRD meets budget
+        assert r.bitstream_bytes >= int(d.bitstream_bytes * 0.75)
+        for name, cs in r.bitstreams.items():
+            dec = JP2Decoder(cs).decode_component(0, 0, 0)
+            assert dec.shape == cube.shape[1:]
+        mse = ((np.asarray(r.recon).astype(np.float64) - cube) ** 2).mean()
+        if prev_mse is not None:
+            assert mse < prev_mse
+        prev_mse = mse
+    # cached plans: a second rep's sweep reuses them and agrees exactly
+    sw2 = codec.sweep_rates(cube, "uint16", specs,
+                            device_plan_cache=cache)
+    for a, b in zip(sw, sw2):
+        assert a.bitstream_bytes == b.bitstream_bytes
+        np.testing.assert_array_equal(np.asarray(a.recon),
+                                      np.asarray(b.recon))

@@ -449,7 +449,7 @@ class J2KCodec(Codec):
                              keep_bitstream=keep_bitstream) for s in specs]
         if self.entropy == "ebcot":
             return self._sweep_ebcot(cube, dtype_name, specs,
-                                     keep_bitstream)
+                                     keep_bitstream, **opts)
         specs = list(specs)
         # rate-fitted bpp/cr points go through run() (device bisection per
         # point); quality points share the amortized DWT ladder
@@ -894,11 +894,19 @@ class J2KCodec(Codec):
             extras=extras)
 
     def _sweep_ebcot(self, cube: np.ndarray, dtype_name: str, specs,
-                     keep_bitstream: bool) -> list:
+                     keep_bitstream: bool, **opts) -> list:
         """Amortized standard-codestream ladder: ONE tier-1 analysis of the
-        whole cube feeds every bpp/cr point via PCRD truncation (the
-        reference re-runs gdal_translate per point); quality/lossless
-        points fall through to _run_ebcot."""
+        whole cube feeds every lossy point via PCRD truncation (the
+        reference re-runs gdal_translate per point). bpp/cr points
+        truncate to the requested byte budget directly. QUALITY points
+        truncate to the byte budget the DEVICE backend's exact size model
+        spends at that quality's quantizer step — same quality→size map
+        as the default backend, one analysis instead of a per-point
+        tier-1 re-encode at each step, and PCRD-optimal PSNR at each
+        size (≥ the fixed-step encode it replaces). Lossless points fall
+        through to _run_ebcot. The plan set is reusable across reps via
+        the harness ``cache`` (its measured build time still counts into
+        every rep's t_comp, like the device backend's cached DWT)."""
         from tpukit.io.j2c_enc import J2CPlan, at_size_multi
         B, H, W = cube.shape
         info = np.iinfo(cube.dtype)
@@ -906,23 +914,70 @@ class J2KCodec(Codec):
         specs = list(specs)
         out: list = [None] * len(specs)
         ladder = [i for i, s in enumerate(specs)
-                  if not s.lossless and s.key in ("bpp", "cr")]
+                  if not s.lossless and s.key in ("bpp", "cr", "quality")]
+        cache = opts.get("device_plan_cache")
         if ladder:
-            t0 = time.perf_counter()
-            with mem_phase("comp"):
-                plans = [J2CPlan(cube[b], depth, signed, levels=LEVELS,
-                                 wavelet="97") for b in range(B)]
-            t_plan = time.perf_counter() - t0
+            qual_ix = [i for i in ladder if specs[i].key == "quality"]
+            targets: Dict[int, int] = {}
+            base = 1.0
+            t_extra = 0.0
+            if qual_ix:
+                # price each quality's step with the exact device size
+                # model (one device DWT + one vmapped ladder)
+                t0 = time.perf_counter()
+                m = 1 << LEVELS
+                Hp, Wp = H + (-H) % m, W + (-W) % m
+                order = wc.scan_order(Hp, Wp, LEVELS)
+                segb = wc.subband_seg_bounds(Hp, Wp, LEVELS)
+                peak = float(np.abs(cube.astype(np.float64)).max()) or 1.0
+                scale_host = _subband_steps(Hp, Wp, 1.0)
+                inv_scale_perm = (np.float32(1.0)
+                                  / scale_host).ravel()[order]
+                wf = device_work(cube,
+                                 {"device_cube": opts.get("device_cube")},
+                                 m, "float32")
+                coefs_dev = dwtk.dwt2(wf, "97", LEVELS)
+                bases_q = np.array(
+                    [base_step_for_quality(self.quality_for(specs[i]),
+                                           peak) for i in qual_ix],
+                    np.float32)
+                sizes = np.asarray(_device_ladder_sizes(
+                    coefs_dev, jnp.asarray(order),
+                    jnp.asarray(inv_scale_perm),
+                    jnp.asarray(np.float32(1.0) / bases_q),
+                    segbounds=segb))
+                for i, sz in zip(qual_ix, sizes):
+                    targets[i] = int(sz.sum())
+                base = min(1.0, float(bases_q.min()))
+                t_extra = time.perf_counter() - t0
+            for i in ladder:
+                if i not in targets:
+                    targets[i] = self._ebcot_target(specs[i], B, H, W)
+
+            ckey = ("j2c_plans", B, H, W, cube.dtype.name, base)
+            plans = t_plan = None
+            if cache is not None and ckey in cache:
+                plans, t_plan = cache[ckey]
+            if plans is None:
+                t0 = time.perf_counter()
+                with mem_phase("comp"):
+                    plans = [J2CPlan(cube[b], depth, signed,
+                                     levels=LEVELS, wavelet="97",
+                                     base_step=base) for b in range(B)]
+                t_plan = time.perf_counter() - t0
+                if cache is not None:
+                    cache[ckey] = (plans, t_plan)
             for i in ladder:
                 t0 = time.perf_counter()
                 with mem_phase("comp"):
-                    streams = at_size_multi(
-                        plans, self._ebcot_target(specs[i], B, H, W))
-                t_comp = t_plan + (time.perf_counter() - t0)
+                    streams = at_size_multi(plans, targets[i])
+                t_comp = t_plan + t_extra + (time.perf_counter() - t0)
                 t0 = time.perf_counter()
                 with mem_phase("dec"):
                     recon = self._ebcot_decode(streams, cube)
                 t_dec = time.perf_counter() - t0
+                q_used = (self.quality_for(specs[i])
+                          if specs[i].key == "quality" else None)
                 out[i] = CodecResult(
                     codec="j2k_gdal", encoder=self.encoder_desc,
                     bitstream_bytes=sum(len(s) for s in streams),
@@ -930,7 +985,7 @@ class J2KCodec(Codec):
                     bitstreams=({f"b{b+1:02d}.j2c": s for b, s in
                                  enumerate(streams)} if keep_bitstream
                                 else None),
-                    extras={"quality_used": None, "entropy": "ebcot"})
+                    extras={"quality_used": q_used, "entropy": "ebcot"})
         for i, s in enumerate(specs):
             if out[i] is None:
                 out[i] = self._run_ebcot(cube, dtype_name, s,
