@@ -236,3 +236,34 @@ def test_band_norms_regression():
     for (nb, o), v in ref.items():
         assert abs(_band_norm_53(nb, o) - v) < 6e-4
     assert _band_norm_53(1, 1) == _band_norm_53(1, 2)
+
+
+def test_truncated_recon_model_matches_decoder(rng):
+    """J2CPlan.truncated_recon reproduces JP2Decoder's reconstruction of
+    assemble(sel) BIT-EXACTLY at every truncation point — the model that
+    lets the ebcot rate ladder skip per-point host tier-1 decodes."""
+    from tpukit.io.j2c_enc import J2CPlan, at_size_multi
+    from tpukit.io.jp2 import JP2Decoder
+
+    for t in range(10):
+        H, W = int(rng.integers(8, 130)), int(rng.integers(8, 130))
+        depth = int(rng.integers(4, 17))
+        signed = bool(rng.random() < 0.3)
+        wavelet = "97" if t % 3 else "53"
+        levels = int(rng.integers(1, 6))
+        lo = -(1 << (depth - 1)) if signed else 0
+        hi = lo + (1 << depth) - 1
+        if t % 2:
+            img = np.clip(np.cumsum(rng.integers(-9, 10, (H, W)), axis=1)
+                          + (lo + hi) // 2, lo, hi)
+        else:
+            img = rng.integers(lo, hi + 1, (H, W))
+        plan = J2CPlan(img, depth, signed, levels=levels, wavelet=wavelet)
+        full = plan.lossless()
+        ctx = (t, H, W, depth, signed, wavelet, levels)
+        for target in (len(full), max(150, len(full) // 3),
+                       max(100, len(full) // 10)):
+            streams, sels = at_size_multi([plan], target, return_sel=True)
+            dec = JP2Decoder(streams[0]).decode_component(0, 0, 0)
+            mod = plan.truncated_recon(sels[0])
+            np.testing.assert_array_equal(dec, mod, err_msg=str(ctx))

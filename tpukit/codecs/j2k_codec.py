@@ -970,11 +970,21 @@ class J2KCodec(Codec):
             for i in ladder:
                 t0 = time.perf_counter()
                 with mem_phase("comp"):
-                    streams = at_size_multi(plans, targets[i])
+                    streams, sels = at_size_multi(plans, targets[i],
+                                                  return_sel=True)
                 t_comp = t_plan + t_extra + (time.perf_counter() - t0)
                 t0 = time.perf_counter()
                 with mem_phase("dec"):
-                    recon = self._ebcot_decode(streams, cube)
+                    # truncated-decode MODEL: reconstruct each point from
+                    # the shared analysis (native sig-plan replay, cached
+                    # per code-block) instead of a per-point host tier-1
+                    # MQ decode — pinned bit-identical to
+                    # JP2Decoder(stream) in tests/test_j2c_enc.py
+                    recon = np.empty_like(cube)
+                    for b, (p, s) in enumerate(zip(plans, sels)):
+                        recon[b] = np.clip(p.truncated_recon(s),
+                                           info.min,
+                                           info.max).astype(cube.dtype)
                 t_dec = time.perf_counter() - t0
                 q_used = (self.quality_for(specs[i])
                           if specs[i].key == "quality" else None)

@@ -113,6 +113,24 @@ def t1_encode_block(coefs: np.ndarray, orient: int, style: int = 0) -> T1Block:
                    pass_tail=ptail[:npasses * 8].reshape(-1, 8).copy())
 
 
+def t1_sig_plan(coefs: np.ndarray) -> np.ndarray:
+    """Per-coefficient global pass index at which the coefficient becomes
+    significant (-1 for zero magnitude) — the only data-dependent part of
+    a tier-1 truncated decode (native j2k_t1_sig_plan). Together with the
+    coefficients it makes the reconstruction of ANY pass-truncation point
+    closed form (J2CPlan.truncated_recon)."""
+    lib = native.load()
+    h, w = coefs.shape
+    c = np.ascontiguousarray(coefs, np.int32)
+    out = np.empty((h, w), np.int32)
+    r = lib.j2k_t1_sig_plan(
+        c.ctypes.data_as(ct.POINTER(ct.c_int32)), w, h,
+        out.ctypes.data_as(ct.POINTER(ct.c_int32)))
+    if r < 0:
+        raise ValueError(f"sig plan failed: {r}")
+    return out
+
+
 # ===========================================================================
 # Forward reversible 5/3 DWT — the exact inverse of jp2.py's synthesis
 # (_sr1d_53 / sr2d_53), including the absolute-coordinate parity and
@@ -514,6 +532,8 @@ class _EncBand:
     cby0: int = 0
     blocks: list = field(default_factory=list)      # T1Block | None per cb
     hulls: list = field(default_factory=list)       # hull per cb
+    coefs: list = field(default_factory=list)       # int32 quantized per cb
+    sigplans: list = field(default_factory=list)    # lazy t1_sig_plan per cb
     numbps: int = 1                                 # Mb signalled via QCD
     maxbps: int = 0                                 # deepest block numbps
     eps: int = 0                                    # QCD exponent (9/7)
@@ -657,6 +677,8 @@ class J2CPlan:
                 sub = arr[gy0 - band.y0:gy1 - band.y0,
                           gx0 - band.x0:gx1 - band.x0]
                 blk = t1_encode_block(sub, band.orient)
+                band.coefs.append(np.ascontiguousarray(sub, np.int32))
+                band.sigplans.append(None)
                 if blk.numbps == 0:
                     band.blocks.append(None)
                     band.hulls.append([])
@@ -886,6 +908,92 @@ class J2CPlan:
         out += b"\xff\xd9"                                         # EOC
         return bytes(out)
 
+    # -- truncated-decode model -------------------------------------------------
+    def _band_recon(self, rinfo: _EncRes, band: _EncBand, picks,
+                    rev: bool) -> np.ndarray:
+        arr = np.zeros((band.y1 - band.y0, band.x1 - band.x0),
+                       np.int64 if rev else np.float64)
+        if band.cw == 0 or arr.size == 0:
+            return arr
+        xcb, ycb = rinfo.xcb, rinfo.ycb
+        for n, pick in enumerate(picks):
+            blk = band.blocks[n]
+            if blk is None or pick is None:
+                continue
+            cj, ci = divmod(n, band.cw)
+            gx0 = max((band.cbx0 + ci) << xcb, band.x0)
+            gy0 = max((band.cby0 + cj) << ycb, band.y0)
+            gx1 = min((band.cbx0 + ci + 1) << xcb, band.x1)
+            gy1 = min((band.cby0 + cj + 1) << ycb, band.y1)
+            coefs = band.coefs[n]
+            sig = band.sigplans[n]
+            if sig is None:
+                sig = band.sigplans[n] = t1_sig_plan(coefs)
+            K = pick + 1
+            M = blk.numbps
+            mag = np.abs(coefs.astype(np.int64))
+            signs = np.sign(coefs.astype(np.int64))
+            alive = (sig >= 0) & (sig < K)
+            # MSB plane per coefficient (exact: frexp exponent)
+            p0 = np.zeros(mag.shape, np.int64)
+            nz = mag > 0
+            p0[nz] = np.frexp(mag[nz].astype(np.float64))[1] - 1
+            # refinement bits of plane q sit in the MRP at global pass
+            # index 2 + 3*(M-2-q); decoded iff index <= K-1
+            q_low = max(M - 2 - ((K - 3) // 3), 0)
+            lastp = np.minimum(p0, np.int64(q_low))
+            mag_dec = np.where(
+                alive, mag & ~((np.int64(1) << lastp) - 1), 0)
+            if rev:
+                half = np.where(lastp >= 1,
+                                (np.int64(1) << np.maximum(lastp, 1)) >> 1,
+                                0)
+                val = np.where(mag_dec > 0, signs * (mag_dec + half), 0)
+            else:
+                half = 0.5 * np.exp2(lastp.astype(np.float64))
+                val = np.where(mag_dec > 0,
+                               signs * (mag_dec + half) * band.step, 0.0)
+            arr[gy0 - band.y0:gy1 - band.y0,
+                gx0 - band.x0:gx1 - band.x0] = val
+        return arr
+
+    def truncated_recon(self, sel: List[List[Optional[int]]]) -> np.ndarray:
+        """Reconstruct EXACTLY what tpukit's JP2 decoder returns for
+        ``assemble(sel)`` — without assembling or entropy-decoding
+        anything. The native sig-plan replay (j2k_t1_sig_plan, once per
+        code-block, cached) gives the pass at which each coefficient
+        becomes significant; everything else about a pass truncation is
+        closed form — the MSB plane is bit_length(|q|)-1, refinement bits
+        live at fixed MRP pass indexes, and the decoder reconstructs at
+        the per-coefficient midpoint 0.5·2^lastp (jp2.band_array_f /
+        band_array). Same synthesis (sr2d_53/97), level shift and
+        clipping as JP2Decoder.decode_component; model==decoder equality
+        is pinned in tests/test_j2c_enc.py."""
+        from tpukit.io.jp2 import sr2d_53, sr2d_97
+
+        rev = self.wavelet == "53"
+        arrs = []
+        bi = 0
+        for rinfo in self.res:
+            for band in rinfo.bands:
+                arrs.append(self._band_recon(rinfo, band, sel[bi], rev))
+                bi += 1
+        ll = arrs[0]
+        ai = 1
+        sr2d = sr2d_53 if rev else sr2d_97
+        for r in range(1, self.levels + 1):
+            hl, lh, hh = arrs[ai], arrs[ai + 1], arrs[ai + 2]
+            ai += 3
+            d = 1 << (self.levels - r)
+            ll = sr2d(ll, hl, lh, hh, 0, 0,
+                      _ceil_div(self.w, d), _ceil_div(self.h, d))
+        shift = 0 if self.signed else (1 << (self.depth - 1))
+        lo = -(1 << (self.depth - 1)) if self.signed else 0
+        if rev:
+            return ll + shift
+        return np.clip(np.rint(ll) + shift, lo,
+                       lo + (1 << self.depth) - 1).astype(np.int64)
+
     # -- public assembly -------------------------------------------------------
     def lossless(self) -> bytes:
         """All passes of every block: bit-exact for the 5/3 reversible
@@ -975,34 +1083,42 @@ def wrap_jp2(codestream: bytes, w: int, h: int, depth: int,
     return sig + ftyp + jp2h + box(b"jp2c", codestream)
 
 
-def at_size_multi(plans: List["J2CPlan"], target_bytes: int) -> List[bytes]:
+def at_size_multi(plans: List["J2CPlan"], target_bytes: int,
+                  return_sel: bool = False):
     """Globally PCRD-optimal allocation of ONE byte budget across several
     single-component plans (e.g. the bands of a cube): a single
     rate-distortion slope threshold governs every code-block of every
     plan, so bytes flow to whichever band buys the most distortion —
-    the multi-component generalization of J2CPlan.at_size."""
+    the multi-component generalization of J2CPlan.at_size.
+
+    ``return_sel=True`` also returns the per-plan pass selections, so
+    callers can reconstruct via the truncated-decode model
+    (J2CPlan.truncated_recon) instead of entropy-decoding the streams."""
     full = [p.lossless() for p in plans]
     if sum(len(c) for c in full) <= target_bytes:
-        return full
+        sels = [p._select_all() for p in plans]
+        return (full, sels) if return_sel else full
     slopes = np.unique(np.concatenate(
         [p._slopes() for p in plans] or [np.empty(0)]))
 
-    def at(lam: float) -> List[bytes]:
-        return [p.assemble(p._select(lam)) for p in plans]
+    def at(lam: float):
+        sels = [p._select(lam) for p in plans]
+        return [p.assemble(s) for p, s in zip(plans, sels)], sels
 
-    best = at(math.inf)
+    best, best_sel = at(math.inf)
     if sum(len(c) for c in best) > target_bytes:
-        return best          # headers alone exceed the budget
+        # headers alone exceed the budget
+        return (best, best_sel) if return_sel else best
     lo, hi = 0, len(slopes)
     while lo < hi:
         mid = (lo + hi) // 2
-        cs = at(float(slopes[mid]))
+        cs, sels = at(float(slopes[mid]))
         if sum(len(c) for c in cs) <= target_bytes:
-            best = cs
+            best, best_sel = cs, sels
             hi = mid
         else:
             lo = mid + 1
-    return best
+    return (best, best_sel) if return_sel else best
 
 
 def encode_j2c(img: np.ndarray, depth: Optional[int] = None,

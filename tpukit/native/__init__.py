@@ -108,6 +108,7 @@ def _declare(lib: ctypes.CDLL) -> None:
         ("tpukit_bpe122_encode", i64, [i32p, i64, i64, i64, i32, i32,
                                        i32, i32, u8p, i64]),
         ("tpukit_bpe122_decode", i64, [u8p, i64, i64, i32p]),
+        ("j2k_t1_sig_plan", i64, [i32p, i32, i32, i32p]),
         ("ck123std_encode", i64, [u16p, i32, i32, i32, i32, i32, i32,
                                   i32, i32, u8p, i64]),
         ("ck123std_info", i64, [u8p, i64, i32p]),

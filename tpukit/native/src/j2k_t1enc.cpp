@@ -483,3 +483,97 @@ extern "C" int64_t j2k_t1_encode(const int32_t* coefs, int w, int h,
     info_out[2] = total;
     return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Significance plan: the pass index at which each coefficient becomes
+// significant, WITHOUT any MQ/context work.  This is the only
+// data-dependent part of a tier-1 truncated decode — given it, the
+// reconstruction any decoder produces from the first K passes is closed
+// form per coefficient (the MSB plane is bit_length(|c|)-1; refinement
+// bits live in fixed MRP pass indexes), which lets the rate ladder
+// reconstruct every PCRD truncation point without entropy-decoding the
+// streams (io/j2c_enc.J2CPlan.truncated_recon).
+//
+// Membership rules replayed exactly from j2k_t1_encode above (and the
+// decoder in j2k_t1.cpp): 4-row strip column scan; SPP visits
+// insignificant coefficients with a significant 8-neighbor AT VISIT TIME
+// (intra-pass propagation via the shared flags array); MRP never changes
+// significance; cleanup covers the unvisited rest.  Run-mode coding
+// changes symbols, not membership, so the replay skips it.
+//
+//   coefs : w*h int32 sign-magnitude block
+//   out   : w*h int32 — global pass index (0-based) where the coefficient
+//           becomes significant, or -1 (zero magnitude)
+// Returns numbps (0 for an all-zero block) or <0 on error.
+extern "C" int64_t j2k_t1_sig_plan(const int32_t* coefs, int w, int h,
+                                   int32_t* out) {
+    if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return -1;
+    T1E t1;
+    t1.w = w; t1.h = h; t1.stride = w + 2;
+    t1.flags.assign((size_t)(h + 2) * (w + 2), 0);
+    t1.mag.resize((size_t)w * h);
+
+    uint32_t maxmag = 0;
+    for (size_t k = 0; k < (size_t)w * h; ++k) {
+        int32_t v = coefs[k];
+        uint32_t m = (uint32_t)(v < 0 ? -(int64_t)v : v);
+        t1.mag[k] = m;
+        out[k] = -1;
+        if (m > maxmag) maxmag = m;
+    }
+    int numbps = 0;
+    while (maxmag >> numbps) ++numbps;
+    if (numbps > 31) return -1;
+    if (numbps == 0) return 0;
+
+    int plane = numbps - 1;
+    int pass_kind = 2;  // top plane starts with cleanup
+    int pass_idx = 0;
+
+    while (plane >= 0) {
+        const uint32_t bit = 1u << plane;
+        if (pass_kind == 0) {
+            for (int y0 = 0; y0 < h; y0 += 4)
+                for (int x = 0; x < w; ++x) {
+                    int ymax = y0 + 4 < h ? y0 + 4 : h;
+                    for (int y = y0; y < ymax; ++y) {
+                        uint32_t& f = t1.F(y, x);
+                        if (f & F_SIG) continue;
+                        uint32_t nb = t1.F(y - 1, x) | t1.F(y + 1, x) |
+                                      t1.F(y, x - 1) | t1.F(y, x + 1) |
+                                      t1.F(y - 1, x - 1) |
+                                      t1.F(y - 1, x + 1) |
+                                      t1.F(y + 1, x - 1) |
+                                      t1.F(y + 1, x + 1);
+                        if (!(nb & F_SIG)) continue;
+                        f |= F_VISIT;
+                        size_t k = (size_t)y * w + x;
+                        if (t1.mag[k] & bit) {
+                            f |= F_SIG;
+                            out[k] = pass_idx;
+                        }
+                    }
+                }
+        } else if (pass_kind == 2) {
+            for (int y0 = 0; y0 < h; y0 += 4)
+                for (int x = 0; x < w; ++x) {
+                    int ymax = y0 + 4 < h ? y0 + 4 : h;
+                    for (int y = y0; y < ymax; ++y) {
+                        uint32_t& f = t1.F(y, x);
+                        if (f & F_VISIT) { f &= ~F_VISIT; continue; }
+                        if (f & F_SIG) continue;
+                        size_t k = (size_t)y * w + x;
+                        if (t1.mag[k] & bit) {
+                            f |= F_SIG;
+                            out[k] = pass_idx;
+                        }
+                    }
+                }
+        }
+        // MRP (pass_kind == 1) never changes significance
+        ++pass_idx;
+        if (pass_kind == 2) { pass_kind = 0; --plane; }
+        else ++pass_kind;
+    }
+    return numbps;
+}
