@@ -267,3 +267,59 @@ def test_truncated_recon_model_matches_decoder(rng):
             dec = JP2Decoder(streams[0]).decode_component(0, 0, 0)
             mod = plan.truncated_recon(sels[0])
             np.testing.assert_array_equal(dec, mod, err_msg=str(ctx))
+
+
+def test_size_model_matches_assembly(rng):
+    """J2CPlan._size_at (native packet-header bit counting + numpy body
+    sums) equals len(assemble(_select(lam))) EXACTLY for random slopes —
+    the model the at_size_multi bisection trusts instead of assembling
+    bytes per trial."""
+    import math
+    from tpukit.io.j2c_enc import J2CPlan
+
+    for t in range(8):
+        H, W = int(rng.integers(8, 200)), int(rng.integers(8, 200))
+        depth = int(rng.integers(4, 17))
+        signed = bool(rng.random() < 0.3)
+        wavelet = "97" if t % 2 else "53"
+        levels = int(rng.integers(1, 6))
+        lo = -(1 << (depth - 1)) if signed else 0
+        hi = lo + (1 << depth) - 1
+        img = np.clip(np.cumsum(rng.integers(-7, 8, (H, W)), axis=0)
+                      + (lo + hi) // 2, lo, hi)
+        plan = J2CPlan(img, depth, signed, levels=levels, wavelet=wavelet)
+        sl = plan._slopes()
+        lams = [math.inf]
+        if len(sl):
+            lams += [float(x) for x in
+                     rng.choice(sl, size=min(6, len(sl)), replace=False)]
+            lams += [float(sl[0]) / 2, float(sl[-1]) * 2]
+        for lam in lams:
+            got = plan._size_at(lam)
+            want = len(plan.assemble(plan._select(lam)))
+            assert got == want, (t, H, W, depth, wavelet, levels, lam,
+                                 got, want)
+
+
+def test_native_synthesis_matches_numpy(rng):
+    """Native j2k_sr2d_53/97 are bit-exact to jp2.sr2d_53/sr2d_97 over
+    fuzzed geometries (odd dims, n==1 edges, negative values)."""
+    from tpukit.io.j2c_enc import _sr2d_native
+    from tpukit.io.jp2 import sr2d_53, sr2d_97
+
+    for t in range(30):
+        u1 = int(rng.integers(1, 97))
+        v1 = int(rng.integers(1, 97))
+        hw = (v1 + 1) // 2, (u1 + 1) // 2      # LL/ceil shapes at (0,0)
+        lw = v1 // 2, u1 // 2
+        ll = rng.integers(-5000, 5000, hw)
+        hl = rng.integers(-5000, 5000, (hw[0], lw[1]))
+        lh = rng.integers(-5000, 5000, (lw[0], hw[1]))
+        hh = rng.integers(-5000, 5000, lw)
+        got = _sr2d_native(ll, hl, lh, hh, u1, v1, rev=True)
+        want = sr2d_53(ll, hl, lh, hh, 0, 0, u1, v1)
+        np.testing.assert_array_equal(got, want, err_msg=f"53 t={t}")
+        fs = [a * rng.uniform(0.1, 3.0) for a in (ll, hl, lh, hh)]
+        gotf = _sr2d_native(*fs, u1, v1, rev=False)
+        wantf = sr2d_97(*fs, 0, 0, u1, v1)
+        np.testing.assert_array_equal(gotf, wantf, err_msg=f"97 t={t}")

@@ -131,6 +131,33 @@ def t1_sig_plan(coefs: np.ndarray) -> np.ndarray:
     return out
 
 
+def _sr2d_native(ll: np.ndarray, hl: np.ndarray, lh: np.ndarray,
+                 hh: np.ndarray, u1: int, v1: int,
+                 rev: bool) -> np.ndarray:
+    """One 2D synthesis level at origin (0, 0): the F.3.3 interleave in
+    numpy (strided stores), the lifting in C++ (native j2k_sr2d_53/97 —
+    bit-exact to jp2.sr2d_53/sr2d_97, pinned in tests/test_j2c_enc.py)."""
+    lib = native.load()
+    h, w = v1, u1
+    if rev:
+        a = np.zeros((h, w), np.int64)
+    else:
+        a = np.zeros((h, w), np.float64)
+    a[0::2, 0::2] = ll
+    a[0::2, 1::2] = hl
+    a[1::2, 0::2] = lh
+    a[1::2, 1::2] = hh
+    if rev:
+        r = lib.j2k_sr2d_53(a.ctypes.data_as(ct.POINTER(ct.c_int64)),
+                            h, w, 0, 0)
+    else:
+        r = lib.j2k_sr2d_97(a.ctypes.data_as(ct.POINTER(ct.c_double)),
+                            h, w, 0, 0)
+    if r < 0:
+        raise ValueError(f"native synthesis failed: {r}")
+    return a
+
+
 # ===========================================================================
 # Forward reversible 5/3 DWT — the exact inverse of jp2.py's synthesis
 # (_sr1d_53 / sr2d_53), including the absolute-coordinate parity and
@@ -691,13 +718,17 @@ class J2CPlan:
 
     # -- selection ------------------------------------------------------------
     def _slopes(self) -> np.ndarray:
+        cached = getattr(self, "_slopes_arr", None)
+        if cached is not None:
+            return cached
         s = []
         for rinfo in self.res:
             for band in rinfo.bands:
                 for hull in band.hulls:
                     s.extend(pt[3] for pt in hull)
         fin = sorted({x for x in s if math.isfinite(x)})
-        return np.asarray(fin)
+        self._slopes_arr = np.asarray(fin)
+        return self._slopes_arr
 
     def _select(self, lam: float) -> List[List[Optional[int]]]:
         """Per band (flattened over res order), per code-block: chosen pass
@@ -724,6 +755,90 @@ class J2CPlan:
                 sel.append([b.npasses - 1 if b is not None else None
                             for b in band.blocks])
         return sel
+
+    # -- exact size model (no byte emission) -------------------------------------
+    def _sel_tables(self):
+        """Flat per-resolution arrays for the exact-size fast path: hull
+        slopes/passes/lengths concatenated over every code-block (slopes
+        strictly descending within a block), zero-bitplane leaves, and
+        grid dims.  Valid only for the one-precinct layout every tile
+        <= 4096x4096 has (ppx=ppy=15); _size_at guards on that."""
+        tabs = getattr(self, "_tabs", None)
+        if tabs is not None:
+            return tabs
+        tabs = []
+        for rinfo in self.res:
+            pw = np.array([b.cw for b in rinfo.bands], np.int32)
+            ph = np.array([b.ch for b in rinfo.bands], np.int32)
+            hoffs = [0]
+            hs, hn, hl = [], [], []
+            zbp_parts = []
+            for band in rinfo.bands:
+                zbp = np.zeros(band.ch * band.cw, np.int64)
+                for n, blk in enumerate(band.blocks):
+                    hull = band.hulls[n]
+                    if blk is not None:
+                        zbp[n] = band.numbps - blk.numbps
+                    hs.append(np.array([pt[3] for pt in hull], np.float64))
+                    hn.append(np.array([pt[0] + 1 for pt in hull], np.int32))
+                    hl.append(np.array([pt[1] for pt in hull], np.int64))
+                    hoffs.append(hoffs[-1] + len(hull))
+                zbp_parts.append(zbp)
+            tabs.append({
+                "pw": pw, "ph": ph,
+                "zbp": (np.concatenate(zbp_parts) if zbp_parts
+                        else np.empty(0, np.int64)),
+                "hoffs": np.asarray(hoffs, np.int64),
+                "hs": (np.concatenate(hs) if hs else np.empty(0)),
+                "hn": (np.concatenate(hn) if hn
+                       else np.empty(0, np.int32)),
+                "hl": (np.concatenate(hl) if hl
+                       else np.empty(0, np.int64)),
+            })
+        self._tabs = tabs
+        return tabs
+
+    def _fast_size_ok(self) -> bool:
+        return all(r.npw == 1 and r.nph == 1 for r in self.res)
+
+    def _size_at(self, lam: float) -> int:
+        """Exact len(assemble(_select(lam))) without assembling: body
+        bytes are the hulls' pass_len picks; packet-header bits (tag
+        trees, npasses codewords, Lblock, 0xFF stuffing) are counted by
+        the native mirror of _packet (j2k_pkt1_hdr_size).  Equality with
+        real assembly is pinned in tests/test_j2c_enc.py."""
+        lib = native.load()
+        total = self._fixed_size()
+        for tab in self._sel_tables():
+            nblocks = int(tab["hoffs"].shape[0]) - 1
+            m = tab["hs"] >= lam
+            cs = np.concatenate(([0], np.cumsum(m)))
+            cnt = cs[tab["hoffs"][1:]] - cs[tab["hoffs"][:-1]]
+            inc = cnt > 0
+            npn = np.zeros(nblocks, np.int32)
+            slen = np.zeros(nblocks, np.int64)
+            if inc.any():
+                sel_idx = (tab["hoffs"][:-1] + cnt - 1)[inc]
+                npn[inc] = tab["hn"][sel_idx]
+                slen[inc] = tab["hl"][sel_idx]
+            hdr = lib.j2k_pkt1_hdr_size(
+                len(tab["pw"]),
+                tab["pw"].ctypes.data_as(ct.POINTER(ct.c_int32)),
+                tab["ph"].ctypes.data_as(ct.POINTER(ct.c_int32)),
+                npn.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                tab["zbp"].ctypes.data_as(ct.POINTER(ct.c_int64)),
+                slen.ctypes.data_as(ct.POINTER(ct.c_int64)))
+            if hdr < 0:
+                raise ValueError(f"packet size model failed: {hdr}")
+            total += int(hdr) + int(slen.sum())
+        return total
+
+    def _fixed_size(self) -> int:
+        fx = getattr(self, "_fixed", None)
+        if fx is None:
+            # main header + SOT (12) + SOD (2) + EOC (2)
+            fx = self._fixed = len(self._main_header(1)) + 16
+        return fx
 
     # -- packet + marker assembly ----------------------------------------------
     def _precinct_cb_range(self, rinfo: _EncRes, band: _EncBand,
@@ -909,53 +1024,79 @@ class J2CPlan:
         return bytes(out)
 
     # -- truncated-decode model -------------------------------------------------
-    def _band_recon(self, rinfo: _EncRes, band: _EncBand, picks,
-                    rev: bool) -> np.ndarray:
-        arr = np.zeros((band.y1 - band.y0, band.x1 - band.x0),
-                       np.int64 if rev else np.float64)
-        if band.cw == 0 or arr.size == 0:
-            return arr
+    def _band_recon_cache(self, rinfo: _EncRes, band: _EncBand):
+        """Per-band full-array model inputs, built once: significance-plan
+        pass indexes (native replay, per code-block), magnitudes, signs,
+        MSB planes, and the code-block region slices."""
+        cache = getattr(band, "_rc", None)
+        if cache is not None:
+            return cache
+        shape = (band.y1 - band.y0, band.x1 - band.x0)
+        sig = np.full(shape, -1, np.int32)
+        mag = np.zeros(shape, np.int64)
+        sgn = np.zeros(shape, np.int64)
+        regions = []
         xcb, ycb = rinfo.xcb, rinfo.ycb
-        for n, pick in enumerate(picks):
-            blk = band.blocks[n]
-            if blk is None or pick is None:
-                continue
+        for n in range(len(band.blocks)):
             cj, ci = divmod(n, band.cw)
             gx0 = max((band.cbx0 + ci) << xcb, band.x0)
             gy0 = max((band.cby0 + cj) << ycb, band.y0)
             gx1 = min((band.cbx0 + ci + 1) << xcb, band.x1)
             gy1 = min((band.cby0 + cj + 1) << ycb, band.y1)
+            sl = (slice(gy0 - band.y0, gy1 - band.y0),
+                  slice(gx0 - band.x0, gx1 - band.x0))
+            regions.append(sl)
+            if band.blocks[n] is None:
+                continue
             coefs = band.coefs[n]
-            sig = band.sigplans[n]
-            if sig is None:
-                sig = band.sigplans[n] = t1_sig_plan(coefs)
+            s = band.sigplans[n]
+            if s is None:
+                s = band.sigplans[n] = t1_sig_plan(coefs)
+            sig[sl] = s
+            c64 = coefs.astype(np.int64)
+            mag[sl] = np.abs(c64)
+            sgn[sl] = np.sign(c64)
+        # MSB plane per coefficient (exact: frexp exponent)
+        p0 = np.zeros(shape, np.int64)
+        nz = mag > 0
+        p0[nz] = np.frexp(mag[nz].astype(np.float64))[1] - 1
+        band._rc = (sig, mag, sgn, p0, regions)
+        return band._rc
+
+    def _band_recon(self, rinfo: _EncRes, band: _EncBand, picks,
+                    rev: bool) -> np.ndarray:
+        shape = (band.y1 - band.y0, band.x1 - band.x0)
+        arr = np.zeros(shape, np.int64 if rev else np.float64)
+        if band.cw == 0 or arr.size == 0:
+            return arr
+        sig, mag, sgn, p0, regions = self._band_recon_cache(rinfo, band)
+        # per-block truncation scalars broadcast to full-band maps
+        Km = np.zeros(shape, np.int64)
+        ql = np.zeros(shape, np.int64)
+        any_inc = False
+        for n, pick in enumerate(picks):
+            blk = band.blocks[n]
+            if blk is None or pick is None:
+                continue
+            any_inc = True
             K = pick + 1
-            M = blk.numbps
-            mag = np.abs(coefs.astype(np.int64))
-            signs = np.sign(coefs.astype(np.int64))
-            alive = (sig >= 0) & (sig < K)
-            # MSB plane per coefficient (exact: frexp exponent)
-            p0 = np.zeros(mag.shape, np.int64)
-            nz = mag > 0
-            p0[nz] = np.frexp(mag[nz].astype(np.float64))[1] - 1
             # refinement bits of plane q sit in the MRP at global pass
             # index 2 + 3*(M-2-q); decoded iff index <= K-1
-            q_low = max(M - 2 - ((K - 3) // 3), 0)
-            lastp = np.minimum(p0, np.int64(q_low))
-            mag_dec = np.where(
-                alive, mag & ~((np.int64(1) << lastp) - 1), 0)
-            if rev:
-                half = np.where(lastp >= 1,
-                                (np.int64(1) << np.maximum(lastp, 1)) >> 1,
-                                0)
-                val = np.where(mag_dec > 0, signs * (mag_dec + half), 0)
-            else:
-                half = 0.5 * np.exp2(lastp.astype(np.float64))
-                val = np.where(mag_dec > 0,
-                               signs * (mag_dec + half) * band.step, 0.0)
-            arr[gy0 - band.y0:gy1 - band.y0,
-                gx0 - band.x0:gx1 - band.x0] = val
-        return arr
+            Km[regions[n]] = K
+            ql[regions[n]] = max(blk.numbps - 2 - ((K - 3) // 3), 0)
+        if not any_inc:
+            return arr
+        alive = (sig >= 0) & (sig < Km)
+        lastp = np.minimum(p0, ql)
+        mag_dec = np.where(alive, mag & ~((np.int64(1) << lastp) - 1), 0)
+        if rev:
+            half = np.where(lastp >= 1,
+                            (np.int64(1) << np.maximum(lastp, 1)) >> 1,
+                            0)
+            return np.where(mag_dec > 0, sgn * (mag_dec + half), 0)
+        half = 0.5 * np.exp2(lastp.astype(np.float64))
+        return np.where(mag_dec > 0,
+                        sgn * (mag_dec + half) * band.step, 0.0)
 
     def truncated_recon(self, sel: List[List[Optional[int]]]) -> np.ndarray:
         """Reconstruct EXACTLY what tpukit's JP2 decoder returns for
@@ -969,8 +1110,6 @@ class J2CPlan:
         band_array). Same synthesis (sr2d_53/97), level shift and
         clipping as JP2Decoder.decode_component; model==decoder equality
         is pinned in tests/test_j2c_enc.py."""
-        from tpukit.io.jp2 import sr2d_53, sr2d_97
-
         rev = self.wavelet == "53"
         arrs = []
         bi = 0
@@ -980,13 +1119,13 @@ class J2CPlan:
                 bi += 1
         ll = arrs[0]
         ai = 1
-        sr2d = sr2d_53 if rev else sr2d_97
         for r in range(1, self.levels + 1):
             hl, lh, hh = arrs[ai], arrs[ai + 1], arrs[ai + 2]
             ai += 3
             d = 1 << (self.levels - r)
-            ll = sr2d(ll, hl, lh, hh, 0, 0,
-                      _ceil_div(self.w, d), _ceil_div(self.h, d))
+            ll = _sr2d_native(ll, hl, lh, hh,
+                              _ceil_div(self.w, d), _ceil_div(self.h, d),
+                              rev)
         shift = 0 if self.signed else (1 << (self.depth - 1))
         lo = -(1 << (self.depth - 1)) if self.signed else 0
         if rev:
@@ -997,8 +1136,12 @@ class J2CPlan:
     # -- public assembly -------------------------------------------------------
     def lossless(self) -> bytes:
         """All passes of every block: bit-exact for the 5/3 reversible
-        path; the quantizer-ceiling quality for the 9/7 path."""
-        return self.assemble(self._select_all())
+        path; the quantizer-ceiling quality for the 9/7 path.  Cached —
+        rate ladders probe it once per target."""
+        full = getattr(self, "_lossless", None)
+        if full is None:
+            full = self._lossless = self.assemble(self._select_all())
+        return full
 
     def at_sizes(self, targets) -> bytes:
         """Quality-progressive stream: one layer per ascending budget."""
@@ -1093,13 +1236,36 @@ def at_size_multi(plans: List["J2CPlan"], target_bytes: int,
 
     ``return_sel=True`` also returns the per-plan pass selections, so
     callers can reconstruct via the truncated-decode model
-    (J2CPlan.truncated_recon) instead of entropy-decoding the streams."""
+    (J2CPlan.truncated_recon) instead of entropy-decoding the streams.
+
+    The bisection runs on the exact size MODEL (J2CPlan._size_at: numpy
+    body sums + native packet-header bit counting) — bytes are assembled
+    once, at the final slope, instead of at every trial."""
     full = [p.lossless() for p in plans]
     if sum(len(c) for c in full) <= target_bytes:
         sels = [p._select_all() for p in plans]
         return (full, sels) if return_sel else full
     slopes = np.unique(np.concatenate(
         [p._slopes() for p in plans] or [np.empty(0)]))
+
+    if all(p._fast_size_ok() for p in plans):
+        def size_at(lam: float) -> int:
+            return sum(p._size_at(lam) for p in plans)
+
+        best_lam = math.inf
+        if size_at(math.inf) <= target_bytes:
+            lo, hi = 0, len(slopes)
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if size_at(float(slopes[mid])) <= target_bytes:
+                    best_lam = float(slopes[mid])
+                    hi = mid
+                else:
+                    lo = mid + 1
+        # (headers alone over budget -> minimal lam=inf stream, as before)
+        best_sel = [p._select(best_lam) for p in plans]
+        best = [p.assemble(s) for p, s in zip(plans, best_sel)]
+        return (best, best_sel) if return_sel else best
 
     def at(lam: float):
         sels = [p._select(lam) for p in plans]

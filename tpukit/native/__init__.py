@@ -26,7 +26,7 @@ _LIB = None
 
 _CXX_SOURCES = sorted(_SRC_DIR.glob("*.cpp"))
 _CXXFLAGS = ["-O3", "-std=c++17", "-fPIC", "-shared", "-march=native",
-             "-fno-math-errno", "-Wall"]
+             "-fno-math-errno", "-ffp-contract=off", "-Wall"]
 
 
 def _source_digest() -> str:
@@ -79,6 +79,8 @@ def _declare(lib: ctypes.CDLL) -> None:
     u16p = ct.POINTER(ct.c_uint16)
     u32p = ct.POINTER(ct.c_uint32)
     i32p = ct.POINTER(ct.c_int32)
+    i64p = ct.POINTER(ct.c_int64)
+    f64p = ct.POINTER(ct.c_double)
     f32p = ct.POINTER(ct.c_float)
     i64 = ct.c_longlong
     i32 = ct.c_int
@@ -109,6 +111,9 @@ def _declare(lib: ctypes.CDLL) -> None:
                                        i32, i32, u8p, i64]),
         ("tpukit_bpe122_decode", i64, [u8p, i64, i64, i32p]),
         ("j2k_t1_sig_plan", i64, [i32p, i32, i32, i32p]),
+        ("j2k_pkt1_hdr_size", i64, [i32, i32p, i32p, i32p, i64p, i64p]),
+        ("j2k_sr2d_97", i64, [f64p, i64, i64, i32, i32]),
+        ("j2k_sr2d_53", i64, [i64p, i64, i64, i32, i32]),
         ("ck123std_encode", i64, [u16p, i32, i32, i32, i32, i32, i32,
                                   i32, i32, u8p, i64]),
         ("ck123std_info", i64, [u8p, i64, i32p]),
