@@ -2,11 +2,17 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh so the
 multi-chip sharding paths compile and execute without TPU hardware.
 
-The session boot hook (sitecustomize) registers the axon TPU backend in
-every interpreter before user code runs and ignores JAX_PLATFORMS, so the
-platform cannot be switched here. Instead all test computation is pinned
-to the (8-device virtual) CPU backend via jax_default_device, which never
-touches the single-owner TPU tunnel.
+The session boot hook (sitecustomize) imports jax with JAX_PLATFORMS=axon
+in the env, so the env var set here is ignored when axon is pre-booted.
+The `jax_platforms` CONFIG still applies (backends are initialized
+lazily, after conftest import): pinning it to "cpu" makes the axon
+platform unreachable for the whole suite. That is load-bearing beyond
+determinism — the tunnel is single-owner and its first fetch can stall
+for minutes (docs/SCALING.md ops notes), so a test that merely
+*enumerates* TPU devices (e.g. jax.profiler collecting from every
+initialized backend) can hang the suite whenever another process holds
+the tunnel. jax_default_device is pinned too for the parts of the code
+(e.g. sweep._build_mesh) that key off it.
 """
 
 import os
@@ -18,6 +24,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 
