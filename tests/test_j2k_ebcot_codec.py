@@ -88,7 +88,7 @@ def test_quality_ladder_amortized_device_targets(cube):
     from tpukit.io.jp2 import JP2Decoder
 
     codec = create("j2k", entropy="ebcot")
-    dev = create("j2k")   # device backend: the quality->size reference
+    dev = create("j2k", entropy="device")   # device backend: the quality->size reference
     qs = [10, 35, 80]
     specs = [RateSpec.of("quality", q) for q in qs]
     cache = {}

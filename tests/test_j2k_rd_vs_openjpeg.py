@@ -62,7 +62,7 @@ BOUNDS = {2: 0.0, 4: 0.1, 8: 0.3, 16: 0.3, 32: 0.2, 64: 0.2}
 
 @pytest.mark.parametrize("rate", sorted(BOUNDS))
 def test_rd_within_bound_of_openjpeg(tiles, rate):
-    codec = create("j2k", rate_fit=True)
+    codec = create("j2k", rate_fit=True, entropy="device")
     for name, img in tiles.items():
         dec_opj, nbytes = _opj_lossy(img, rate)
         bpp = nbytes * 8 / img.size

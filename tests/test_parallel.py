@@ -77,7 +77,7 @@ def test_sharded_metric_ladder_matches_single(rng):
     cube = np.clip(base[None] + rng.integers(-80, 80, (4, 32, 32)),
                    0, 4095).astype(np.uint16)
     recons = []
-    for res in create("j2k").sweep_rates(
+    for res in create("j2k", entropy="device").sweep_rates(
             cube, "uint16", [RateSpec.of("quality", q) for q in (15, 60)]):
         recons.append(np.asarray(res.recon))
     for res in create("ccsds122").sweep_rates(
@@ -124,7 +124,7 @@ def test_sweep_csv_identical_dp1_vs_dp8(tmp_path, rng):
     csvs = {}
     for name, mesh in (("dp1", "1"), ("dp8", "8"), ("dp4sp2", "4,2")):
         cfg = SweepConfig(
-            indices=idx, codec=create("j2k"), codec_label="j2k",
+            indices=idx, codec=create("j2k", entropy="device"), codec_label="j2k",
             outdir=tmp_path / f"runs_{name}", rate_key="quality",
             rates=[20, 60], reps=2, write_artifacts=False,
             quicklooks=False, mesh=mesh)
@@ -215,7 +215,7 @@ def test_mesh_sweep_artifacts_match_single_device(tmp_path, rng):
     outs = {}
     for name, mesh in (("single", None), ("mesh", "4")):
         cfg = SweepConfig(
-            indices=idx, codec=create("j2k"), codec_label="j2k",
+            indices=idx, codec=create("j2k", entropy="device"), codec_label="j2k",
             outdir=tmp_path / f"runs_{name}", rate_key="quality",
             rates=[20], reps=1, mesh=mesh)
         run_sweep(cfg)
@@ -249,7 +249,7 @@ def test_sweep_rows_match_caseb_spectral_single_vs_mesh(tmp_path, rng):
     rowsets = {}
     for name, mesh in (("dp1", "1"), ("dp4sp2", "4,2")):
         cfg = SweepConfig(
-            indices=idx, codec=create("j2k"), codec_label="j2k",
+            indices=idx, codec=create("j2k", entropy="device"), codec_label="j2k",
             outdir=tmp_path / f"runs_{name}", rate_key="quality",
             rates=[15, 60], reps=2, write_artifacts=False,
             quicklooks=False, mesh=mesh)
@@ -319,11 +319,11 @@ def test_mesh_j2k_quality_ladder_matches_single(rng):
     cube = np.clip(base[None] + rng.integers(-80, 80, (4, 32, 32)),
                    0, 4095).astype(np.uint16)
     specs = [RateSpec.of("quality", q) for q in (10, 35, 80)]
-    single = create("j2k").sweep_rates(cube, "uint16", specs)
+    single = create("j2k", entropy="device").sweep_rates(cube, "uint16", specs)
     mesh = make_mesh(jax.devices("cpu")[:8], dp=4, sp=2)
-    meshed = create("j2k").sweep_rates(cube, "uint16", specs, mesh=mesh)
+    meshed = create("j2k", entropy="device").sweep_rates(cube, "uint16", specs, mesh=mesh)
     mesh1 = make_mesh(jax.devices("cpu")[:1], dp=1, sp=1)
-    meshed1 = create("j2k").sweep_rates(cube, "uint16", specs, mesh=mesh1)
+    meshed1 = create("j2k", entropy="device").sweep_rates(cube, "uint16", specs, mesh=mesh1)
     for s, m, m1 in zip(single, meshed, meshed1):
         assert s.bitstream_bytes == m.bitstream_bytes
         assert s.extras["quality_used"] == m.extras["quality_used"]

@@ -23,7 +23,7 @@ def test_j2k_sweep_rates_matches_run(casea_cube):
     """The amortized ladder is point-for-point identical to per-rate run()
     in stream size and reconstruction (reference loop run_codec.py:472-495
     semantics preserved)."""
-    codec = create("j2k")
+    codec = create("j2k", entropy="device")
     specs = [RateSpec.of("quality", q) for q in (10, 35, 80)]
     swept = codec.sweep_rates(casea_cube, "uint16", specs,
                               keep_bitstream=True)
@@ -38,7 +38,7 @@ def test_j2k_sweep_rates_matches_run(casea_cube):
 
 
 def test_j2k_sweep_rates_mixed_lossless(casea_cube):
-    codec = create("j2k")
+    codec = create("j2k", entropy="device")
     specs = [RateSpec.none(), RateSpec.of("quality", 30)]
     swept = codec.sweep_rates(casea_cube, "uint16", specs)
     np.testing.assert_array_equal(np.asarray(swept[0].recon), casea_cube)
@@ -79,7 +79,7 @@ def test_sweep_ladder_rows_match_per_point_metrics(tmp_path, rng):
     write_manifest(idx, "caseA", "tile", [{"tile_id": "X", "path": p}])
 
     cfg = SweepConfig(
-        indices=idx, codec=create("j2k"), codec_label="j2k",
+        indices=idx, codec=create("j2k", entropy="device"), codec_label="j2k",
         outdir=tmp_path / "runs", rate_key="quality",
         rates=[20, 60], reps=2)
     rows = run_sweep(cfg)["rows"]

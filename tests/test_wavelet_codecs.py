@@ -31,7 +31,7 @@ def test_dwt_roundtrips(rng):
 
 
 def test_j2k_lossless(smooth_tile):
-    res = J2KCodec().run(smooth_tile, "uint16", RateSpec.none())
+    res = J2KCodec(entropy="device").run(smooth_tile, "uint16", RateSpec.none())
     np.testing.assert_array_equal(res.recon, smooth_tile)
     assert res.bitstream_bytes < smooth_tile.nbytes
 
@@ -39,7 +39,7 @@ def test_j2k_lossless(smooth_tile):
 def test_j2k_quality_monotone(smooth_tile):
     sizes, psnrs = [], []
     for q in (10, 35, 60, 90):
-        res = J2KCodec().run(smooth_tile, "uint16", RateSpec.of("quality", q))
+        res = J2KCodec(entropy="device").run(smooth_tile, "uint16", RateSpec.of("quality", q))
         d = np.asarray(res.recon).astype(np.float64) - smooth_tile.astype(np.float64)
         mse = (d ** 2).mean()
         sizes.append(res.bitstream_bytes)
@@ -59,7 +59,7 @@ def test_j2k_rate_heuristics():
 
 
 def test_j2k_int16(tile_caseB):
-    res = J2KCodec().run(tile_caseB, "int16", RateSpec.none())
+    res = J2KCodec(entropy="device").run(tile_caseB, "int16", RateSpec.none())
     np.testing.assert_array_equal(res.recon, tile_caseB)
 
 
@@ -133,7 +133,7 @@ def test_ccsds122_quality_improves_with_rate(smooth_tile):
 def test_j2k_sweep_rd_matches_run(smooth_tile):
     """The amortized sweep path must agree with the one-shot run() path:
     same bitstream bytes and identical reconstruction per quality point."""
-    codec = J2KCodec()
+    codec = J2KCodec(entropy="device")
     qualities = [10, 60, 100]
     rows = codec.sweep_rd(smooth_tile, "uint16", qualities)
     assert len(rows) == len(qualities)
@@ -159,14 +159,14 @@ def test_j2k_tiled_coding(rng):
     base = rng.integers(200, 3800, (48, 48)).astype(np.int32)
     cube = np.clip(base[None] + rng.integers(-99, 99, (3, 48, 48)),
                    0, 4095).astype(np.uint16)
-    res = J2KCodec(tilex=32, tiley=32).run(cube, "uint16", RateSpec.none(),
+    res = J2KCodec(tilex=32, tiley=32, entropy="device").run(cube, "uint16", RateSpec.none(),
                                            keep_bitstream=True)
     np.testing.assert_array_equal(res.recon, cube)
     # 2x2 tile grid x 3 bands = 12 streams
     assert len(res.bitstreams) == 12
     assert res.extras["tilex"] == 32
 
-    lossy = J2KCodec(tilex=32, tiley=32).run(cube, "uint16",
+    lossy = J2KCodec(tilex=32, tiley=32, entropy="device").run(cube, "uint16",
                                              RateSpec.of("quality", 30))
     assert lossy.bitstream_bytes > 0
     assert np.abs(np.asarray(lossy.recon).astype(int) - cube.astype(int)).max() < 600
@@ -181,7 +181,7 @@ def test_j2k_rate_fit_hits_target(rng):
     base = rng.integers(200, 3800, (64, 64)).astype(np.int32)
     cube = np.clip(base[None] + rng.integers(-300, 300, (4, 64, 64)),
                    0, 4095).astype(np.uint16) << 4
-    codec = J2KCodec(rate_fit=True)
+    codec = J2KCodec(rate_fit=True, entropy="device")
     for bpp in (0.5, 1.0, 2.0):
         res = codec.run(cube, "uint16", RateSpec.of("bpp", bpp))
         target = bpp * 64 * 64 * 4 / 8.0
@@ -248,8 +248,8 @@ def test_j2k_device_point_matches_materializing_path(smooth_tile):
     """The transfer-free lossy single point (size model + requant recon)
     must equal the stream-materializing path exactly, fit mode included."""
     for spec in (RateSpec.of("quality", 45), RateSpec.of("bpp", 1.0)):
-        a = J2KCodec(rate_fit=True).run(smooth_tile, "uint16", spec)
-        b = J2KCodec(rate_fit=True).run(smooth_tile, "uint16", spec,
+        a = J2KCodec(rate_fit=True, entropy="device").run(smooth_tile, "uint16", spec)
+        b = J2KCodec(rate_fit=True, entropy="device").run(smooth_tile, "uint16", spec,
                                         keep_bitstream=True)
         assert a.bitstream_bytes == b.bitstream_bytes
         assert a.bitstream_bytes == sum(len(v)
@@ -258,8 +258,8 @@ def test_j2k_device_point_matches_materializing_path(smooth_tile):
 
 
 def test_j2k_lossless_device_matches_materializing_path(smooth_tile):
-    a = J2KCodec().run(smooth_tile, "uint16", RateSpec.none())
-    b = J2KCodec().run(smooth_tile, "uint16", RateSpec.none(),
+    a = J2KCodec(entropy="device").run(smooth_tile, "uint16", RateSpec.none())
+    b = J2KCodec(entropy="device").run(smooth_tile, "uint16", RateSpec.none(),
                        keep_bitstream=True)
     assert a.bitstream_bytes == b.bitstream_bytes
     np.testing.assert_array_equal(np.asarray(a.recon), smooth_tile)
@@ -270,8 +270,8 @@ def test_j2k_sweep_model_matches_materializing_sweep(smooth_tile):
     """The model-first quality ladder must match the stream-materializing
     ladder in sizes and reconstructions exactly."""
     qs = [30, 55, 80]
-    a = J2KCodec().sweep_qualities(smooth_tile, "uint16", qs)
-    b = J2KCodec().sweep_qualities(smooth_tile, "uint16", qs,
+    a = J2KCodec(entropy="device").sweep_qualities(smooth_tile, "uint16", qs)
+    b = J2KCodec(entropy="device").sweep_qualities(smooth_tile, "uint16", qs,
                                    keep_bitstream=True)
     for ra, rb in zip(a, b):
         assert ra.bitstream_bytes == rb.bitstream_bytes
@@ -326,7 +326,7 @@ def test_j2k_lossless_lsb_shift(rng):
                    + rng.integers(-300, 300, (3, 96, 96)), 0, 4095)
     packed = (base.astype(np.uint16) << 4)
     unpacked = base.astype(np.uint16)
-    codec = J2KCodec()
+    codec = J2KCodec(entropy="device")
     spec = RateSpec(None, None, True)
     r_dev = codec.run(packed, "uint16", spec)
     r_mat = codec.run(packed, "uint16", spec, keep_bitstream=True)

@@ -88,7 +88,7 @@ def test_mixed_backend_quality_ladder_roundtrip(rng):
     cube = ((np.clip(base[None] + rng.integers(-200, 200, (2, 64, 64)),
                      0, 4095)) << 4).astype(np.uint16)
     specs = [RateSpec.of("quality", q) for q in (20, 60, 100)]
-    codec = create("j2k")
+    codec = create("j2k", entropy="device")
     with_streams = codec.sweep_rates(cube, "uint16", specs,
                                      keep_bitstream=True)
     model_first = codec.sweep_rates(cube, "uint16", specs)

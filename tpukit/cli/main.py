@@ -83,11 +83,11 @@ def run_codec_main(argv=None):
                     help="j2k: hit bpp/cr targets by device bisection over "
                          "the exact coder size model instead of the "
                          "heuristic quality tables")
-    ap.add_argument("--entropy", choices=("device", "ebcot"), default=None,
-                    help="j2k: 'ebcot' emits standard ISO 15444-1 "
+    ap.add_argument("--entropy", choices=("ebcot", "device"), default=None,
+                    help="j2k: 'ebcot' (default) emits standard ISO 15444-1 "
                          "codestreams (clean-room EBCOT + PCRD-opt, whole "
-                         "rate ladder from one analysis); 'device' "
-                         "(default) keeps the transfer-free device coder")
+                         "rate ladder from one analysis); 'device' is the "
+                         "transfer-free fast mode (proprietary bitstream)")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the sweep into DIR "
                          "(view with TensorBoard / xprof; the TPU analog of "

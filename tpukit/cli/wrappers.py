@@ -201,9 +201,15 @@ def j2k_main(argv=None):
         ap.add_argument("--rate-fit", dest="rate_fit", action="store_true",
                         help="hit bpp/cr targets via device bisection over "
                              "the exact coder size model")
+        ap.add_argument("--entropy", choices=("ebcot", "device"),
+                        default="ebcot",
+                        help="'ebcot' (default) emits standard ISO 15444-1 "
+                             "codestreams; 'device' is the transfer-free "
+                             "fast mode (proprietary bitstream)")
 
     def opts(a):
-        return dict(tilex=a.tilex, tiley=a.tiley, rate_fit=a.rate_fit)
+        return dict(tilex=a.tilex, tiley=a.tiley, rate_fit=a.rate_fit,
+                    entropy=a.entropy)
     return run_wrapper("j2k", argv, opts, extra)
 
 

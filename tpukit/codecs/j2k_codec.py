@@ -3,10 +3,22 @@
 
 The reference's "j2k" path shells out to gdal_translate/OpenJPEG with a
 QUALITY 1..100 creation option or REVERSIBLE=YES
-(reference tools/codecs/j2k/j2k_wrap.py:79-105). OpenJPEG's QUALITY→rate
-mapping is not bit-defined, and the BASELINE target for lossy paths is
-RD-curve parity, not bitstream parity — so tpukit implements the same
-codec *class* natively and TPU-first:
+(reference tools/codecs/j2k/j2k_wrap.py:79-105).
+
+Two entropy backends, selected by `entropy=`:
+
+  * "ebcot" (DEFAULT — the canonical/benched path): standard ISO/IEC
+    15444-1 codestreams per band (tpukit.io.j2c_enc — clean-room EBCOT
+    tier-1 + PCRD-opt), matching the reference contract that default
+    sweeps leave toolchain-readable J2K artifacts in bit/
+    (j2k_wrap.py:79-105 emits real JP2 files). The whole quality ladder
+    amortizes to ONE tier-1 analysis per tile; sizes come from an exact
+    no-emission model and reconstructions from a native truncated-decode
+    synthesis, so a 14-point sweep costs barely more than one encode.
+  * "device": the transfer-free TPU-first fast mode. OpenJPEG's
+    QUALITY→rate mapping is not bit-defined, and the BASELINE target for
+    lossy paths is RD-curve parity, not bitstream parity — so this
+    backend implements the same codec *class* natively:
 
   * reversible: 5-level CDF 5/3 integer DWT on device, exactly lossless
   * lossy: 5-level CDF 9/7 DWT on device, per-subband deadzone
@@ -354,13 +366,13 @@ def mesh_for_bands(mesh, B: int):
 
 class J2KCodec(Codec):
     name = "j2k"
-    encoder_desc = ("tpukit J2K-class (device 5/3 & 9/7 DWT + "
-                    "Rice/bit-plane entropy backend)")
+    encoder_desc = ("tpukit J2K (EBCOT tier-1 + PCRD-opt, "
+                    "standard-conformant codestreams)")
     supports_lossy = True
 
     def __init__(self, tilex: Optional[int] = None,
                  tiley: Optional[int] = None, rate_fit: bool = False,
-                 entropy: str = "device"):
+                 entropy: str = "ebcot"):
         """tilex/tiley: JP2-style independent spatial tiles (the reference
         passes TILEXSIZE/TILEYSIZE creation options, j2k_wrap.py:81). Each
         tile is transformed and coded on its own, so truncation/decoding of
@@ -371,21 +383,22 @@ class J2KCodec(Codec):
         reference's heuristic bpp/cr -> QUALITY tables (j2k_wrap.py:32-47),
         landing the stream at (just under) the requested size.
 
-        entropy: "device" (default) keeps the transfer-free device
-        Rice/bit-plane coder; "ebcot" emits standard ISO/IEC 15444-1
+        entropy: "ebcot" (default) emits standard ISO/IEC 15444-1
         codestreams per band (tpukit.io.j2c_enc: clean-room EBCOT tier-1 +
         PCRD-opt) that any J2K decoder reads, with the whole rate ladder
         truncated from ONE analysis pass and a single global
-        rate-distortion threshold across all bands."""
+        rate-distortion threshold across all bands; "device" keeps the
+        transfer-free device Rice/bit-plane fast mode (proprietary
+        bitstream, RD above OpenJPEG at every tested rate)."""
         if entropy not in ("device", "ebcot"):
             raise ValueError("entropy must be 'device' or 'ebcot'")
         self.tilex = tilex
         self.tiley = tiley
         self.rate_fit = rate_fit
         self.entropy = entropy
-        if entropy == "ebcot":
-            self.encoder_desc = ("tpukit J2K (EBCOT tier-1 + PCRD-opt, "
-                                 "standard-conformant codestreams)")
+        if entropy == "device":
+            self.encoder_desc = ("tpukit J2K-class (device 5/3 & 9/7 DWT + "
+                                 "Rice/bit-plane entropy backend)")
 
     def quality_for(self, rate: RateSpec) -> Optional[int]:
         """RateSpec → QUALITY 1..100 via the reference heuristics
