@@ -389,3 +389,49 @@ def test_mesh_artifacts_match_single_device(tmp_path, rng):
     assert any("RGB8" in str(f) for f in sfiles)
     for f in sfiles:
         assert (sdir / f).read_bytes() == (mdir / f).read_bytes(), f
+
+
+def test_ccsds121_mesh_codec_phase_plan_matches_single(rng):
+    """Codec-phase mesh sharding for CCSDS-121: the per-chunk analyses
+    round-robin over the mesh devices and the folded plan is IDENTICAL to
+    the default-backend plan (integer model, layout-invariant), so the
+    packed stream stays byte-exact vs the serial coder."""
+    from tpukit.codecs import ccsds121 as dev
+    from tpukit.native import ccsds121_host as ck
+
+    n = 16 * 4096                       # multiple of J*rsi = 16
+    x = (rng.integers(0, 1 << 14, n).astype(np.uint16) << 2)
+    devs = jax.devices("cpu")[:8]
+    pm = dev.encode_plan(x, bits=16, chunk=8192, devices=devs)
+    ps = dev.encode_plan(x, bits=16, chunk=8192)
+    assert pm is not None and ps is not None
+    assert pm == ps
+    bs = ck.encode_parallel(x, pm)
+    assert bs == ck.encode(x, 16)
+    assert (pm["total_bits"] + 7) // 8 == len(bs)
+
+
+def test_ccsds121_codec_mesh_run_matches_host(rng):
+    """CCSDS121Codec.run with a mesh in ctx (the runner's mesh mode) uses
+    the sharded plan and still produces the libaec-byte-exact stream and
+    a lossless recon."""
+    from tpukit.codecs.base import RateSpec
+    from tpukit.codecs.ccsds121_codec import CCSDS121Codec
+    from tpukit.native import ccsds121_host as ck
+    from tpukit.parallel.mesh import make_mesh
+
+    B, H, W = 6, 64, 64
+    cube = ((rng.integers(0, 1 << 14, (B, H, W)).astype(np.uint16)) << 2) \
+        .view(np.int16)
+    mesh = make_mesh(jax.devices("cpu")[:4], dp=4, sp=1)
+    codec = CCSDS121Codec(tile=64, interleave="bip", preproc="none",
+                          plan_chunk=4096)
+    cache: dict = {}
+    res = codec.run(cube, "int16", RateSpec.of("none", None), mesh=mesh,
+                    device_plan_cache=cache)
+    assert np.array_equal(res.recon, cube)
+    # a sharded plan was actually computed and cached
+    assert any(isinstance(k, tuple) and len(k) == 9 for k in cache)
+    flat = np.ascontiguousarray(
+        np.moveaxis(cube.view(np.uint16), 0, -1)).ravel()
+    assert res.bitstream_bytes == len(ck.encode(flat, 16))

@@ -542,7 +542,8 @@ def chunk_stats(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2,
 
 
 def encode_plan(x, bits: int = 16, J: int = 8, rsi: int = 2,
-                chunk: int = 1 << 22, preprocess: bool = True):
+                chunk: int = 1 << 22, preprocess: bool = True,
+                devices=None):
     """Device-computed parallel-encode plan.
 
     Splits the stream into chunks aligned to reference-sample intervals
@@ -561,7 +562,16 @@ def encode_plan(x, bits: int = 16, J: int = 8, rsi: int = 2,
     offsets — the TPU plans, the host packs (see
     tpukit.native.ccsds121_host.encode_parallel). Returns None when the
     stream is too small or misaligned to chunk (callers fall back to the
-    monolithic path)."""
+    monolithic path).
+
+    ``devices``: optional list of jax devices to round-robin the chunk
+    programs over (codec-phase mesh sharding). Chunk analyses are
+    independent (the k chain folds on host), and the model is pure
+    integer arithmetic, so per-device placement is bit-exact regardless
+    of layout — the plan equals the single-device plan. ``x`` should be
+    a HOST (numpy) array in this mode so chunks commit straight onto
+    their mesh device (never to the default backend — on tunneled hosts
+    that would be the real accelerator even for a CPU mesh)."""
     n = int(x.shape[0])
     step = J * rsi
     chunk -= chunk % step       # chunks must end on an RSI boundary
@@ -576,18 +586,32 @@ def encode_plan(x, bits: int = 16, J: int = 8, rsi: int = 2,
     # vmapped associative_scan compiles pathologically on TPU); dispatch is
     # async, so the serial launches overlap, and the tables come down in
     # one device_get below
-    results = [chunk_stats(x[i * chunk:(i + 1) * chunk], bits=bits, J=J,
-                           rsi=rsi, preprocess=preprocess)
+    def _piece(i, sl):
+        xs = x[sl]
+        if devices is not None:
+            xs = jax.device_put(xs, devices[i % len(devices)])
+        return chunk_stats(xs, bits=bits, J=J, rsi=rsi,
+                           preprocess=preprocess)
+
+    results = [_piece(i, slice(i * chunk, (i + 1) * chunk))
                for i in range(n // chunk)]
     sizes = [chunk] * (n // chunk)
     if rem:
-        results.append(chunk_stats(x[main:], bits=bits, J=J, rsi=rsi,
-                                   preprocess=preprocess))
+        results.append(_piece(n // chunk, slice(main, None)))
         sizes.append(rem)
-    totals, los, his = jax.device_get(
-        (jnp.stack([t for t, _, _ in results]),
-         jnp.stack([lo for _, lo, _ in results]),
-         jnp.stack([hi for _, _, hi in results])))
+    if devices is None:
+        totals, los, his = jax.device_get(
+            (jnp.stack([t for t, _, _ in results]),
+             jnp.stack([lo for _, lo, _ in results]),
+             jnp.stack([hi for _, _, hi in results])))
+    else:
+        # results live on different devices — stacking would force a
+        # cross-device colocation; fetch the 3 scalars per chunk directly
+        # (mesh devices are local, per-call latency is not a concern)
+        got = jax.device_get(results)
+        totals = [t for t, _, _ in got]
+        los = [lo for _, lo, _ in got]
+        his = [hi for _, _, hi in got]
     k = 0
     off = 0
     k_in, bit_off, seg_bits = [], [], []

@@ -43,13 +43,17 @@ class CCSDS121Codec(Codec):
 
     def __init__(self, tile: int = 512, interleave: str = "bip",
                  preproc: str = "diff1", nbit: int = 16,
-                 block_size: int = 8, rsi: int = 2):
+                 block_size: int = 8, rsi: int = 2,
+                 plan_chunk: int = 1 << 22):
         self.tile = tile
         self.interleave = interleave
         self.preproc = preproc
         self.nbit = nbit
         self.block_size = block_size
         self.rsi = rsi
+        # samples per parallel-plan chunk (device encode plan); exposed so
+        # tests can exercise the chunked paths on small streams
+        self.plan_chunk = plan_chunk
 
     def run(self, cube: np.ndarray, dtype_name: str, rate: RateSpec,
             keep_bitstream: bool = False, **opts) -> CodecResult:
@@ -101,16 +105,30 @@ class CCSDS121Codec(Codec):
                     # the device model supports 8 < bits <= 16; other
                     # nbit values stay on the host coder (which handles
                     # the full 5..16 range) instead of crashing at trace
-                    if (device_cube is not None
-                            and 8 < self.nbit <= 16
-                            and flat.size % (self.block_size * self.rsi) == 0):
+                    mesh = opts.get("mesh")
+                    if (8 < self.nbit <= 16
+                            and flat.size % (self.block_size * self.rsi) == 0
+                            and (device_cube is not None
+                                 or mesh is not None)):
                         ck = (y0, x0, th, tw, self.preproc, self.interleave,
                               self.nbit, self.block_size, self.rsi)
                         if plan_cache is not None and ck in plan_cache:
                             plan = plan_cache[ck]
-                        else:
+                        elif device_cube is not None:
                             plan = self._tile_device_plan(device_cube, y0,
                                                           x0, th, tw)
+                            if plan_cache is not None:
+                                plan_cache[ck] = plan
+                        else:
+                            # codec-phase mesh sharding: the per-chunk
+                            # analyses round-robin over the mesh devices
+                            # (integer model — plan identical to the
+                            # single-device one for any device count)
+                            from tpukit.codecs import ccsds121 as dev
+                            plan = dev.encode_plan(
+                                flat, bits=self.nbit, J=self.block_size,
+                                rsi=self.rsi, chunk=self.plan_chunk,
+                                devices=list(mesh.devices.ravel()))
                             if plan_cache is not None:
                                 plan_cache[ck] = plan
                     if plan is not None:
@@ -186,7 +204,7 @@ class CCSDS121Codec(Codec):
         else:
             flat = c.reshape(-1)
         return dev.encode_plan(flat, bits=self.nbit, J=self.block_size,
-                               rsi=self.rsi)
+                               rsi=self.rsi, chunk=self.plan_chunk)
 
     def encode_size_device(self, cube, interleave: Optional[str] = None):
         """Exact compressed size from the TPU model (no packing), honoring
