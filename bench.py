@@ -213,9 +213,20 @@ def main():
             if it < 2:
                 shutil.rmtree(outdir, ignore_errors=True)
     t_caseA, t_caseB = min(tA), min(tB)
+    med = lambda v: float(np.median(v))
     t_total = t_caseA + t_caseB
+    t_total_median = med(tA) + med(tB)
     log(f"canonical wall: caseA {t_caseA:.1f}s + caseB {t_caseB:.1f}s "
-        f"= {t_total:.1f}s (north-star < 60s)")
+        f"= {t_total:.1f}s min / {t_total_median:.1f}s median "
+        f"(north-star < 60s; iters A={['%.1f' % t for t in tA]} "
+        f"B={['%.1f' % t for t in tB]})")
+    # regression gate: the warm sum must beat the north-star LOUDLY (min
+    # over the two warm iterations — iteration 0 additionally absorbs the
+    # per-process executable loads)
+    warm_sum = min(tA[1:]) + min(tB[1:])
+    assert warm_sum < 60, (
+        f"REGRESSION: warm canonical sum {warm_sum:.1f}s >= 60s "
+        f"(iters A={tA} B={tB})")
 
     # ---- round-1 continuity: Case B anchor flow vs reference-equivalent ----
     n = cubeB.size
@@ -298,6 +309,10 @@ def main():
             "north_star_met": bool(t_total < 60),
             "t_caseA_canonical_s": round(t_caseA, 2),
             "t_caseB_canonical_s": round(t_caseB, 2),
+            "t_total_median_s": round(t_total_median, 2),
+            "iters_caseA_s": [round(t, 2) for t in tA],
+            "iters_caseB_s": [round(t, 2) for t in tB],
+            "iter0_sum_s": round(tA[0] + tB[0], 2),
             "t_anchor_flow_s": round(t_anchor, 3),
             "t_reference_anchor_flow_s": (round(t_reference, 3)
                                           if np.isfinite(t_reference)

@@ -81,10 +81,12 @@ def test_quality_key(cube):
 
 def test_quality_ladder_amortized_device_targets(cube):
     """Quality ladders run from ONE tier-1 analysis: each point PCRD-
-    truncates to the byte budget the device backend's exact size model
-    spends at that quality's step. Sizes track the device backend, MSE
-    is monotone in quality, every stream stays ISO-decodable, and the
-    plan set is shared across reps through the harness cache."""
+    truncates to the byte budget the device LIGHT size model (embedded +
+    run-length candidates, j2k_codec.wenc_size_bytes_light) spends at
+    that quality's step. Sizes track the device backend within the
+    light-vs-quadruple model gap (a few percent), MSE is monotone in
+    quality, every stream stays ISO-decodable, and the plan set is
+    shared across reps through the harness cache."""
     from tpukit.io.jp2 import JP2Decoder
 
     codec = create("j2k", entropy="ebcot")
@@ -99,7 +101,9 @@ def test_quality_ladder_amortized_device_targets(cube):
     prev_mse = None
     for q, r, d in zip(qs, sw, dv):
         assert r.extras["quality_used"] == q
-        assert r.bitstream_bytes <= d.bitstream_bytes  # PCRD meets budget
+        # PCRD meets the light-model budget; the light anchor sits at
+        # most a few percent above the device backend's quadruple min
+        assert r.bitstream_bytes <= int(d.bitstream_bytes * 1.10)
         assert r.bitstream_bytes >= int(d.bitstream_bytes * 0.75)
         for name, cs in r.bitstreams.items():
             dec = JP2Decoder(cs).decode_component(0, 0, 0)

@@ -430,8 +430,17 @@ def test_ccsds121_codec_mesh_run_matches_host(rng):
     res = codec.run(cube, "int16", RateSpec.of("none", None), mesh=mesh,
                     device_plan_cache=cache)
     assert np.array_equal(res.recon, cube)
+    # the sharded plan computes in the background lane (run() never waits
+    # more than its short poll); settle it, then a second run uses it
+    futs = [v for k, v in cache.items()
+            if isinstance(k, tuple) and k[0] == "ck121_planfut"]
+    assert futs
+    assert futs[0].result(timeout=180) is not None
+    res = codec.run(cube, "int16", RateSpec.of("none", None), mesh=mesh,
+                    device_plan_cache=cache)
+    assert np.array_equal(res.recon, cube)
     # a sharded plan was actually computed and cached
-    assert any(isinstance(k, tuple) and len(k) == 9 for k in cache)
+    assert any(isinstance(k, tuple) and len(k) == 10 for k in cache)
     flat = np.ascontiguousarray(
         np.moveaxis(cube.view(np.uint16), 0, -1)).ravel()
     assert res.bitstream_bytes == len(ck.encode(flat, 16))

@@ -494,6 +494,8 @@ def _init_jax_compile_cache():
     import os
     try:
         import jax
+        from tpukit.hostinfo import ensure_cpu_platform
+        ensure_cpu_platform()
         if getattr(jax.config, "jax_compilation_cache_dir", None):
             return
         d = os.environ.get("TPUKIT_JAX_CACHE")

@@ -15,10 +15,30 @@ from __future__ import annotations
 
 import time
 from abc import ABC, abstractmethod
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
 import numpy as np
+
+# background lanes for device-program warmup work shared by the codecs:
+# on tunneled attachments the FIRST use of a device program in a process
+# can stall for tens of seconds (executable ship to the remote server,
+# magnitude growing with host uptime — measured 0.4 s warm vs 40 s
+# degraded). Device stages that have a host fallback (ccsds121's encode
+# plan) or that can overlap host work (j2k's ladder pricing) run here so
+# the load never sits on the host critical path. Several lanes, so one
+# codec's degraded load can't queue another codec's work behind it (the
+# tasks are RPC-bound, not CPU-bound).
+_DEVICE_LANE: Optional[ThreadPoolExecutor] = None
+
+
+def device_lane() -> ThreadPoolExecutor:
+    global _DEVICE_LANE
+    if _DEVICE_LANE is None:
+        _DEVICE_LANE = ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="tpukit-device-lane")
+    return _DEVICE_LANE
 
 
 @dataclass(frozen=True)

@@ -21,11 +21,12 @@ the reference run for matching inputs.
 from __future__ import annotations
 
 import time
+from concurrent.futures import TimeoutError as _FutTimeout
 from typing import Dict, Optional
 
 import numpy as np
 
-from tpukit.codecs.base import Codec, CodecResult, RateSpec
+from tpukit.codecs.base import Codec, CodecResult, RateSpec, device_lane
 from tpukit.io import raw as rawio
 from tpukit.kernels.diff1 import diff1_forward_np, diff1_inverse_np
 from tpukit.native import ccsds121_host
@@ -111,26 +112,53 @@ class CCSDS121Codec(Codec):
                             and (device_cube is not None
                                  or mesh is not None)):
                         ck = (y0, x0, th, tw, self.preproc, self.interleave,
-                              self.nbit, self.block_size, self.rsi)
-                        if plan_cache is not None and ck in plan_cache:
-                            plan = plan_cache[ck]
-                        elif device_cube is not None:
-                            plan = self._tile_device_plan(device_cube, y0,
-                                                          x0, th, tw)
-                            if plan_cache is not None:
-                                plan_cache[ck] = plan
-                        else:
+                              self.nbit, self.block_size, self.rsi,
+                              self.plan_chunk)
+
+                        def _compute_plan(flat=flat, y0=y0, x0=x0,
+                                          th=th, tw=tw):
+                            if device_cube is not None:
+                                return self._tile_device_plan(
+                                    device_cube, y0, x0, th, tw)
                             # codec-phase mesh sharding: the per-chunk
                             # analyses round-robin over the mesh devices
                             # (integer model — plan identical to the
-                            # single-device one for any device count)
+                            # single-device one for any device count).
+                            # The chunk size shrinks with the device count
+                            # so typical tiles actually shard (the default
+                            # 4M-sample chunk would return None for any
+                            # 512² tile under ~17 bands — advisor r3)
                             from tpukit.codecs import ccsds121 as dev
-                            plan = dev.encode_plan(
+                            devs = list(mesh.devices.ravel())
+                            step = self.block_size * self.rsi
+                            want = max(step,
+                                       flat.size // max(2, 2 * len(devs)))
+                            return dev.encode_plan(
                                 flat, bits=self.nbit, J=self.block_size,
-                                rsi=self.rsi, chunk=self.plan_chunk,
-                                devices=list(mesh.devices.ravel()))
-                            if plan_cache is not None:
+                                rsi=self.rsi,
+                                chunk=min(self.plan_chunk, want),
+                                devices=devs)
+
+                        if plan_cache is not None and ck in plan_cache:
+                            plan = plan_cache[ck]
+                        elif plan_cache is None:
+                            plan = _compute_plan()
+                        else:
+                            # background load + short poll: a warm-process
+                            # plan lands well inside the poll; a degraded
+                            # first load proceeds in the worker while this
+                            # rep takes the byte-identical host coder, and
+                            # a later rep (or run) picks the plan up
+                            fkey2 = ("ck121_planfut", ck)
+                            fut = plan_cache.get(fkey2)
+                            if fut is None:
+                                fut = device_lane().submit(_compute_plan)
+                                plan_cache[fkey2] = fut
+                            try:
+                                plan = fut.result(timeout=0.75)
                                 plan_cache[ck] = plan
+                            except _FutTimeout:
+                                plan = None
                     if plan is not None:
                         bs = ccsds121_host.encode_parallel(flat, plan)
                     else:

@@ -159,6 +159,17 @@ def _bpe_ladder_device(work, gather, wexp, budgets):
     return rec, nbytes, blocks
 
 
+@jax.jit
+def _bpe_blocks_device(work, gather, wexp):
+    """(B,Hp,Wp) int32 pixels -> (B,Sp,64) weighted DWT blocks in BPE scan
+    order — the host coder's input (the analysis half of
+    _bpe_ladder_device, for materializing streams without re-running the
+    whole ladder)."""
+    B = work.shape[0]
+    coefs = dwtk.dwt2(work, "97m", LEVELS)
+    return (coefs << wexp[None]).reshape(B, -1)[:, gather]
+
+
 @partial(jax.jit, static_argnames=("Hp", "Wp", "H0", "W0", "out_dtype"))
 def _bpe_synthesize_device(rec, scatter, wexp, Hp, Wp, H0, W0, out_dtype,
                            lo, hi):
@@ -253,13 +264,17 @@ class CCSDS122Codec(Codec):
         wexp = bpe122.weight_exp_map(Hp, Wp)
 
         mesh = opts.get("mesh")
-        if mesh is not None and not keep_bitstream:
+        if mesh is not None:
             # codec-phase sharding: budgets over dp, bands over sp
             # (parallel.mesh.sharded_bpe122_budget_ladder); integer math
-            # end to end, so mesh layouts agree bit-for-bit
+            # end to end, so mesh layouts agree bit-for-bit. With
+            # --keep-bitstream the host BPE materializes real segments
+            # per budget AFTER the sharded model pass (the round-3 gate
+            # fell back to single-device instead).
             return self._sweep_bpe_mesh(
                 mesh, cube, points, by_budget, budgets, gather, scatter,
-                wexp, Hp, Wp, H, W, info)
+                wexp, Hp, Wp, H, W, info,
+                keep_bitstream=keep_bitstream, dtype_name=dtype_name)
 
         work = device_work(cube, opts, mult, "int32")
         t0 = time.perf_counter()
@@ -313,9 +328,14 @@ class CCSDS122Codec(Codec):
         return out
 
     def _sweep_bpe_mesh(self, mesh, cube, points, by_budget, budgets,
-                        gather, scatter, wexp, Hp, Wp, H, W, info) -> list:
+                        gather, scatter, wexp, Hp, Wp, H, W, info,
+                        keep_bitstream: bool = False,
+                        dtype_name: str = "uint16") -> list:
         """BPE budget ladder on a device mesh: distinct budgets shard over
-        dp, bands over sp (parallel.mesh.sharded_bpe122_budget_ladder)."""
+        dp, bands over sp (parallel.mesh.sharded_bpe122_budget_ladder).
+        ``keep_bitstream`` materializes real CCSDS 122.0-B segments per
+        budget host-side after the sharded model pass, asserted against
+        the model's byte counts."""
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
         from tpukit.codecs.j2k_codec import (_MESH_LADDERS,
@@ -355,17 +375,45 @@ class CCSDS122Codec(Codec):
             rec_all.block_until_ready()
         t_dec = time.perf_counter() - t0
 
+        blocks_host = None
+        signed = 1 if dtype_name.startswith("int") else 0
+        if keep_bitstream:
+            from tpukit.codecs import bpe122
+            # one weighted-block analysis on the first mesh device feeds
+            # the host coder for every budget (integer program — identical
+            # blocks on any device)
+            d0 = list(m.devices.ravel())[0]
+            blocks_host = np.asarray(_bpe_blocks_device(
+                jax.device_put(work, d0),
+                jax.device_put(np.asarray(gather), d0),
+                jax.device_put(np.asarray(wexp), d0)))
+
         out: list = [None] * len(points)
         for qi, (budget, ixs) in enumerate(by_budget.items()):
+            streams = None
+            t_enc = 0.0
+            if keep_bitstream:
+                t0 = time.perf_counter()
+                with mem_phase("comp"):
+                    streams = [bpe122.bpe_encode_blocks(
+                        blocks_host[b], seg_byte_limit=budget,
+                        img_width=W, pad_rows=Hp - H, pixel_bitdepth=16,
+                        signed_pixels=signed) for b in range(B)]
+                t_enc = time.perf_counter() - t0
+                assert [len(s) for s in streams] == \
+                    nbytes_all[qi].tolist(), "bpe122 mesh size model " \
+                    "disagrees with the native coder"
             nbytes = int(nbytes_all[qi].sum())
             for i in ixs:
                 target_bpp_band, _ = points[i]
                 out[i] = CodecResult(
                     codec="ccsds122_ext", encoder=self.bpe_desc,
                     bitstream_bytes=nbytes, recon=rec_all[qi],
-                    t_comp_s=t_ladder / len(budgets) / len(ixs),
+                    t_comp_s=(t_ladder / len(budgets) + t_enc) / len(ixs),
                     t_dec_s=t_dec / len(budgets) / len(ixs),
-                    bitstreams=None,
+                    bitstreams={f"b{b+1:02d}.bpe": streams[b]
+                                for b in range(B)} if keep_bitstream
+                    else None,
                     extras={"bands": int(B),
                             "bpp_target_band": float(target_bpp_band),
                             "entropy": "bpe"})

@@ -40,6 +40,41 @@ def cpu_feature_fingerprint() -> str:
     return hashlib.sha256(best[1].encode()).hexdigest()[:12]
 
 
+def ensure_cpu_platform() -> None:
+    """Make the local CPU platform available ALONGSIDE an explicitly
+    pinned accelerator platform (e.g. JAX_PLATFORMS=axon on tunneled TPU
+    attachments). Must run before the first backend initialization.
+
+    Why: budget-only computations (the ebcot quality→size pricing) run on
+    the local CPU backend so they are deterministic across device
+    topologies AND immune to tunnel pathologies (first-use executable
+    shipping to a remote server has been measured at 40–120 s on degraded
+    attachments; the CPU load is a local disk read). The default backend
+    is unchanged — the first platform in the list keeps priority."""
+    import os
+
+    import jax
+
+    plats = (getattr(jax.config, "jax_platforms", None)
+             or os.environ.get("JAX_PLATFORMS") or "")
+    if plats and "cpu" not in plats.split(","):
+        try:
+            jax.config.update("jax_platforms", plats + ",cpu")
+        except Exception:
+            pass        # backends already initialized; leave as is
+
+
+def local_cpu_device():
+    """The first local CPU device, or None when the CPU platform is
+    unavailable (ensure_cpu_platform ran too late, exotic builds)."""
+    import jax
+
+    try:
+        return jax.devices("cpu")[0]
+    except Exception:
+        return None
+
+
 def configure_jax_compile_cache(root: str) -> str:
     """Point jax's persistent compile cache at ``root/<fingerprint>`` with
     no size/time thresholds. One shared implementation for the CLI, the
@@ -50,6 +85,7 @@ def configure_jax_compile_cache(root: str) -> str:
 
     import jax
 
+    ensure_cpu_platform()
     d = os.path.join(root, cpu_feature_fingerprint())
     os.makedirs(d, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)

@@ -90,43 +90,46 @@ def parse_metadata(xml_path) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]
 
 def pick_bands(count_common: int, lambdas: Optional[np.ndarray],
                badband: Optional[np.ndarray], target: int) -> List[int]:
-    """λ-uniform subset skipping bad bands (reference pick_180 :122-160);
-    returns 1-based band indices."""
-    all_idx = np.arange(1, count_common + 1)
+    """λ-uniform band subset that skips flagged bands; 1-based indices.
+
+    Parity contract with the reference's selector (make_baseline_B.py
+    pick_180 :122-160): exactly ``target`` kept bands spread uniformly
+    across the λ range, falling back to index-uniform spacing when no λ
+    table is available. The selection itself is tpukit's own: a
+    monotone nearest-λ assignment over the λ-sorted band axis with
+    vectorized collision repair (the reference walks a greedy
+    per-target scan with ad-hoc neighbor shifts that can come up short
+    and backfill arbitrarily; the monotone assignment always yields
+    ``target`` distinct bands and is order-optimal along λ)."""
+    idx = np.arange(1, count_common + 1)
     keep = np.ones(count_common, bool)
     if badband is not None and badband.size >= count_common:
         keep &= ~badband[:count_common]
+    idx = idx[keep]
     if lambdas is None or lambdas.size < count_common:
-        if keep.sum() <= target:
-            return all_idx[keep].tolist()
-        pos = np.linspace(0, keep.sum() - 1, target).round().astype(int)
-        return all_idx[keep][pos].tolist()
-    lam_keep = lambdas[:count_common][keep]
-    idx_keep = all_idx[keep]
-    if lam_keep.size <= target:
-        return idx_keep.tolist()
-    targets = np.linspace(lam_keep.min(), lam_keep.max(), target)
-    used = np.zeros(lam_keep.size, bool)
-    sel = []
-    for t in targets:
-        j = int(np.argmin(np.abs(lam_keep - t)))
-        if used[j]:
-            left, right = j - 1, j + 1
-            best = None
-            if left >= 0 and not used[left]:
-                best = left
-            if right < lam_keep.size and not used[right]:
-                if best is None or abs(lam_keep[right] - t) < abs(lam_keep[best] - t):
-                    best = right
-            if best is not None:
-                j = best
-        used[j] = True
-        sel.append(int(idx_keep[j]))
-    sel = sorted(set(sel))
-    if len(sel) < target:
-        extra = list(idx_keep[~used])[: target - len(sel)]
-        sel = sorted(sel + [int(x) for x in extra])
-    return sel
+        if idx.size <= target:
+            return idx.tolist()
+        pos = np.round(np.linspace(0, idx.size - 1, target)).astype(int)
+        return idx[pos].tolist()
+    lam = np.asarray(lambdas, float)[:count_common][keep]
+    if lam.size <= target:
+        return idx.tolist()
+    order = np.argsort(lam, kind="stable")
+    lam_s, idx_s = lam[order], idx[order]
+    # nearest λ-sorted slot per uniform grid point (ties to the lower λ)
+    grid = np.linspace(lam_s[0], lam_s[-1], target)
+    hi = np.clip(np.searchsorted(lam_s, grid), 0, lam_s.size - 1)
+    lo = np.maximum(hi - 1, 0)
+    near = np.where(np.abs(lam_s[lo] - grid) <= np.abs(lam_s[hi] - grid),
+                    lo, hi)
+    # collision repair: force strict increase from the left
+    # (i_k = k + max_{j<=k}(near_j - j)), then clamp against the right
+    # edge — both steps preserve monotonicity, so the result is always
+    # `target` distinct slots
+    k = np.arange(target)
+    sel = k + np.maximum.accumulate(near - k)
+    sel = np.minimum(sel, lam_s.size - target + k)
+    return np.sort(idx_s[sel]).tolist()
 
 
 def lambdas_from_descriptions(descs) -> Optional[np.ndarray]:
@@ -192,31 +195,39 @@ def mosaic(paths: Sequence[Path], band_indices: Optional[List[int]] = None,
 # Quicklooks (joint stretch + white balance + gamma)
 # ---------------------------------------------------------------------------
 
-def _wb_whitepatch(R, G, B, valid=None, q=98):
-    def qv(x):
-        # bands may hold NaN at their own nodata even where `valid` (built
-        # from another band) is True — be NaN-aware or the whole quicklook
-        # turns black
+def _wb_gains(channels, valid, estimator) -> np.ndarray:
+    """Per-channel illuminant estimates under a NaN-aware estimator over
+    the valid region (bands may hold NaN at their own nodata even where
+    ``valid`` — built from another band — is True). Non-finite estimates
+    (empty selection, all-NaN) fall back to 1.0 so the quicklook never
+    goes black."""
+    est = []
+    for x in channels:
         sel = x[valid] if (valid is not None and valid.any()) else x
-        v = np.nanpercentile(sel, q) if sel.size else np.nan
-        return v if np.isfinite(v) else 1.0
-    rq, gq, bq = qv(R), qv(G), qv(B)
-    t = (rq + gq + bq) / 3.0
-    return (np.clip(R * (t / (rq + 1e-6)), 0, 1),
-            np.clip(G * (t / (gq + 1e-6)), 0, 1),
-            np.clip(B * (t / (bq + 1e-6)), 0, 1))
+        v = estimator(sel) if sel.size else np.nan
+        est.append(float(v) if np.isfinite(v) else 1.0)
+    return np.asarray(est, np.float64)
+
+
+def _wb_apply(channels, est: np.ndarray):
+    """Scale every channel toward the common gray target (the mean of
+    the per-channel estimates), clipped back into [0, 1]."""
+    gains = est.mean() / (est + 1e-6)
+    return tuple(np.clip(c * g, 0, 1) for c, g in zip(channels, gains))
+
+
+def _wb_whitepatch(R, G, B, valid=None, q=98):
+    """White-patch balance: equalize the channels' bright quantiles
+    (same estimator family as the reference quicklook chain)."""
+    est = _wb_gains((R, G, B), valid,
+                    lambda s: np.nanpercentile(s, q))
+    return _wb_apply((R, G, B), est)
 
 
 def _wb_grayworld(R, G, B, valid=None):
-    def med(x):
-        sel = x[valid] if (valid is not None and valid.any()) else x
-        v = np.nanmedian(sel) if sel.size else np.nan
-        return v if np.isfinite(v) else 1.0
-    rm, gm, bm = med(R), med(G), med(B)
-    m = np.mean([rm, gm, bm]) + 1e-6
-    return (np.clip(R * (m / (rm + 1e-6)), 0, 1),
-            np.clip(G * (m / (gm + 1e-6)), 0, 1),
-            np.clip(B * (m / (bm + 1e-6)), 0, 1))
+    """Gray-world balance: equalize the channels' medians."""
+    est = _wb_gains((R, G, B), valid, np.nanmedian)
+    return _wb_apply((R, G, B), est)
 
 
 def rgb_joint(cube: np.ndarray, bands_1based, nodata=None, valid=None,

@@ -744,8 +744,13 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
                         # codec-phase sharding: codecs with mesh ladders
                         # (j2k quality ladder, ccsds122 BPE budgets) run
                         # their rate ladders over dp×sp instead of the
-                        # default backend
+                        # default backend. The per-tile plan cache applies
+                        # here too (ccsds121's flat stream + encode plan,
+                        # j2k's tier-1 plans) so reps reuse deterministic
+                        # work exactly like the single-device path
+                        # (advisor r3).
                         ctx.setdefault("mesh", mesh_obj)
+                        ctx.setdefault("device_plan_cache", tile_plan_cache)
                     _tr = _time.perf_counter()
                     with MemorySampler() as ms:
                         results = cfg.codec.sweep_rates(

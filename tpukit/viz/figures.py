@@ -128,51 +128,46 @@ def sort_for_plot(dd: pd.DataFrame) -> pd.DataFrame:
     return dd
 
 
+def _monotone_samples(key, val):
+    """(key, val) prepared for np.interp: NaN pairs dropped, ordered by
+    key, duplicate keys collapsed to their first-seen sample. One shared
+    primitive behind all three curve-interp helpers (the reference
+    repeats this dance inline per function, overlay_means.py:142-185)."""
+    key = np.asarray(key, float)
+    val = np.asarray(val, float)
+    ok = ~(np.isnan(key) | np.isnan(val))
+    key, val = key[ok], val[ok]
+    order = np.argsort(key, kind="stable")
+    ukey, first = np.unique(key[order], return_index=True)
+    return ukey, val[order][first]
+
+
 def interp_curve_xy(x, y, n=200):
-    x = np.asarray(x, float)
-    y = np.asarray(y, float)
-    m = ~(np.isnan(x) | np.isnan(y))
-    x, y = x[m], y[m]
-    if len(x) < 2:
-        return x, y
-    i = np.argsort(x)
-    x, y = x[i], y[i]
-    ux, fi = np.unique(x, return_index=True)
-    x, y = ux, y[fi]
-    xi = np.linspace(x.min(), x.max(), int(n))
-    return xi, np.interp(xi, x, y)
+    """Densify an RD curve to ``n`` uniform x samples."""
+    xs, ys = _monotone_samples(x, y)
+    if xs.size < 2:
+        return xs, ys
+    xi = np.linspace(xs[0], xs[-1], int(n))
+    return xi, np.interp(xi, xs, ys)
 
 
 def interp_y_at_x(x, y, x_targets):
-    x = np.asarray(x, float)
-    y = np.asarray(y, float)
-    m = ~(np.isnan(x) | np.isnan(y))
-    x, y = x[m], y[m]
-    if len(x) < 2:
-        return np.full(len(x_targets), np.nan)
-    i = np.argsort(x)
-    x, y = x[i], y[i]
-    ux, fi = np.unique(x, return_index=True)
-    x, y = ux, y[fi]
-    out = np.interp(x_targets, x, y)
-    return np.where((np.asarray(x_targets) < x.min()) |
-                    (np.asarray(x_targets) > x.max()), np.nan, out)
+    """y at each x target; NaN outside the curve's x support."""
+    xs, ys = _monotone_samples(x, y)
+    xt = np.asarray(x_targets, float)
+    if xs.size < 2:
+        return np.full(xt.shape, np.nan)
+    return np.where((xt >= xs[0]) & (xt <= xs[-1]),
+                    np.interp(xt, xs, ys), np.nan)
 
 
 def interp_x_at_y(x, y, y_target):
-    x = np.asarray(x, float)
-    y = np.asarray(y, float)
-    m = ~(np.isnan(x) | np.isnan(y))
-    x, y = x[m], y[m]
-    if len(x) < 2:
+    """Inverse read-off: x where the curve crosses ``y_target``, NaN
+    outside the y support."""
+    ys, xs = _monotone_samples(y, x)
+    if ys.size < 2 or not (ys[0] <= y_target <= ys[-1]):
         return np.nan
-    i = np.argsort(y)
-    y, x = y[i], x[i]
-    uy, fi = np.unique(y, return_index=True)
-    y, x = uy, x[fi]
-    if y_target < y.min() or y_target > y.max():
-        return np.nan
-    return float(np.interp(y_target, y, x))
+    return float(np.interp(y_target, ys, xs))
 
 
 def _plot_curve(ax, x, y, label, interp=False, num_points=200):
