@@ -236,3 +236,67 @@ def test_standard_beats_1d_coder(spectral_cube):
     r121 = CCSDS121Codec(tile=32, preproc="none").run(
         spectral_cube, "int16", RateSpec.none())
     assert r_std.bitstream_bytes < r121.bitstream_bytes
+
+
+def test_standard_encoding_orders_roundtrip(rng):
+    """§4.2 encoding orders: BI streams (bil: M=1, bip: M=Nz, plus
+    arbitrary sub-frame depths) decode exactly and record the order in
+    the header. Total size is order-INVARIANT: prediction and the
+    per-band entropy states depend only on order-invariant quantities,
+    so only the bit interleaving changes."""
+    from tpukit.codecs import ccsds123_std as std
+    cube = rng.integers(0, 1 << 14, (7, 19, 13)).astype(np.uint16)
+    ref = std.encode(cube, is_signed=False, order="bsq")
+    for order in ("bil", "bip"):
+        bs = std.encode(cube, is_signed=False, order=order)
+        info = std.stream_info(bs)
+        assert info["order"] == order
+        assert info["subframe"] == (1 if order == "bil" else 7)
+        np.testing.assert_array_equal(std.decode(bs), cube)
+        assert len(bs) == len(ref) and bs != ref
+    for M in (2, 3, 5):
+        bs = std.encode(cube, is_signed=False, subframe=M)
+        assert std.stream_info(bs)["subframe"] == M
+        np.testing.assert_array_equal(std.decode(bs), cube)
+
+
+def test_standard_orders_via_codec(spectral_cube):
+    """--interleave bip/bil reaches the standard coder through the codec
+    wrapper (the reference wrapper's knob, ccsds123_wrap.py:116)."""
+    from tpukit.codecs import ccsds123_std as std
+    for order in ("bip", "bil"):
+        res = CCSDS123Codec(predictor="standard", interleave=order).run(
+            spectral_cube, "int16", RateSpec.none(), keep_bitstream=True)
+        np.testing.assert_array_equal(res.recon, spectral_cube)
+        bs = next(iter(res.bitstreams.values()))
+        assert std.stream_info(bs)["order"] == order
+        assert res.extras["interleave"] == order
+
+
+def test_standard_predictor_knobs_via_codec(spectral_cube):
+    """pred_bands/pred_mode/local_sums (the CNES binaries' P/mode knobs)
+    flow through the wrapper into the stream header."""
+    from tpukit.codecs import ccsds123_std as std
+    res = CCSDS123Codec(predictor="standard", pred_bands=5,
+                        pred_mode="reduced", local_sums="column").run(
+        spectral_cube, "int16", RateSpec.none(), keep_bitstream=True)
+    np.testing.assert_array_equal(res.recon, spectral_cube)
+    info = std.stream_info(next(iter(res.bitstreams.values())))
+    assert info["P"] == 5
+    assert not info["full_mode"]
+    assert info["column_sums"]
+    assert res.extras["pred_bands"] == 5
+    assert res.extras["pred_mode"] == "reduced"
+    assert res.extras["local_sums"] == "column"
+
+
+def test_standard_bad_params_rejected():
+    import pytest
+    with pytest.raises(ValueError):
+        CCSDS123Codec(predictor="standard", interleave="weird")
+    with pytest.raises(ValueError):
+        CCSDS123Codec(predictor="standard", pred_bands=16)
+    with pytest.raises(ValueError):
+        CCSDS123Codec(predictor="standard", pred_mode="banana")
+    with pytest.raises(ValueError):
+        CCSDS123Codec(predictor="standard", local_sums="diag")

@@ -75,6 +75,20 @@ def run_codec_main(argv=None):
                          "conformant streams (sample-adaptive predictor + "
                          "GPO2, Blue Book header); 'ls' (default) keeps "
                          "the TPU-first transmitted-weights design")
+    ap.add_argument("--pred-bands", dest="pred_bands", type=int,
+                    default=None, metavar="P",
+                    help="ccsds123 standard: previous bands used by the "
+                         "predictor (0..15, default 3 — the CNES "
+                         "binaries' P knob, ccsds123_wrap.py:129-153)")
+    ap.add_argument("--pred-mode", dest="pred_mode",
+                    choices=("full", "reduced"), default=None,
+                    help="ccsds123 standard: full (directional + central) "
+                         "or reduced (central-only) prediction mode")
+    ap.add_argument("--local-sums", dest="local_sums",
+                    choices=("neighbor", "column"), default=None,
+                    help="ccsds123 standard: neighbor- or column-oriented "
+                         "local sums (colsum enables the wide-row "
+                         "pipelined form)")
     ap.add_argument("--tilex", type=int, default=None,
                     help="j2k: independent-tile width (TILEXSIZE)")
     ap.add_argument("--tiley", type=int, default=None,
@@ -117,7 +131,8 @@ def run_codec_main(argv=None):
     else:
         copts = {}
         for k in ("tile", "interleave", "preproc", "nbit", "zlevel",
-                  "tilex", "tiley", "entropy", "predictor"):
+                  "tilex", "tiley", "entropy", "predictor", "pred_bands",
+                  "pred_mode", "local_sums"):
             v = getattr(args, k)
             if v is not None:
                 copts[k] = v

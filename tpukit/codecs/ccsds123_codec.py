@@ -170,14 +170,39 @@ class CCSDS123Codec(Codec):
     strip_exact = True
 
     def __init__(self, tile: int = 512, interleave: str = "bsq",
-                 crop_nodata: bool = False, predictor: str = "ls"):
+                 crop_nodata: bool = False, predictor: str = "ls",
+                 pred_bands: int = 3, pred_mode: str = "full",
+                 local_sums: str = "neighbor"):
+        """``interleave`` is the §4.2 ENCODING order in standard mode
+        (bsq|bil|bip — the reference wrapper's --interleave,
+        ccsds123_wrap.py:116); the ls mode's streams are order-free
+        (whole-cube device model) and record it as metadata only.
+        ``pred_bands`` (P, 0..15), ``pred_mode`` (full|reduced) and
+        ``local_sums`` (neighbor|column) parameterize the standard
+        predictor (the CNES binaries' knobs, ccsds123_wrap.py:129-153);
+        the ls predictor fixes its own P=3 transmitted-weights design."""
         if predictor not in ("ls", "standard"):
             raise ValueError(f"predictor must be ls|standard, "
                              f"got {predictor!r}")
+        if interleave not in ("bsq", "bil", "bip"):
+            raise ValueError(f"interleave must be bsq|bil|bip, "
+                             f"got {interleave!r}")
+        if pred_mode not in ("full", "reduced"):
+            raise ValueError(f"pred_mode must be full|reduced, "
+                             f"got {pred_mode!r}")
+        if local_sums not in ("neighbor", "column"):
+            raise ValueError(f"local_sums must be neighbor|column, "
+                             f"got {local_sums!r}")
+        if not 0 <= int(pred_bands) <= 15:
+            raise ValueError(f"pred_bands must be in [0, 15], "
+                             f"got {pred_bands}")
         self.tile = tile
         self.interleave = interleave
         self.crop_nodata = crop_nodata
         self.predictor = predictor
+        self.pred_bands = int(pred_bands)
+        self.pred_mode = pred_mode
+        self.local_sums = local_sums
 
     @staticmethod
     def _tile_all_nodata(tile_bsq: np.ndarray, nd, mask_win) -> bool:
@@ -253,7 +278,10 @@ class CCSDS123Codec(Codec):
                     with mem_phase("comp"):
                         bs = std.encode(
                             np.ascontiguousarray(tile_bsq).view(np.uint16),
-                            is_signed=signed)
+                            is_signed=signed, P=self.pred_bands,
+                            full_mode=self.pred_mode == "full",
+                            colsum=self.local_sums == "column",
+                            order=self.interleave)
                     t_comp += time.perf_counter() - t0
                     sum_bytes += len(bs)
                     if keep_bitstream:
@@ -332,6 +360,10 @@ class CCSDS123Codec(Codec):
                 "bpp_effective_per_band": float(bpp_total / max(B, 1)),
                 "interleave": self.interleave,
                 "tiles_skipped_nodata": int(skipped),
+                **({"pred_bands": self.pred_bands,
+                    "pred_mode": self.pred_mode,
+                    "local_sums": self.local_sums}
+                   if self.predictor == "standard" else {}),
             },
         )
 

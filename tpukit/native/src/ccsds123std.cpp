@@ -21,7 +21,13 @@
 //     gamma0/gamma*, accumulator init constant K; the first sample of
 //     each band rides uncompressed in D bits
 //   * encoding order: BSQ (the reference wrapper's default interleave,
-//     ccsds123_wrap.py:116)
+//     ccsds123_wrap.py:116) or band-interleaved (§4.2) with sub-frame
+//     interleaving depth M — M=1 is BIL, M=Nz is BIP (the reference
+//     wrapper's --interleave bip/bil, ccsds123_wrap.py:116). Under BI
+//     every band's predictor/entropy state advances in lockstep; the
+//     central local differences are only ever read at the current
+//     sample position, so BI needs just an (Nz, Nx) row buffer where
+//     BSQ keeps (P+1) full planes.
 // Lossless only — the reference pipeline runs the CNES coder with
 // quantizer_fidelity_control_method = 0 (ccsds123_wrap.py:8).
 
@@ -45,6 +51,7 @@ struct Params {
     int P = 3;
     bool full = true;      // full (directional + central) prediction mode
     bool colsum = false;   // column-oriented local sums
+    int32_t subM = 0;      // 0 = BSQ; >=1 = band-interleaved, depth M
     int R = 32;            // register size (max(32, D+Om+2) <= R <= 64)
     int Om = 13;           // weight component resolution (4..19)
     int kappa = 6;         // weight update interval t_inc = 2^kappa (4..11)
@@ -83,8 +90,10 @@ void write_header(BitWriter& bw, const Params& p) {
     bw.put_bits(p.is_signed ? 1 : 0, 1);      // sample type
     bw.put_bits(0, 2);                        // reserved
     bw.put_bits((uint64_t)(p.D & 15), 4);     // dynamic range mod 16
-    bw.put_bits(1, 1);                        // encoding order: 1 = BSQ
-    bw.put_bits(0, 16);                       // sub-frame interleaving depth
+    bw.put_bits(p.subM > 0 ? 0 : 1, 1);       // encoding order: 1=BSQ 0=BI
+    bw.put_bits(p.subM > 0                    // sub-frame interleaving
+                ? (uint64_t)p.subM & 0xFFFF   // depth M mod 2^16 (BI only)
+                : 0, 16);
     bw.put_bits(0, 2);                        // reserved
     bw.put_bits(1, 3);                        // output word size (bytes)
     bw.put_bits(0, 1);                        // entropy coder: sample-adaptive
@@ -125,8 +134,14 @@ bool read_header(BitReader& br, Params& p) {
     br.get_bits(2);
     p.D = (int)br.get_bits(4);
     if (p.D == 0) p.D = 16;
-    if (br.get_bits(1) != 1) return false;    // only BSQ streams
-    br.get_bits(16);
+    bool bsq = br.get_bits(1) == 1;
+    int64_t depth = (int64_t)br.get_bits(16);
+    if (bsq) {
+        p.subM = 0;
+    } else {
+        if (depth == 0) depth = 1 << 16;      // M mod 2^16 (M in [1, Nz])
+        p.subM = (int32_t)std::min<int64_t>(depth, p.Nz);
+    }
     br.get_bits(2);
     br.get_bits(3);
     if (br.get_bits(1) != 0) return false;    // only sample-adaptive
@@ -196,10 +211,13 @@ struct BandPredictor {
     }
 
     // prediction for sample t (y,x); prev-row/current-row samples are
-    // read through `row` (current band, reconstructed == original)
+    // read through `row` (current band, reconstructed == original).
+    // `ci` indexes the central-difference buffers (== t for BSQ full
+    // planes, == x for the BI row buffer — differences are only ever
+    // read at the CURRENT sample position, never behind it)
     template <class Row>
     void predict(int64_t t, int32_t y, int32_t x, Row&& sample_at,
-                 int64_t s_z1_first) {
+                 int64_t s_z1_first, int64_t ci) {
         if (t == 0) {
             shat = (z > 0 && p.P > 0) ? s_z1_first : p.smid();
             sddr = 2 * shat;
@@ -219,18 +237,18 @@ struct BandPredictor {
             sigma = sample_at(t - 1) + sample_at(t - Nx - 1)
                     + sample_at(t - Nx) + sample_at(t - Nx + 1);
         }
-        int ci = 0;
+        int ui = 0;
         if (p.full) {
             if (y == 0) {
-                U[ci++] = 0; U[ci++] = 0; U[ci++] = 0;
+                U[ui++] = 0; U[ui++] = 0; U[ui++] = 0;
             } else {
                 int64_t sN = sample_at(t - Nx);
-                U[ci++] = 4 * sN - sigma;                        // d_N
-                U[ci++] = 4 * (x > 0 ? sample_at(t - 1) : sN) - sigma;
-                U[ci++] = 4 * (x > 0 ? sample_at(t - Nx - 1) : sN) - sigma;
+                U[ui++] = 4 * sN - sigma;                        // d_N
+                U[ui++] = 4 * (x > 0 ? sample_at(t - 1) : sN) - sigma;
+                U[ui++] = 4 * (x > 0 ? sample_at(t - Nx - 1) : sN) - sigma;
             }
         }
-        for (int j = 0; j < Pz; j++) U[ci++] = cdiff_prev[j][t];
+        for (int j = 0; j < Pz; j++) U[ui++] = cdiff_prev[j][ci];
         int64_t dhat = 0;
         for (int i = 0; i < C; i++) dhat += W[i] * U[i];
         int64_t stilde = clampi(
@@ -243,9 +261,9 @@ struct BandPredictor {
 
     // after the sample value s is known: record the central local
     // difference and update the weights (§4.6.3.3)
-    void update(int64_t t, int64_t s) {
-        if (t > 0) cdiff_cur[t] = (int32_t)(4 * s - sigma);
-        else cdiff_cur[0] = 0;
+    void update(int64_t t, int64_t s, int64_t ci) {
+        if (t > 0) cdiff_cur[ci] = (int32_t)(4 * s - sigma);
+        else cdiff_cur[ci] = 0;
         if (t == 0) return;
         int64_t e = 2 * s - sddr;
         int64_t step = (t - p.Nx) >> p.kappa;           // floor division
@@ -335,40 +353,118 @@ inline int64_t sample_value(uint16_t raw, bool is_signed) {
     return is_signed ? (int64_t)(int16_t)raw : (int64_t)raw;
 }
 
-}  // namespace
+// One sample through the codec: ENCODE reads the sample and emits its
+// mapped residual; decode pulls the residual and reconstructs. Shared so
+// the BSQ and BI drivers below cannot drift apart.
+template <bool ENCODE, class Bits>
+inline int64_t code_sample(const Params& p, Bits& bits, BandPredictor& bp,
+                           SampleAdaptive& sa, uint16_t* plane, int64_t t,
+                           int64_t smin, int64_t smax, bool& bad) {
+    int64_t s;
+    if constexpr (ENCODE) {
+        s = sample_value(plane[t], p.is_signed);
+        uint32_t mapped = map_residual(s, bp.shat, bp.sddr, smin, smax);
+        if (t == 0) {
+            bits.put_bits(mapped, p.D);
+        } else {
+            put_gpo2(bits, mapped, sa.select_k(), p.D, p.Umax);
+            sa.update(mapped);
+        }
+    } else {
+        uint32_t mapped;
+        if (t == 0) {
+            mapped = (uint32_t)bits.get_bits(p.D);
+        } else {
+            mapped = get_gpo2(bits, sa.select_k(), p.D, p.Umax);
+            sa.update(mapped);
+        }
+        s = unmap_residual(mapped, bp.shat, bp.sddr, smin, smax);
+        if (s < smin || s > smax || bits.error) { bad = true; return 0; }
+        plane[t] = (uint16_t)(p.is_signed ? (int16_t)s : s);
+    }
+    return s;
+}
 
-extern "C" {
+// Band-interleaved driver (§4.2 BI order, sub-frame depth M: M=1 is
+// BIL, M=Nz is BIP): every band's predictor + entropy state lives for
+// the whole image and advances in lockstep — central differences need
+// only an (Nz, Nx) row buffer because they are read solely at the
+// current sample position. `plane_of(z)` is the source (encode) or
+// destination (decode) BSQ plane of band z.
+template <bool ENCODE, class Bits>
+bool run_bi(const Params& p, Bits& bits, uint16_t* cube) {
+    const int32_t Nz = p.Nz, Ny = p.Ny, Nx = p.Nx;
+    const int64_t NP = (int64_t)Ny * Nx;
+    const int64_t smin = p.smin(), smax = p.smax();
+    const int M = std::min(std::max(p.subM, 1), Nz);
 
-// Encode a BSQ (Nz, Ny, Nx) cube of uint16-viewed samples. Returns the
-// stream byte count, or -1 on overflow / bad parameters.
-long long ck123std_encode(const uint16_t* cube, int32_t Nz, int32_t Ny,
-                          int32_t Nx, int32_t D, int32_t is_signed,
-                          int32_t P, int32_t full_mode, int32_t colsum,
-                          uint8_t* out, long long cap) {
-    if (Nz <= 0 || Ny <= 0 || Nx <= 0 || D < 2 || D > 16 || P < 0 ||
-        P > 15)
-        return -1;
-    Params p;
-    p.Nx = Nx; p.Ny = Ny; p.Nz = Nz; p.D = D;
-    p.is_signed = is_signed != 0;
-    p.P = P; p.full = full_mode != 0; p.colsum = colsum != 0;
+    std::vector<int32_t> cdiff_row((size_t)Nz * Nx);
+    std::vector<BandPredictor> bps;
+    std::vector<SampleAdaptive> sas;
+    bps.reserve(Nz);
+    sas.reserve(Nz);
+    for (int z = 0; z < Nz; z++) {
+        const int32_t* prev[15];
+        int Pz = std::min(z, p.P);
+        for (int j = 0; j < Pz; j++)
+            prev[j] = cdiff_row.data() + (size_t)(z - 1 - j) * Nx;
+        bps.emplace_back(p, z, cdiff_row.data() + (size_t)z * Nx, prev);
+        sas.emplace_back(p);
+    }
+
+    const int ngroups = (Nz + M - 1) / M;
+    bool bad = false;
+    for (int32_t y = 0; y < Ny && !bad; y++) {
+        for (int g = 0; g < ngroups && !bad; g++) {
+            const int zlo = g * M, zhi = std::min(zlo + M, Nz);
+            for (int32_t x = 0; x < Nx && !bad; x++) {
+                const int64_t t = (int64_t)y * Nx + x;
+                for (int z = zlo; z < zhi; z++) {
+                    uint16_t* plane = cube + (size_t)z * NP;
+                    auto sample_at = [&](int64_t tt) {
+                        return sample_value(plane[tt], p.is_signed);
+                    };
+                    // band z's t=0 prediction seeds from band z-1's
+                    // first sample — under BI order band z-1 is always
+                    // coded at (0,0) before band z gets there
+                    int64_t s_z1 = (z > 0 && t == 0)
+                        ? sample_value(cube[(size_t)(z - 1) * NP],
+                                       p.is_signed) : 0;
+                    bps[z].predict(t, y, x, sample_at, s_z1, x);
+                    int64_t s = code_sample<ENCODE>(
+                        p, bits, bps[z], sas[z], plane, t, smin, smax,
+                        bad);
+                    if (bad) break;
+                    bps[z].update(t, s, x);
+                }
+            }
+        }
+    }
+    return !bad;
+}
+
+// BSQ driver: one band at a time, (P+1) full central-difference planes
+// in a ring (band z reads bands z-1..z-P at positions the previous
+// bands finished a whole plane ago).
+template <bool ENCODE, class Bits>
+bool run_bsq(const Params& p, Bits& bits, uint16_t* cube) {
+    const int32_t Nz = p.Nz, Ny = p.Ny, Nx = p.Nx;
+    const int P = p.P;
     const int64_t NP = (int64_t)Ny * Nx;
     const int64_t smin = p.smin(), smax = p.smax();
 
-    BitWriter bw(out, cap);
-    write_header(bw, p);
-
-    std::vector<int32_t> cdiff((size_t)(std::min(P, 15) + 1) * NP);
+    std::vector<int32_t> cdiff((size_t)(P + 1) * NP);
     std::vector<int32_t*> ring;
-    for (int j = 0; j <= std::min(P, 15); j++)
+    for (int j = 0; j <= P; j++)
         ring.push_back(cdiff.data() + (size_t)j * NP);
 
-    for (int z = 0; z < Nz; z++) {
-        const uint16_t* plane = cube + (size_t)z * NP;
+    bool bad = false;
+    for (int z = 0; z < Nz && !bad; z++) {
+        uint16_t* plane = cube + (size_t)z * NP;
         const int32_t* prev[15];
         int Pz = std::min(z, P);
         for (int j = 0; j < Pz; j++)
-            prev[j] = ring[(z - 1 - j) % (P + 1 > 0 ? P + 1 : 1)];
+            prev[j] = ring[(z - 1 - j) % (P + 1)];
         BandPredictor bp(p, z, ring[P > 0 ? z % (P + 1) : 0], prev);
         SampleAdaptive sa(p);
         int64_t s_z1 = z > 0
@@ -377,28 +473,51 @@ long long ck123std_encode(const uint16_t* cube, int32_t Nz, int32_t Ny,
             return sample_value(plane[t], p.is_signed);
         };
         int64_t t = 0;
-        for (int32_t y = 0; y < Ny; y++) {
+        for (int32_t y = 0; y < Ny && !bad; y++) {
             for (int32_t x = 0; x < Nx; x++, t++) {
-                bp.predict(t, y, x, sample_at, s_z1);
-                int64_t s = sample_value(plane[t], p.is_signed);
-                uint32_t mapped =
-                    map_residual(s, bp.shat, bp.sddr, smin, smax);
-                if (t == 0) {
-                    bw.put_bits(mapped, p.D);
-                } else {
-                    put_gpo2(bw, mapped, sa.select_k(), p.D, p.Umax);
-                    sa.update(mapped);
-                }
-                bp.update(t, s);
+                bp.predict(t, y, x, sample_at, s_z1, t);
+                int64_t s = code_sample<ENCODE>(p, bits, bp, sa, plane, t,
+                                                smin, smax, bad);
+                if (bad) break;
+                bp.update(t, s, t);
             }
         }
     }
-    int64_t n = bw.bytes();
-    return bw.overflow ? -1 : n;
+    return !bad;
 }
 
-// Parse only the header: fills info[0..8] with Nz, Ny, Nx, D, signed,
-// P, full, colsum, Umax. Returns 0 on success.
+}  // namespace
+
+extern "C" {
+
+// Encode a BSQ-laid-out (Nz, Ny, Nx) cube of uint16-viewed samples.
+// `subframe` selects the ENCODING order (§4.2): 0 = BSQ, otherwise
+// band-interleaved with sub-frame depth M (1 = BIL, Nz = BIP). Returns
+// the stream byte count, or -1 on overflow / bad parameters.
+long long ck123std_encode(const uint16_t* cube, int32_t Nz, int32_t Ny,
+                          int32_t Nx, int32_t D, int32_t is_signed,
+                          int32_t P, int32_t full_mode, int32_t colsum,
+                          int32_t subframe, uint8_t* out, long long cap) {
+    if (Nz <= 0 || Ny <= 0 || Nx <= 0 || D < 2 || D > 16 || P < 0 ||
+        P > 15 || subframe < 0 || subframe > Nz)
+        return -1;
+    Params p;
+    p.Nx = Nx; p.Ny = Ny; p.Nz = Nz; p.D = D;
+    p.is_signed = is_signed != 0;
+    p.P = P; p.full = full_mode != 0; p.colsum = colsum != 0;
+    p.subM = subframe;
+
+    BitWriter bw(out, cap);
+    write_header(bw, p);
+    bool ok = p.subM > 0
+        ? run_bi<true>(p, bw, const_cast<uint16_t*>(cube))
+        : run_bsq<true>(p, bw, const_cast<uint16_t*>(cube));
+    int64_t n = bw.bytes();
+    return (!ok || bw.overflow) ? -1 : n;
+}
+
+// Parse only the header: fills info[0..9] with Nz, Ny, Nx, D, signed,
+// P, full, colsum, Umax, subframe depth (0 = BSQ). Returns 0 on success.
 long long ck123std_info(const uint8_t* in, long long nbytes,
                         int32_t* info) {
     BitReader br(in, nbytes);
@@ -408,61 +527,22 @@ long long ck123std_info(const uint8_t* in, long long nbytes,
     info[0] = p.Nz; info[1] = p.Ny; info[2] = p.Nx; info[3] = p.D;
     info[4] = p.is_signed ? 1 : 0; info[5] = p.P;
     info[6] = p.full ? 1 : 0; info[7] = p.colsum ? 1 : 0;
-    info[8] = p.Umax;
+    info[8] = p.Umax; info[9] = p.subM;
     return 0;
 }
 
-// Decode a stream produced by ck123std_encode into a BSQ uint16-viewed
-// cube. Returns the sample count, or -1 on error.
+// Decode a stream produced by ck123std_encode (either encoding order)
+// into a BSQ uint16-viewed cube. Returns the sample count, or -1.
 long long ck123std_decode(const uint8_t* in, long long nbytes,
                           uint16_t* out, long long cap_samples) {
     BitReader br(in, nbytes);
     Params p;
     if (!read_header(br, p)) return -1;
-    const int64_t NP = (int64_t)p.Ny * p.Nx;
-    const int64_t total = NP * p.Nz;
+    const int64_t total = (int64_t)p.Ny * p.Nx * p.Nz;
     if (total > cap_samples) return -1;
-    const int64_t smin = p.smin(), smax = p.smax();
-    const int P = p.P;
-
-    std::vector<int32_t> cdiff((size_t)(P + 1) * NP);
-    std::vector<int32_t*> ring;
-    for (int j = 0; j <= P; j++)
-        ring.push_back(cdiff.data() + (size_t)j * NP);
-
-    for (int z = 0; z < p.Nz; z++) {
-        uint16_t* plane = out + (size_t)z * NP;
-        const int32_t* prev[15];
-        int Pz = std::min(z, P);
-        for (int j = 0; j < Pz; j++)
-            prev[j] = ring[(z - 1 - j) % (P + 1)];
-        BandPredictor bp(p, z, ring[P > 0 ? z % (P + 1) : 0], prev);
-        SampleAdaptive sa(p);
-        int64_t s_z1 = z > 0
-            ? sample_value(out[(size_t)(z - 1) * NP], p.is_signed) : 0;
-        auto sample_at = [&](int64_t t) {
-            return sample_value(plane[t], p.is_signed);
-        };
-        int64_t t = 0;
-        for (int32_t y = 0; y < p.Ny; y++) {
-            for (int32_t x = 0; x < p.Nx; x++, t++) {
-                bp.predict(t, y, x, sample_at, s_z1);
-                uint32_t mapped;
-                if (t == 0) {
-                    mapped = (uint32_t)br.get_bits(p.D);
-                } else {
-                    mapped = get_gpo2(br, sa.select_k(), p.D, p.Umax);
-                    sa.update(mapped);
-                }
-                int64_t s =
-                    unmap_residual(mapped, bp.shat, bp.sddr, smin, smax);
-                if (s < smin || s > smax || br.error) return -1;
-                plane[t] = (uint16_t)(p.is_signed ? (int16_t)s : s);
-                bp.update(t, s);
-            }
-        }
-    }
-    return total;
+    bool ok = p.subM > 0 ? run_bi<false>(p, br, out)
+                         : run_bsq<false>(p, br, out);
+    return ok ? total : -1;
 }
 
 }  // extern "C"
