@@ -338,3 +338,54 @@ def test_streamed_quicklooks_match_batched(tmp_path, rng):
             b = tiff.open(sdir / rep / name).read()
             d = np.abs(a.astype(np.int32) - b.astype(np.int32))
             assert d.max() <= 1, (name, int(d.max()))
+
+
+def test_streamed_mesh_equals_single_device(tmp_path, rng):
+    """--mesh + --stream-rows (round-3 VERDICT #6): streamed scenes shard
+    their metric lanes round-robin over the mesh devices (identical
+    single-lane programs — the batched runner's determinism scheme) and
+    forward the mesh into the codec ctx, instead of warn-and-fallback.
+    CSV metric columns, recon/quicklook artifacts and bitstreams are all
+    BYTE-IDENTICAL vs the single-device streamed run."""
+    cube, item = _make_scene(tmp_path, rng, "MS", B=5, H=1024, W=192,
+                             dtype=np.int16, nodata=-9999)
+    idx = tmp_path / "idx.json"
+    write_manifest(idx, "caseB", "scene", [item])
+
+    rows = {}
+    for name, mesh in (("single", None), ("mesh", "4"), ("mesh2", "2")):
+        codec = create("ccsds121", tile=256, preproc="diff1")
+        r = run_sweep(SweepConfig(
+            indices=idx, codec=codec, codec_label=codec.name,
+            outdir=tmp_path / name, rate_key="none",
+            keep_bitstream=True, stream_rows=256, reps=2,
+            quicklooks=True, ql_rgb=True, mesh=mesh))
+        rows[name] = r["rows"]
+
+    # metric/rate columns EXACTLY equal (same programs, different
+    # placement); timing and memory columns legitimately differ
+    skip = {"t_comp_s", "t_dec_s", "t_wrap_s", "t_link_tile_s",
+            "t_e2e_tile_s", "mem_comp_peak_mb", "mem_dec_peak_mb",
+            "mem_comp_peak_bytes", "mem_dec_peak_bytes"}
+    for other in ("mesh", "mesh2"):
+        assert len(rows["single"]) == len(rows[other])
+        for ra, rb in zip(rows["single"], rows[other]):
+            assert set(ra) == set(rb)
+            for k in ra:
+                if k not in skip:
+                    assert ra[k] == rb[k], (other, k, ra[k], rb[k])
+
+    # every artifact and bitstream byte-identical
+    sdir = tmp_path / "single"
+    for other in ("mesh", "mesh2"):
+        mdir = tmp_path / other
+        sfiles = sorted(q.relative_to(sdir) for q in sdir.rglob("*")
+                        if q.is_file() and q.suffix != ".csv")
+        mfiles = sorted(q.relative_to(mdir) for q in mdir.rglob("*")
+                        if q.is_file() and q.suffix != ".csv")
+        assert sfiles == mfiles and sfiles
+        assert any("ERR8" in str(f) for f in sfiles)
+        assert any("bit" in f.parts for f in sfiles)   # kept bitstreams
+        for f in sfiles:
+            assert (sdir / f).read_bytes() == (mdir / f).read_bytes(), \
+                (other, f)

@@ -95,9 +95,19 @@ class _LaneAcc:
 _SPECTRAL_CHUNK_SAMPLES = 8 << 20
 
 
+def _dev_put(jnp, x, device):
+    """Array onto the lane's assigned mesh device (default device when
+    no mesh): same program, different placement — results are device-
+    invariant, so mesh CSVs equal single-device CSVs byte-for-byte."""
+    if device is None:
+        return jnp.asarray(x)
+    import jax
+    return jax.device_put(np.asarray(x), device)
+
+
 def _spectral_flush(jnp, spectral_stats_strip, acc: _LaneAcc,
                     bot_ref: Optional[np.ndarray],
-                    bot_rec: Optional[np.ndarray]):
+                    bot_rec: Optional[np.ndarray], device=None):
     """Run the deferred strip's spectral stats once its bottom halo row is
     known (None at the last strip: true image edge, Sobel edge-pads).
     Wide/many-band strips split into column chunks with 1-px halos so each
@@ -122,8 +132,10 @@ def _spectral_flush(jnp, spectral_stats_strip, acc: _LaneAcc,
         right = 1 if x0 + cols < W else 0
         sl = slice(x0 - left, x0 + cols + right)
         s = spectral_stats_strip(
-            jnp.asarray(ref_h[:, :, sl]), jnp.asarray(rec_h[:, :, sl]),
-            jnp.asarray(p["vm"][:, x0:x0 + cols]), top, bot, left, right)
+            _dev_put(jnp, ref_h[:, :, sl], device),
+            _dev_put(jnp, rec_h[:, :, sl], device),
+            _dev_put(jnp, p["vm"][:, x0:x0 + cols], device),
+            top, bot, left, right)
         acc.s_parts.append({k: np.asarray(v) for k, v in s.items()})
     acc.tail_ref = p["ref"][:, -1:].copy()
     acc.tail_rec = p["rec"][:, -1:].copy()
@@ -359,9 +371,18 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
     bytes_per_sample = 2 if dtype_name in ("uint16", "int16") else 1
     container_bytes = int(W * H * B * bytes_per_sample)
     raw16_bytes = int(W * H * B * 16 // 8)
+    # mesh mode (round-3 VERDICT #6): the metric LANES round-robin over
+    # the mesh devices with identical single-lane programs — the same
+    # determinism scheme as the batched runner's mesh pass (runner.py
+    # mesh branch: same compiled executable per lane regardless of the
+    # device count, so `--mesh N` CSVs/artifacts are byte-identical for
+    # any N, including N=1 and no-mesh). The codec sees the mesh through
+    # its ctx so strip codec work engages the codec-phase sharding
+    # (e.g. ccsds121's chunk-analysis round-robin).
+    mesh_obj = None
     if cfg.mesh:
-        log("[WARN] --mesh is not supported with strip streaming; "
-            "running on the default device")
+        from tpukit.sweep.runner import _build_mesh
+        mesh_obj = _build_mesh(cfg.mesh)
 
     mask_path = item.get("mask") or guess_mask_path(item["path"])
     mask_ds = None
@@ -401,6 +422,13 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
                 lanes[key] = {"acc": _LaneAcc(),
                               "src": (recon_path if reused else None)}
             jobs[(ri, rep)] = job
+    # stable lane -> device assignment (mesh mode): fixed at lane-set
+    # construction so every strip of a lane runs on one device
+    lane_dev: Dict[object, object] = {}
+    if mesh_obj is not None:
+        devs = list(mesh_obj.devices.ravel())
+        for i, key in enumerate(sorted(lanes)):
+            lane_dev[key] = devs[i % len(devs)]
 
     # streamed quicklooks (same artifact contract as the batched phase)
     sql = None
@@ -490,6 +518,12 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
                 ctx = dict(cfg.codec_opts)
                 ctx.setdefault("nodata", nodata)
                 ctx.setdefault("dataset_mask", src_mask_w)
+                if mesh_obj is not None:
+                    # codec-phase sharding per strip; the plan cache is
+                    # strip-scoped — plan cache keys are geometry-only,
+                    # and two strips share geometry but not content
+                    ctx.setdefault("mesh", mesh_obj)
+                    ctx.setdefault("device_plan_cache", {})
                 if rep_jobs:
                     results = cfg.codec.sweep_rates(
                         block, dtype_name, rep_specs,
@@ -506,7 +540,15 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
                         user_w = mask_ds.read(1, window=win) > 0
                         vm_base = vm_base & user_w
                     sam_vm = user_w if user_w is not None else (src_mask_w > 0)
-                    block_dev = jnp.asarray(block)
+                    # one source-strip copy per mesh device that hosts a
+                    # lane ({None: default-device} without a mesh)
+                    blk_by_dev: Dict[object, object] = {}
+
+                    def block_on(dev, _b=block, _c=blk_by_dev):
+                        arr = _c.get(dev)
+                        if arr is None:
+                            arr = _c[dev] = _dev_put(jnp, _b, dev)
+                        return arr
 
                 for ri, res in zip(rep_ri, results):
                     sum_b[ri] += res.bitstream_bytes
@@ -527,11 +569,12 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
                         for name, data in res.bitstreams.items():
                             (bit_dir / f"s{y0:06d}_{name}").write_bytes(data)
                     if metric_rep_ri[ri] == rep:
+                        dev = lane_dev.get(("fresh", ri))
                         _acc_lane_strip(
                             jnp, quality_stats_dual, spectral_stats_strip,
-                            lanes[("fresh", ri)]["acc"], block_dev, block,
-                            recon, vm_base, sam_vm, nodata, has_nodata,
-                            is_caseb)
+                            lanes[("fresh", ri)]["acc"], block_on(dev),
+                            block, recon, vm_base, sam_vm, nodata,
+                            has_nodata, is_caseb, dev)
                         if sql is not None:
                             sql.lane_strip(("fresh", ri), y0, block, recon,
                                            src_mask_w, nodata, has_nodata)
@@ -544,19 +587,22 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
                         if rds is None:
                             rds = lane["ds"] = tiff.open(lane["src"])
                         recon = rds.read(window=win)
+                        dev = lane_dev.get(key)
                         _acc_lane_strip(
                             jnp, quality_stats_dual, spectral_stats_strip,
-                            lane["acc"], block_dev, block, recon, vm_base,
-                            sam_vm, nodata, has_nodata, is_caseb)
+                            lane["acc"], block_on(dev), block, recon,
+                            vm_base, sam_vm, nodata, has_nodata, is_caseb,
+                            dev)
                         if sql is not None:
                             sql.lane_strip(key, y0, block, recon,
                                            src_mask_w, nodata, has_nodata)
             if is_caseb:
                 # settle any lane whose accumulation ended this rep (a
                 # lane with nothing pending is a no-op)
-                for lane in lanes.values():
+                for key, lane in lanes.items():
                     _spectral_flush(jnp, spectral_stats_strip,
-                                    lane["acc"], None, None)
+                                    lane["acc"], None, None,
+                                    lane_dev.get(key))
         for ri in rep_ri:   # every rep_ri job is fresh in this rep
             job = jobs[(ri, rep)]
             meta = dict(per_ri_meta[ri])
@@ -639,18 +685,20 @@ def _acc_lane_strip(jnp, quality_stats_dual, spectral_stats_strip,
                     acc: _LaneAcc, block_dev, block: np.ndarray,
                     recon: np.ndarray, vm_base: np.ndarray,
                     sam_vm: np.ndarray, nodata, has_nodata: bool,
-                    is_caseb: bool):
+                    is_caseb: bool, device=None):
     """Accumulate one (lane, strip) contribution: quality now, spectral
-    deferred until the next strip's halo row exists."""
+    deferred until the next strip's halo row exists. ``device`` is the
+    lane's assigned mesh device (None = default device)."""
     vm = vm_base
     if has_nodata:
         vm = vm & np.all(recon != nodata, axis=0)
-    rec_dev = jnp.asarray(recon)
-    qm, qu = quality_stats_dual(block_dev, rec_dev, jnp.asarray(vm))
+    rec_dev = _dev_put(jnp, recon, device)
+    qm, qu = quality_stats_dual(block_dev, rec_dev,
+                                _dev_put(jnp, vm, device))
     acc.q_masked.append({k: np.asarray(v) for k, v in qm.items()})
     acc.q_ones.append({k: np.asarray(v) for k, v in qu.items()})
     if is_caseb:
         _spectral_flush(jnp, spectral_stats_strip, acc,
-                        block[:, :1], recon[:, :1])
+                        block[:, :1], recon[:, :1], device)
         acc.pend = {"ref": block, "rec": recon, "vm": sam_vm,
                     "top_ref": acc.tail_ref, "top_rec": acc.tail_rec}
