@@ -17,14 +17,24 @@ the tunnel. jax_default_device is pinned too for the parts of the code
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # honored when axon is not pre-booted
+if os.environ.get("TPUKIT_TPU_SMOKE") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"  # honored when axon is unbooted
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# Opt-in TPU smoke tier (round-3 VERDICT weak #5): TPUKIT_TPU_SMOKE=1
+# keeps the REAL accelerator platform reachable ALONGSIDE cpu so
+# tests/test_tpu_smoke.py can byte-compare device-model outputs between
+# the platforms. cpu stays FIRST, so the default device — and therefore
+# every other test — is unchanged; only the smoke tests grab the
+# accelerator explicitly. Anything else keeps the hard cpu pin (the
+# tunnel is single-owner; see docstring above).
+_SMOKE = os.environ.get("TPUKIT_TPU_SMOKE") == "1"
+_accel = os.environ.get("TPUKIT_TPU_SMOKE_PLATFORM", "axon")
+jax.config.update("jax_platforms", "cpu," + _accel if _SMOKE else "cpu")
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 

@@ -300,3 +300,29 @@ def test_standard_bad_params_rejected():
         CCSDS123Codec(predictor="standard", pred_mode="banana")
     with pytest.raises(ValueError):
         CCSDS123Codec(predictor="standard", local_sums="diag")
+
+
+def test_standard_block_adaptive_entropy(rng, spectral_cube):
+    """§5.4.2 block-adaptive entropy: the CCSDS-121 block coder over the
+    mapped residual sequence (no preprocessor), decoupled from
+    prediction. Round-trips exactly in every encoding order, records
+    entropy=block in the header, and flows through the codec wrapper."""
+    from tpukit.codecs import ccsds123_std as std
+    cube = rng.integers(0, 1 << 14, (6, 17, 19)).astype(np.uint16)
+    for order in ("bsq", "bip", "bil"):
+        bs = std.encode(cube, is_signed=False, order=order,
+                        entropy="block")
+        info = std.stream_info(bs)
+        assert info["entropy"] == "block"
+        np.testing.assert_array_equal(std.decode(bs), cube)
+
+    res = CCSDS123Codec(predictor="standard", entropy="block").run(
+        spectral_cube, "int16", RateSpec.none(), keep_bitstream=True)
+    np.testing.assert_array_equal(res.recon, spectral_cube)
+    bs = next(iter(res.bitstreams.values()))
+    assert std.stream_info(bs)["entropy"] == "block"
+    assert res.extras["entropy"] == "block"
+    # block entropy is a standard-mode option only
+    import pytest
+    with pytest.raises(ValueError):
+        CCSDS123Codec(predictor="ls", entropy="block")

@@ -163,6 +163,7 @@ def test_ccsds123_stream_bytes_pinned(expected):
         "ccsds123_bil_full.l123": dict(order="bil"),
         "ccsds123_bsq_reduced_colsum_p2.l123": dict(
             order="bsq", full_mode=False, colsum=True, P=2),
+        "ccsds123_bsq_block.l123": dict(order="bsq", entropy="block"),
     }
     for fn, kw in configs.items():
         stream = std.encode(cube.view(np.uint16), is_signed=True, **kw)

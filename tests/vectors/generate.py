@@ -106,6 +106,7 @@ def main() -> None:
         ("bil_full", dict(order="bil")),
         ("bsq_reduced_colsum_p2", dict(order="bsq", full_mode=False,
                                        colsum=True, P=2)),
+        ("bsq_block", dict(order="bsq", entropy="block")),
     ]
     for tag, kw in configs:
         stream = std.encode(cube.view(np.uint16), is_signed=True, **kw)

@@ -97,11 +97,17 @@ def run_codec_main(argv=None):
                     help="j2k: hit bpp/cr targets by device bisection over "
                          "the exact coder size model instead of the "
                          "heuristic quality tables")
-    ap.add_argument("--entropy", choices=("ebcot", "device"), default=None,
-                    help="j2k: 'ebcot' (default) emits standard ISO 15444-1 "
-                         "codestreams (clean-room EBCOT + PCRD-opt, whole "
-                         "rate ladder from one analysis); 'device' is the "
-                         "transfer-free fast mode (proprietary bitstream)")
+    ap.add_argument("--entropy",
+                    choices=("ebcot", "device", "bpe", "embedded",
+                             "sample", "block"), default=None,
+                    help="entropy backend, per codec: j2k 'ebcot' "
+                         "(default, ISO 15444-1) | 'device' (transfer-"
+                         "free fast mode); ccsds122 'bpe' (default, "
+                         "122-structured segments) | 'embedded' (device "
+                         "embedded coder); ccsds123 standard mode "
+                         "'sample' (default, sample-adaptive GPO2) | "
+                         "'block' (§5.4.2 block-adaptive = CCSDS-121 "
+                         "over the residual sequence)")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the sweep into DIR "
                          "(view with TensorBoard / xprof; the TPU analog of "

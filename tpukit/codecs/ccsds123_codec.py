@@ -172,7 +172,7 @@ class CCSDS123Codec(Codec):
     def __init__(self, tile: int = 512, interleave: str = "bsq",
                  crop_nodata: bool = False, predictor: str = "ls",
                  pred_bands: int = 3, pred_mode: str = "full",
-                 local_sums: str = "neighbor"):
+                 local_sums: str = "neighbor", entropy: str = "sample"):
         """``interleave`` is the §4.2 ENCODING order in standard mode
         (bsq|bil|bip — the reference wrapper's --interleave,
         ccsds123_wrap.py:116); the ls mode's streams are order-free
@@ -196,6 +196,14 @@ class CCSDS123Codec(Codec):
         if not 0 <= int(pred_bands) <= 15:
             raise ValueError(f"pred_bands must be in [0, 15], "
                              f"got {pred_bands}")
+        if entropy not in ("sample", "block"):
+            raise ValueError(f"entropy must be sample|block, "
+                             f"got {entropy!r}")
+        if entropy == "block" and predictor != "standard":
+            raise ValueError("entropy='block' is a standard-mode option "
+                             "(the ls predictor has its own fixed "
+                             "CCSDS-121 backend)")
+        self.entropy = entropy
         self.tile = tile
         self.interleave = interleave
         self.crop_nodata = crop_nodata
@@ -281,7 +289,7 @@ class CCSDS123Codec(Codec):
                             is_signed=signed, P=self.pred_bands,
                             full_mode=self.pred_mode == "full",
                             colsum=self.local_sums == "column",
-                            order=self.interleave)
+                            order=self.interleave, entropy=self.entropy)
                     t_comp += time.perf_counter() - t0
                     sum_bytes += len(bs)
                     if keep_bitstream:
@@ -362,7 +370,8 @@ class CCSDS123Codec(Codec):
                 "tiles_skipped_nodata": int(skipped),
                 **({"pred_bands": self.pred_bands,
                     "pred_mode": self.pred_mode,
-                    "local_sums": self.local_sums}
+                    "local_sums": self.local_sums,
+                    "entropy": self.entropy}
                    if self.predictor == "standard" else {}),
             },
         )

@@ -34,12 +34,18 @@ def subframe_for_order(order: str, bands: int) -> int:
 
 def encode(cube: np.ndarray, is_signed: bool, D: int = 16, P: int = 3,
            full_mode: bool = True, colsum: bool = False,
-           order: str = "bsq", subframe: int = None) -> bytes:
+           order: str = "bsq", subframe: int = None,
+           entropy: str = "sample") -> bytes:
     """(B, H, W) uint16-viewed BSQ-laid-out cube -> CCSDS 123.0-B stream.
 
     ``order`` selects the ENCODING order (§4.2; the reference wrapper's
     --interleave, ccsds123_wrap.py:116): bsq | bil | bip. ``subframe``
-    overrides it with an explicit BI sub-frame depth M in [1, B]."""
+    overrides it with an explicit BI sub-frame depth M in [1, B].
+    ``entropy`` selects the coder: 'sample' (sample-adaptive GPO2) or
+    'block' (§5.4.2 — the CCSDS-121 block-adaptive coder over the mapped
+    residual sequence, no preprocessor; needs D >= 5)."""
+    if entropy not in ("sample", "block"):
+        raise ValueError(f"entropy must be sample|block, got {entropy!r}")
     lib = load_native()
     cube = np.ascontiguousarray(cube, np.uint16)
     B, H, W = cube.shape
@@ -50,6 +56,7 @@ def encode(cube: np.ndarray, is_signed: bool, D: int = 16, P: int = 3,
         cube.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         B, H, W, int(D), int(bool(is_signed)), int(P),
         int(bool(full_mode)), int(bool(colsum)), M,
+        int(entropy == "block"),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
     if n < 0:
         raise RuntimeError("ccsds123 standard encode failed")
@@ -60,7 +67,7 @@ def stream_info(stream: bytes) -> dict:
     """Parse the §5.3 header: geometry + key parameters."""
     lib = load_native()
     buf = np.frombuffer(stream, np.uint8)
-    info = np.zeros(10, np.int32)
+    info = np.zeros(11, np.int32)
     if lib.ck123std_info(
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
             info.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))) != 0:
@@ -72,7 +79,8 @@ def stream_info(stream: bytes) -> dict:
             "width": int(info[2]), "D": int(info[3]),
             "signed": bool(info[4]), "P": int(info[5]),
             "full_mode": bool(info[6]), "column_sums": bool(info[7]),
-            "umax": int(info[8]), "subframe": M, "order": order}
+            "umax": int(info[8]), "subframe": M, "order": order,
+            "entropy": "block" if info[10] else "sample"}
 
 
 def decode(stream: bytes) -> np.ndarray:

@@ -52,6 +52,11 @@ struct Params {
     bool full = true;      // full (directional + central) prediction mode
     bool colsum = false;   // column-oriented local sums
     int32_t subM = 0;      // 0 = BSQ; >=1 = band-interleaved, depth M
+    int ec = 0;            // entropy coder: 0 sample-adaptive, 1 block-
+                           // adaptive (§5.4.2 — the CCSDS-121 block coder
+                           // over the mapped residuals, no preprocessor)
+    int bJ = 64;           // block-adaptive: block size (8/16/32/64)
+    int bR = 64;           // block-adaptive: reference sample interval
     int R = 32;            // register size (max(32, D+Om+2) <= R <= 64)
     int Om = 13;           // weight component resolution (4..19)
     int kappa = 6;         // weight update interval t_inc = 2^kappa (4..11)
@@ -96,7 +101,7 @@ void write_header(BitWriter& bw, const Params& p) {
                 : 0, 16);
     bw.put_bits(0, 2);                        // reserved
     bw.put_bits(1, 3);                        // output word size (bytes)
-    bw.put_bits(0, 1);                        // entropy coder: sample-adaptive
+    bw.put_bits((uint64_t)(p.ec & 1), 1);     // entropy: 0 sample, 1 block
     bw.put_bits(0, 10);                       // reserved
     // predictor metadata (40 bits)
     bw.put_bits(0, 2);                        // reserved
@@ -114,12 +119,22 @@ void write_header(BitWriter& bw, const Params& p) {
     bw.put_bits(0, 1);                        // weight init method: default
     bw.put_bits(0, 1);                        // weight init table flag
     bw.put_bits(0, 5);                        // weight init resolution
-    // entropy coder metadata, sample-adaptive (16 bits)
-    bw.put_bits((uint64_t)(p.Umax & 31), 5);  // unary length limit mod 32
-    bw.put_bits((uint64_t)(p.gstar - 4), 3);  // rescaling counter size - 4
-    bw.put_bits((uint64_t)(p.g0 & 7), 3);     // initial count exponent mod 8
-    bw.put_bits((uint64_t)p.K, 4);            // accumulator init constant
-    bw.put_bits(0, 1);                        // accumulator init table flag
+    if (p.ec == 0) {
+        // entropy coder metadata, sample-adaptive (16 bits)
+        bw.put_bits((uint64_t)(p.Umax & 31), 5);  // unary limit mod 32
+        bw.put_bits((uint64_t)(p.gstar - 4), 3);  // rescale counter - 4
+        bw.put_bits((uint64_t)(p.g0 & 7), 3);     // init count exp mod 8
+        bw.put_bits((uint64_t)p.K, 4);            // accumulator init K
+        bw.put_bits(0, 1);                        // accum init table flag
+    } else {
+        // entropy coder metadata, block-adaptive (16 bits): block size
+        // encoded 00/01/10/11 = 8/16/32/64
+        int bsf = p.bJ == 8 ? 0 : p.bJ == 16 ? 1 : p.bJ == 32 ? 2 : 3;
+        bw.put_bits(0, 1);                        // reserved
+        bw.put_bits((uint64_t)bsf, 2);            // block size
+        bw.put_bits(0, 1);                        // restricted code options
+        bw.put_bits((uint64_t)(p.bR & 0xFFF), 12);  // ref sample interval
+    }
 }
 
 bool read_header(BitReader& br, Params& p) {
@@ -144,7 +159,7 @@ bool read_header(BitReader& br, Params& p) {
     }
     br.get_bits(2);
     br.get_bits(3);
-    if (br.get_bits(1) != 0) return false;    // only sample-adaptive
+    p.ec = (int)br.get_bits(1);               // 0 sample, 1 block-adaptive
     br.get_bits(10);
     br.get_bits(2);
     p.P = (int)br.get_bits(4);
@@ -162,13 +177,21 @@ bool read_header(BitReader& br, Params& p) {
     if (br.get_bits(1) != 0) return false;    // only default weight init
     br.get_bits(1);
     br.get_bits(5);
-    p.Umax = (int)br.get_bits(5);
-    if (p.Umax == 0) p.Umax = 32;
-    p.gstar = (int)br.get_bits(3) + 4;
-    p.g0 = (int)br.get_bits(3);
-    if (p.g0 == 0) p.g0 = 8;
-    p.K = (int)br.get_bits(4);
-    br.get_bits(1);
+    if (p.ec == 0) {
+        p.Umax = (int)br.get_bits(5);
+        if (p.Umax == 0) p.Umax = 32;
+        p.gstar = (int)br.get_bits(3) + 4;
+        p.g0 = (int)br.get_bits(3);
+        if (p.g0 == 0) p.g0 = 8;
+        p.K = (int)br.get_bits(4);
+        br.get_bits(1);
+    } else {
+        br.get_bits(1);
+        p.bJ = 8 << (int)br.get_bits(2);
+        br.get_bits(1);
+        p.bR = (int)br.get_bits(12);
+        if (p.bR == 0) p.bR = 4096;
+    }
     return !br.error;
 }
 
@@ -355,16 +378,23 @@ inline int64_t sample_value(uint16_t raw, bool is_signed) {
 
 // One sample through the codec: ENCODE reads the sample and emits its
 // mapped residual; decode pulls the residual and reconstructs. Shared so
-// the BSQ and BI drivers below cannot drift apart.
+// the BSQ and BI drivers below cannot drift apart. With ``resid`` set
+// (block-adaptive mode, §5.4.2) the mapped residual goes to/comes from
+// the residual sequence in encoding order instead of the sample-adaptive
+// GPO2 bit codec — entropy is then a separate whole-sequence CCSDS-121
+// block-adaptive pass, decoupled from prediction.
 template <bool ENCODE, class Bits>
 inline int64_t code_sample(const Params& p, Bits& bits, BandPredictor& bp,
                            SampleAdaptive& sa, uint16_t* plane, int64_t t,
-                           int64_t smin, int64_t smax, bool& bad) {
+                           int64_t smin, int64_t smax, bool& bad,
+                           uint16_t* resid, int64_t* rpos) {
     int64_t s;
     if constexpr (ENCODE) {
         s = sample_value(plane[t], p.is_signed);
         uint32_t mapped = map_residual(s, bp.shat, bp.sddr, smin, smax);
-        if (t == 0) {
+        if (resid) {
+            resid[(*rpos)++] = (uint16_t)mapped;
+        } else if (t == 0) {
             bits.put_bits(mapped, p.D);
         } else {
             put_gpo2(bits, mapped, sa.select_k(), p.D, p.Umax);
@@ -372,14 +402,19 @@ inline int64_t code_sample(const Params& p, Bits& bits, BandPredictor& bp,
         }
     } else {
         uint32_t mapped;
-        if (t == 0) {
+        if (resid) {
+            mapped = resid[(*rpos)++];
+        } else if (t == 0) {
             mapped = (uint32_t)bits.get_bits(p.D);
         } else {
             mapped = get_gpo2(bits, sa.select_k(), p.D, p.Umax);
             sa.update(mapped);
         }
         s = unmap_residual(mapped, bp.shat, bp.sddr, smin, smax);
-        if (s < smin || s > smax || bits.error) { bad = true; return 0; }
+        if (s < smin || s > smax || (!resid && bits.error)) {
+            bad = true;
+            return 0;
+        }
         plane[t] = (uint16_t)(p.is_signed ? (int16_t)s : s);
     }
     return s;
@@ -392,11 +427,13 @@ inline int64_t code_sample(const Params& p, Bits& bits, BandPredictor& bp,
 // current sample position. `plane_of(z)` is the source (encode) or
 // destination (decode) BSQ plane of band z.
 template <bool ENCODE, class Bits>
-bool run_bi(const Params& p, Bits& bits, uint16_t* cube) {
+bool run_bi(const Params& p, Bits& bits, uint16_t* cube,
+            uint16_t* resid = nullptr) {
     const int32_t Nz = p.Nz, Ny = p.Ny, Nx = p.Nx;
     const int64_t NP = (int64_t)Ny * Nx;
     const int64_t smin = p.smin(), smax = p.smax();
     const int M = std::min(std::max(p.subM, 1), Nz);
+    int64_t rpos = 0;
 
     std::vector<int32_t> cdiff_row((size_t)Nz * Nx);
     std::vector<BandPredictor> bps;
@@ -433,7 +470,7 @@ bool run_bi(const Params& p, Bits& bits, uint16_t* cube) {
                     bps[z].predict(t, y, x, sample_at, s_z1, x);
                     int64_t s = code_sample<ENCODE>(
                         p, bits, bps[z], sas[z], plane, t, smin, smax,
-                        bad);
+                        bad, resid, &rpos);
                     if (bad) break;
                     bps[z].update(t, s, x);
                 }
@@ -447,11 +484,13 @@ bool run_bi(const Params& p, Bits& bits, uint16_t* cube) {
 // in a ring (band z reads bands z-1..z-P at positions the previous
 // bands finished a whole plane ago).
 template <bool ENCODE, class Bits>
-bool run_bsq(const Params& p, Bits& bits, uint16_t* cube) {
+bool run_bsq(const Params& p, Bits& bits, uint16_t* cube,
+             uint16_t* resid = nullptr) {
     const int32_t Nz = p.Nz, Ny = p.Ny, Nx = p.Nx;
     const int P = p.P;
     const int64_t NP = (int64_t)Ny * Nx;
     const int64_t smin = p.smin(), smax = p.smax();
+    int64_t rpos = 0;
 
     std::vector<int32_t> cdiff((size_t)(P + 1) * NP);
     std::vector<int32_t*> ring;
@@ -477,7 +516,8 @@ bool run_bsq(const Params& p, Bits& bits, uint16_t* cube) {
             for (int32_t x = 0; x < Nx; x++, t++) {
                 bp.predict(t, y, x, sample_at, s_z1, t);
                 int64_t s = code_sample<ENCODE>(p, bits, bp, sa, plane, t,
-                                                smin, smax, bad);
+                                                smin, smax, bad, resid,
+                                                &rpos);
                 if (bad) break;
                 bp.update(t, s, t);
             }
@@ -488,36 +528,68 @@ bool run_bsq(const Params& p, Bits& bits, uint16_t* cube) {
 
 }  // namespace
 
+// CCSDS-121 block-adaptive coder (same shared library, ccsds121.cpp):
+// the §5.4.2 block-adaptive entropy option IS this coder applied to the
+// mapped residual sequence with no preprocessor.
+extern "C" int64_t ck121_encode(const uint16_t* in, int64_t n, int bits,
+                                int block_size, int rsi, int flags,
+                                uint8_t* out, int64_t out_cap);
+extern "C" int64_t ck121_decode(const uint8_t* in, int64_t nbytes,
+                                int bits, int block_size, int rsi,
+                                int flags, uint16_t* out, int64_t n);
+
 extern "C" {
 
 // Encode a BSQ-laid-out (Nz, Ny, Nx) cube of uint16-viewed samples.
 // `subframe` selects the ENCODING order (§4.2): 0 = BSQ, otherwise
-// band-interleaved with sub-frame depth M (1 = BIL, Nz = BIP). Returns
-// the stream byte count, or -1 on overflow / bad parameters.
+// band-interleaved with sub-frame depth M (1 = BIL, Nz = BIP).
+// `block_adaptive` selects the §5.4.2 entropy option (CCSDS-121 block
+// coder over the residual sequence; needs D >= 5). Returns the stream
+// byte count, or -1 on overflow / bad parameters.
 long long ck123std_encode(const uint16_t* cube, int32_t Nz, int32_t Ny,
                           int32_t Nx, int32_t D, int32_t is_signed,
                           int32_t P, int32_t full_mode, int32_t colsum,
-                          int32_t subframe, uint8_t* out, long long cap) {
+                          int32_t subframe, int32_t block_adaptive,
+                          uint8_t* out, long long cap) {
     if (Nz <= 0 || Ny <= 0 || Nx <= 0 || D < 2 || D > 16 || P < 0 ||
         P > 15 || subframe < 0 || subframe > Nz)
         return -1;
+    if (block_adaptive && D < 5)
+        return -1;                 // the 121 coder's minimum sample size
     Params p;
     p.Nx = Nx; p.Ny = Ny; p.Nz = Nz; p.D = D;
     p.is_signed = is_signed != 0;
     p.P = P; p.full = full_mode != 0; p.colsum = colsum != 0;
     p.subM = subframe;
+    p.ec = block_adaptive ? 1 : 0;
 
     BitWriter bw(out, cap);
     write_header(bw, p);
-    bool ok = p.subM > 0
-        ? run_bi<true>(p, bw, const_cast<uint16_t*>(cube))
-        : run_bsq<true>(p, bw, const_cast<uint16_t*>(cube));
+    uint16_t* cc = const_cast<uint16_t*>(cube);
+    if (p.ec == 1) {
+        const int64_t total = (int64_t)Nz * Ny * Nx;
+        // the 121 block coder consumes whole blocks: zero-pad the final
+        // one (the standard's fill convention; the decoder knows the
+        // true sample count from the image geometry)
+        const int64_t padded = (total + p.bJ - 1) / p.bJ * p.bJ;
+        std::vector<uint16_t> resid((size_t)padded, 0);
+        bool ok = p.subM > 0 ? run_bi<true>(p, bw, cc, resid.data())
+                             : run_bsq<true>(p, bw, cc, resid.data());
+        if (!ok || bw.overflow) return -1;
+        int64_t hdr = bw.bytes();              // header is whole bytes
+        int64_t body = ck121_encode(resid.data(), padded, p.D, p.bJ, p.bR,
+                                    /*flags=*/0, out + hdr, cap - hdr);
+        return body < 0 ? -1 : hdr + body;
+    }
+    bool ok = p.subM > 0 ? run_bi<true>(p, bw, cc)
+                         : run_bsq<true>(p, bw, cc);
     int64_t n = bw.bytes();
     return (!ok || bw.overflow) ? -1 : n;
 }
 
-// Parse only the header: fills info[0..9] with Nz, Ny, Nx, D, signed,
-// P, full, colsum, Umax, subframe depth (0 = BSQ). Returns 0 on success.
+// Parse only the header: fills info[0..10] with Nz, Ny, Nx, D, signed,
+// P, full, colsum, Umax, subframe depth (0 = BSQ), entropy coder
+// (0 sample-adaptive, 1 block-adaptive). Returns 0 on success.
 long long ck123std_info(const uint8_t* in, long long nbytes,
                         int32_t* info) {
     BitReader br(in, nbytes);
@@ -527,7 +599,7 @@ long long ck123std_info(const uint8_t* in, long long nbytes,
     info[0] = p.Nz; info[1] = p.Ny; info[2] = p.Nx; info[3] = p.D;
     info[4] = p.is_signed ? 1 : 0; info[5] = p.P;
     info[6] = p.full ? 1 : 0; info[7] = p.colsum ? 1 : 0;
-    info[8] = p.Umax; info[9] = p.subM;
+    info[8] = p.Umax; info[9] = p.subM; info[10] = p.ec;
     return 0;
 }
 
@@ -540,6 +612,21 @@ long long ck123std_decode(const uint8_t* in, long long nbytes,
     if (!read_header(br, p)) return -1;
     const int64_t total = (int64_t)p.Ny * p.Nx * p.Nz;
     if (total > cap_samples) return -1;
+    if (p.ec == 1) {
+        // block-adaptive: entropy is a whole-sequence 121 pass decoupled
+        // from prediction — decode the residual sequence first, then run
+        // the predictor-driven reconstruction consuming it in order
+        const int64_t hdr = 19;                // §5.3 header, whole bytes
+        if (nbytes <= hdr) return -1;
+        const int64_t padded = (total + p.bJ - 1) / p.bJ * p.bJ;
+        std::vector<uint16_t> resid((size_t)padded);
+        if (ck121_decode(in + hdr, nbytes - hdr, p.D, p.bJ, p.bR, 0,
+                         resid.data(), padded) < 0)
+            return -1;
+        bool ok = p.subM > 0 ? run_bi<false>(p, br, out, resid.data())
+                             : run_bsq<false>(p, br, out, resid.data());
+        return ok ? total : -1;
+    }
     bool ok = p.subM > 0 ? run_bi<false>(p, br, out)
                          : run_bsq<false>(p, br, out);
     return ok ? total : -1;
