@@ -16,3 +16,24 @@ variable-length bitstream packing runs in a small C++ runtime
 """
 
 __version__ = "0.1.0"
+
+# Keep the LOCAL CPU platform reachable alongside a pinned accelerator
+# platform (JAX_PLATFORMS=axon on tunneled TPU attachments) from the
+# moment tpukit is imported. Budget-only device programs (the ebcot
+# quality→size pricing, ccsds121 plan warmup) run on the CPU backend for
+# topology-independent determinism AND to keep first-use executable
+# loads off the tunnel (measured 40-300 s shipping to a degraded remote
+# attachment vs ~0.1 s local cache load). This only appends to the
+# platform list — the first platform keeps default-device priority, so
+# accelerator users and the cpu-pinned test suite are unaffected. It
+# must happen before the first backend initialization; doing it at
+# import time covers entry paths that touch jax before the CLI's own
+# hook runs (hostinfo.ensure_cpu_platform is idempotent and safe to
+# call again later).
+try:  # config-only: never initializes a backend, never raises upward
+    from tpukit.hostinfo import ensure_cpu_platform as _ensure_cpu
+
+    _ensure_cpu()
+    del _ensure_cpu
+except Exception:  # pragma: no cover - jax absent or config frozen
+    pass

@@ -121,8 +121,18 @@ def _subband_norms(levels: int = LEVELS) -> Dict[str, float]:
                 z = np.zeros((S, S), np.float32)
                 z[y0 + dy, x0 + dx] = 1.0
                 imps.append(z)
-    recs = np.asarray(dwtk.idwt2(jnp.asarray(np.stack(imps)), "97", levels),
-                      np.float64)
+    # one-shot tiny measurement: run it on the LOCAL CPU backend — the
+    # norms are then identical on every host regardless of accelerator
+    # (f32 reduction order is backend-dependent), and the first-use
+    # executable load stays off the tunnel (measured up to minutes
+    # shipping to a degraded remote attachment for this one program)
+    from tpukit.hostinfo import local_cpu_device
+    cpu = local_cpu_device()
+    ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+    with ctx:
+        batch = (jax.device_put(np.stack(imps), cpu) if cpu is not None
+                 else jnp.asarray(np.stack(imps)))
+        recs = np.asarray(dwtk.idwt2(batch, "97", levels), np.float64)
     norms: Dict[str, float] = {}
     for i, (name, lv, sl) in enumerate(subs):
         e = (recs[4 * i:4 * i + 4] ** 2).sum(axis=(1, 2)).mean()
