@@ -994,6 +994,17 @@ class J2KCodec(Codec):
         the fixed-step encode it replaces). Lossless points fall
         through to _run_ebcot.
 
+        Mesh note (deliberate, not a fallback): this path does NOT shard
+        its codec phase over ``opts['mesh']``. The phase is host C++
+        (tier-1 analysis, PCRD truncation, native synthesis — nothing to
+        place on devices) plus ONE pricing ladder that runs on the local
+        CPU backend precisely so the byte targets are identical for any
+        device topology — sharding the pricing over mesh devices would
+        make the f32 quantize in the size model topology-dependent and
+        break the mesh-CSV == single-device-CSV invariant. ``--mesh``
+        still accelerates the same canonical command: the runner shards
+        the metric/quicklook ladder over the mesh regardless of codec.
+
         Everything deterministic is reusable across reps via the harness
         ``cache``: the plan set, the device-priced targets, and each rate
         point's (streams, recon) pair — a rep re-running an identical
