@@ -222,11 +222,13 @@ def main():
         f"B={['%.1f' % t for t in tB]})")
     # regression gate: the warm sum must beat the north-star LOUDLY (min
     # over the two warm iterations — iteration 0 additionally absorbs the
-    # per-process executable loads)
+    # per-process executable loads). Asserted at the very END of main so
+    # the JSON measurement line always lands first — a degraded host must
+    # fail loud WITH its numbers on record, not instead of them.
     warm_sum = min(tA[1:]) + min(tB[1:])
-    assert warm_sum < 60, (
-        f"REGRESSION: warm canonical sum {warm_sum:.1f}s >= 60s "
-        f"(iters A={tA} B={tB})")
+    if warm_sum >= 60:
+        log(f"REGRESSION: warm canonical sum {warm_sum:.1f}s >= 60s "
+            f"(iters A={tA} B={tB})")
 
     # ---- round-1 continuity: Case B anchor flow vs reference-equivalent ----
     n = cubeB.size
@@ -322,8 +324,13 @@ def main():
             "cr_vs_raw16": round(cubeB.nbytes / len(bs), 3),
             "lossless": 1,
             "bitstream_equals_libaec": bool(ae.available()),
+            "warm_sum_s": round(warm_sum, 2),
         },
     }))
+    # loud gate AFTER the measurement line (see warm_sum comment above)
+    assert warm_sum < 60, (
+        f"REGRESSION: warm canonical sum {warm_sum:.1f}s >= 60s "
+        f"(iters A={tA} B={tB})")
 
 
 if __name__ == "__main__":
