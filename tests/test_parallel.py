@@ -444,3 +444,82 @@ def test_ccsds121_codec_mesh_run_matches_host(rng):
     flat = np.ascontiguousarray(
         np.moveaxis(cube.view(np.uint16), 0, -1)).ravel()
     assert res.bitstream_bytes == len(ck.encode(flat, 16))
+
+
+def test_mesh_keep_bitstream_j2k_matches_single(rng):
+    """Mesh + --keep-bitstream (round-3 VERDICT #3): the j2k quality
+    ladder on a mesh materializes REAL streams host-side after the
+    sharded model pass — byte-identical to the single-device run's
+    streams, with each point's total length equal to the mesh size
+    model's count (asserted inside the codec)."""
+    from tpukit.codecs.base import RateSpec
+    from tpukit.codecs.registry import create
+    from tpukit.parallel.mesh import make_mesh
+
+    base = rng.integers(300, 3000, (32, 32)).astype(np.int32)
+    cube = np.clip(base[None] + rng.integers(-80, 80, (4, 32, 32)),
+                   0, 4095).astype(np.uint16)
+    specs = [RateSpec.of("quality", q) for q in (10, 35, 80)]
+    single = create("j2k", entropy="device").sweep_rates(
+        cube, "uint16", specs, keep_bitstream=True)
+    mesh = make_mesh(jax.devices("cpu")[:8], dp=4, sp=2)
+    meshed = create("j2k", entropy="device").sweep_rates(
+        cube, "uint16", specs, keep_bitstream=True, mesh=mesh)
+    for s, m in zip(single, meshed):
+        assert m.bitstreams and s.bitstreams.keys() == m.bitstreams.keys()
+        for k in s.bitstreams:
+            assert s.bitstreams[k] == m.bitstreams[k], k
+        assert m.bitstream_bytes == sum(len(v)
+                                        for v in m.bitstreams.values())
+
+
+def test_mesh_keep_bitstream_ccsds122_matches_single(rng):
+    """Mesh + --keep-bitstream for the 122 BPE budget ladder: real
+    CCSDS 122.0-B segments per budget, byte-identical to the
+    single-device run and to the model's byte counts."""
+    from tpukit.codecs.base import RateSpec
+    from tpukit.codecs.registry import create
+    from tpukit.parallel.mesh import make_mesh
+
+    base = rng.integers(300, 3000, (32, 32)).astype(np.int32)
+    cube = np.clip(base[None] + rng.integers(-80, 80, (4, 32, 32)),
+                   0, 4095).astype(np.uint16)
+    specs = [RateSpec.of("bpp", v) for v in (0.5, 1.5)]
+    single = create("ccsds122").sweep_rates(
+        cube, "uint16", specs, keep_bitstream=True)
+    mesh = make_mesh(jax.devices("cpu")[:8], dp=4, sp=2)
+    meshed = create("ccsds122").sweep_rates(
+        cube, "uint16", specs, keep_bitstream=True, mesh=mesh)
+    for s, m in zip(single, meshed):
+        assert m.bitstreams and s.bitstreams.keys() == m.bitstreams.keys()
+        for k in s.bitstreams:
+            assert s.bitstreams[k] == m.bitstreams[k], k
+        assert m.bitstream_bytes == sum(len(v)
+                                        for v in m.bitstreams.values())
+
+
+def test_mesh_ebcot_identical_by_construction(rng):
+    """The DEFAULT j2k backend (ebcot) under --mesh: the codec phase is
+    host C++ + CPU-deterministic pricing, so a mesh run produces the
+    byte-identical streams and recons of the single-device run by
+    construction (documented in _sweep_ebcot — not a silent fallback:
+    the runner still shards the metric/quicklook phases)."""
+    from tpukit.codecs.base import RateSpec
+    from tpukit.codecs.registry import create
+    from tpukit.parallel.mesh import make_mesh
+
+    base = rng.integers(300, 3000, (32, 32)).astype(np.int32)
+    cube = np.clip(base[None] + rng.integers(-80, 80, (2, 32, 32)),
+                   0, 4095).astype(np.uint16)
+    specs = [RateSpec.of("quality", q) for q in (20, 60)]
+    single = create("j2k", entropy="ebcot").sweep_rates(
+        cube, "uint16", specs, keep_bitstream=True)
+    mesh = make_mesh(jax.devices("cpu")[:4], dp=2, sp=2)
+    meshed = create("j2k", entropy="ebcot").sweep_rates(
+        cube, "uint16", specs, keep_bitstream=True, mesh=mesh)
+    for s, m in zip(single, meshed):
+        assert s.bitstreams.keys() == m.bitstreams.keys()
+        for k in s.bitstreams:
+            assert s.bitstreams[k] == m.bitstreams[k], k
+        np.testing.assert_array_equal(np.asarray(s.recon),
+                                      np.asarray(m.recon))
