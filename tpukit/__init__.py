@@ -28,12 +28,19 @@ __version__ = "0.1.0"
 # accelerator users and the cpu-pinned test suite are unaffected. It
 # must happen before the first backend initialization; doing it at
 # import time covers entry paths that touch jax before the CLI's own
-# hook runs (hostinfo.ensure_cpu_platform is idempotent and safe to
-# call again later).
-try:  # config-only: never initializes a backend, never raises upward
-    from tpukit.hostinfo import ensure_cpu_platform as _ensure_cpu
+# hook runs. ONLY when jax is already imported (e.g. the axon
+# sitecustomize boot hook) — a bare `import tpukit` for non-jax tooling
+# (CLI --help, io/viz consumers) must stay jax-free and fast; paths that
+# import jax later are covered because hostinfo.local_cpu_device
+# re-runs ensure_cpu_platform itself (idempotent).
+import sys as _sys
 
-    _ensure_cpu()
-    del _ensure_cpu
-except Exception:  # pragma: no cover - jax absent or config frozen
-    pass
+if "jax" in _sys.modules:
+    try:  # config-only: never initializes a backend, never raises upward
+        from tpukit.hostinfo import ensure_cpu_platform as _ensure_cpu
+
+        _ensure_cpu()
+        del _ensure_cpu
+    except Exception:  # pragma: no cover - config frozen
+        pass
+del _sys

@@ -400,9 +400,14 @@ class CCSDS122Codec(Codec):
                         img_width=W, pad_rows=Hp - H, pixel_bitdepth=16,
                         signed_pixels=signed) for b in range(B)]
                 t_enc = time.perf_counter() - t0
-                assert [len(s) for s in streams] == \
-                    nbytes_all[qi].tolist(), "bpe122 mesh size model " \
-                    "disagrees with the native coder"
+                if [len(s) for s in streams] != nbytes_all[qi].tolist():
+                    # not an assert: must survive python -O — a model/
+                    # coder drift silently desyncs CSV byte counts from
+                    # the written .bpe artifacts otherwise
+                    raise RuntimeError(
+                        "bpe122 mesh size model disagrees with the "
+                        f"native coder: {[len(s) for s in streams]} != "
+                        f"{nbytes_all[qi].tolist()}")
             nbytes = int(nbytes_all[qi].sum())
             for i in ixs:
                 target_bpp_band, _ = points[i]

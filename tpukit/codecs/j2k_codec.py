@@ -93,8 +93,13 @@ def base_step_for_quality(q: int, data_peak: float) -> float:
     return max(0.5, data_peak / 4096.0) * (2.0 ** ((70 - q) / 8.0))
 
 
+from concurrent.futures import TimeoutError as _FutTimeout
 from contextlib import nullcontext as _nullcontext
 from functools import lru_cache
+
+# ebcot per-point (streams, recon) rep-cache budget: recon bytes held per
+# tile; see the pcache insertion in _sweep_ebcot
+_PCACHE_BYTES = int(2e9)
 
 
 @lru_cache(maxsize=None)
@@ -559,44 +564,49 @@ class J2KCodec(Codec):
         peak = float(np.abs(cube.astype(np.float64)).max()) or 1.0
         info = np.iinfo(cube.dtype)
 
-        ckey = ("j2k_dwt", B, Hp, Wp, cube.dtype.name)
-        if cache is not None and ckey in cache:
-            coefs_dev, perm_coefs, t_dwt = cache[ckey]
-        else:
-            t0 = time.perf_counter()
-            wf = device_work(cube, {"device_cube": device_cube}, m,
-                             "float32")
-            coefs_dev = dwtk.dwt2(wf, "97", LEVELS)
-            coefs_dev.block_until_ready()
-            perm_coefs = None
-            t_dwt = time.perf_counter() - t0
-            if cache is not None:
-                cache[ckey] = (coefs_dev, perm_coefs, t_dwt)
-        if keep_bitstream and perm_coefs is None:
-            # the materializing host coder wants the coefficients ALREADY
-            # in coder scan order — one device gather, one fetch, reused
-            # across reps via the cache
-            t0 = time.perf_counter()
-            perm_coefs = np.asarray(jnp.take(coefs_dev.reshape(B, -1),
-                                             jnp.asarray(order), axis=1))
-            t_dwt += time.perf_counter() - t0
-            if cache is not None:
-                cache[ckey] = (coefs_dev, perm_coefs, t_dwt)
-
         scale_host = _subband_steps(Hp, Wp, 1.0)
         inv_scale_host = np.float32(1.0) / scale_host
         inv_scale_perm = inv_scale_host.ravel()[order]
-        scale_dev = jnp.asarray(scale_host)
-        inv_scale_dev = jnp.asarray(inv_scale_host)
         qualities = [int(q) for q in qualities]
         bases = np.array([base_step_for_quality(q, peak)
                           for q in qualities], np.float32)
         inv_bases = np.float32(1.0) / bases
+
+        ckey = ("j2k_dwt", B, Hp, Wp, cube.dtype.name)
+
+        def coefs_cached(need_perm: bool):
+            """(coefs_dev, perm_coefs, t_dwt) via the harness cache; the
+            scan-order gather (the materializing host coder's input) is
+            fetched once and reused across reps."""
+            if cache is not None and ckey in cache:
+                coefs, perm, t_d = cache[ckey]
+            else:
+                t0 = time.perf_counter()
+                wf = device_work(cube, {"device_cube": device_cube}, m,
+                                 "float32")
+                coefs = dwtk.dwt2(wf, "97", LEVELS)
+                coefs.block_until_ready()
+                perm = None
+                t_d = time.perf_counter() - t0
+                if cache is not None:
+                    cache[ckey] = (coefs, perm, t_d)
+            if need_perm and perm is None:
+                t0 = time.perf_counter()
+                perm = np.asarray(jnp.take(coefs.reshape(B, -1),
+                                           jnp.asarray(order), axis=1))
+                t_d += time.perf_counter() - t0
+                if cache is not None:
+                    cache[ckey] = (coefs, perm, t_d)
+            return coefs, perm, t_d
+
         if mesh is not None:
             # codec-phase sharding: the whole quality ladder (quantize +
             # exact size model + requant recon) runs on the mesh, Q over
             # dp, bands over sp — multi-chip accelerates codec work, not
-            # just metrics
+            # just metrics. The single-device DWT below is NOT dispatched
+            # here (the mesh pass computes its own sharded DWT); only a
+            # --keep-bitstream run needs the scan-ordered coefficients
+            # for the materializing host coder.
             res = self._sweep_qualities_mesh(
                 mesh, cube, qualities, bases, inv_bases, Hp, Wp, H0, W0,
                 info, scale_host, inv_scale_host, order, segb)
@@ -607,14 +617,7 @@ class J2KCodec(Codec):
                 # same f32-quantized coefficients the device sized, so
                 # each band's stream length must equal the device model's
                 # byte count — asserted per point.
-                if perm_coefs is None:
-                    t0 = time.perf_counter()
-                    perm_coefs = np.asarray(
-                        jnp.take(coefs_dev.reshape(B, -1),
-                                 jnp.asarray(order), axis=1))
-                    t_dwt += time.perf_counter() - t0
-                    if cache is not None:
-                        cache[ckey] = (coefs_dev, perm_coefs, t_dwt)
+                _, perm_coefs, _ = coefs_cached(need_perm=True)
                 for i, q in enumerate(qualities):
                     t0 = time.perf_counter()
                     with mem_phase("comp"):
@@ -630,6 +633,11 @@ class J2KCodec(Codec):
                     res[i].bitstreams = {f"b{b+1:02d}.j2c": e
                                          for b, e in enumerate(enc)}
             return res
+
+        coefs_dev, perm_coefs, t_dwt = coefs_cached(
+            need_perm=bool(keep_bitstream))
+        scale_dev = jnp.asarray(scale_host)
+        inv_scale_dev = jnp.asarray(inv_scale_host)
         # dispatch the whole recon ladder NOW — the device works while the
         # host runs the entropy coder below
         recons, s1d_v, s2d_v = _device_requant_recon_ladder(
@@ -1098,10 +1106,19 @@ class J2KCodec(Codec):
                 if cache is not None:
                     cache[ckey] = (plans, t_plan)
             if sizes_pending is not None:
-                # settle the device pricing (mostly hidden under the host
-                # plan build above); only the residual wait bills here
+                # settle the pricing (mostly hidden under the host plan
+                # build above); only the residual wait bills here. The
+                # lane pool is SHARED — stuck futures from other codecs
+                # (e.g. ccsds121 plans abandoned on a degraded
+                # attachment) can queue this task behind them, so a
+                # bounded wait falls back to running the pure local-CPU
+                # pricing inline (idempotent; the queued task's result is
+                # then simply ignored)
                 t0 = time.perf_counter()
-                sizes = sizes_pending.result()
+                try:
+                    sizes = sizes_pending.result(timeout=30.0)
+                except _FutTimeout:
+                    sizes = _price()
                 for i, sz in zip(qual_ix, sizes):
                     targets[i] = int(sz.sum())
                 t_extra += time.perf_counter() - t0
@@ -1133,7 +1150,15 @@ class J2KCodec(Codec):
                                                info.max).astype(cube.dtype)
                     t_rec = time.perf_counter() - t0
                     hit = (streams, recon, t_trunc, t_rec)
-                    pcache[targets[i]] = hit
+                    # bounded: each entry pins a full-cube recon (+
+                    # streams) for the tile's lifetime — fine for the
+                    # canonical 14-point 4-band ladders (~120 MB), not
+                    # for many-band cubes with long ladders. Past the
+                    # budget later points recompute per rep instead of
+                    # caching (first-come keeps the cheap small-q points)
+                    held = sum(r.nbytes for _, r, _, _ in pcache.values())
+                    if held + recon.nbytes <= _PCACHE_BYTES:
+                        pcache[targets[i]] = hit
                 streams, recon, t_trunc, t_rec = hit
                 q_used = (self.quality_for(specs[i])
                           if specs[i].key == "quality" else None)

@@ -66,9 +66,13 @@ def ensure_cpu_platform() -> None:
 
 def local_cpu_device():
     """The first local CPU device, or None when the CPU platform is
-    unavailable (ensure_cpu_platform ran too late, exotic builds)."""
+    unavailable (backends initialized before any ensure_cpu_platform
+    call, exotic builds). Self-healing: re-runs ensure_cpu_platform
+    first (idempotent, config-only) so callers in processes that
+    imported jax after tpukit still get the local platform."""
     import jax
 
+    ensure_cpu_platform()
     try:
         return jax.devices("cpu")[0]
     except Exception:

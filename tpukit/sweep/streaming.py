@@ -376,9 +376,8 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
     # determinism scheme as the batched runner's mesh pass (runner.py
     # mesh branch: same compiled executable per lane regardless of the
     # device count, so `--mesh N` CSVs/artifacts are byte-identical for
-    # any N, including N=1 and no-mesh). The codec sees the mesh through
-    # its ctx so strip codec work engages the codec-phase sharding
-    # (e.g. ccsds121's chunk-analysis round-robin).
+    # any N, including N=1 and no-mesh). Codec work stays on the host
+    # coders (see the ctx NOTE in the strip loop).
     mesh_obj = None
     if cfg.mesh:
         from tpukit.sweep.runner import _build_mesh
@@ -518,12 +517,15 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
                 ctx = dict(cfg.codec_opts)
                 ctx.setdefault("nodata", nodata)
                 ctx.setdefault("dataset_mask", src_mask_w)
-                if mesh_obj is not None:
-                    # codec-phase sharding per strip; the plan cache is
-                    # strip-scoped — plan cache keys are geometry-only,
-                    # and two strips share geometry but not content
-                    ctx.setdefault("mesh", mesh_obj)
-                    ctx.setdefault("device_plan_cache", {})
+                # NOTE: the mesh is deliberately NOT forwarded into the
+                # codec ctx here. The streamed codecs' device-plan
+                # machinery (ccsds121) amortizes through a cache whose
+                # keys are geometry-only — valid within one cube, wrong
+                # across strips — and a strip-scoped cache would make
+                # every strip pay the background-plan poll inside the
+                # timed comp section without any rep ever reusing the
+                # plan. The host coder is byte-identical; the mesh's
+                # streaming win is the sharded metric lanes below.
                 if rep_jobs:
                     results = cfg.codec.sweep_rates(
                         block, dtype_name, rep_specs,
