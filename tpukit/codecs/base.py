@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import time
 from abc import ABC, abstractmethod
-from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -23,21 +22,45 @@ import numpy as np
 
 # background lanes for device-program warmup work shared by the codecs:
 # on tunneled attachments the FIRST use of a device program in a process
-# can stall for tens of seconds (executable ship to the remote server,
-# magnitude growing with host uptime — measured 0.4 s warm vs 40 s
-# degraded). Device stages that have a host fallback (ccsds121's encode
-# plan) or that can overlap host work (j2k's ladder pricing) run here so
-# the load never sits on the host critical path. Several lanes, so one
-# codec's degraded load can't queue another codec's work behind it (the
-# tasks are RPC-bound, not CPU-bound).
-_DEVICE_LANE: Optional[ThreadPoolExecutor] = None
+# can stall for tens of seconds to minutes (executable ship to the
+# remote server, magnitude growing with host uptime — measured 0.4 s
+# warm vs 40-300 s degraded). Device stages that have a host fallback
+# (ccsds121's encode plan) or that can overlap host work (j2k's ladder
+# pricing) run here so the load never sits on the host critical path.
+#
+# Each task gets its OWN daemon thread (no pool): a pool's workers can
+# all wedge on abandoned RPC-stuck futures, queueing a cheap local task
+# behind them for minutes, and ThreadPoolExecutor's non-daemon workers
+# are joined at interpreter exit — a hung tunnel call would then hang
+# process shutdown too. Submissions are structurally bounded (one plan /
+# one pricing per tile), so per-task threads cost nothing.
 
 
-def device_lane() -> ThreadPoolExecutor:
-    global _DEVICE_LANE
-    if _DEVICE_LANE is None:
-        _DEVICE_LANE = ThreadPoolExecutor(
-            max_workers=4, thread_name_prefix="tpukit-device-lane")
+class _DaemonLane:
+    @staticmethod
+    def submit(fn, *args, **kwargs):
+        import threading
+        from concurrent.futures import Future
+
+        fut: Future = Future()
+
+        def run():
+            if not fut.set_running_or_notify_cancel():
+                return
+            try:
+                fut.set_result(fn(*args, **kwargs))
+            except BaseException as e:  # delivered via fut.result()
+                fut.set_exception(e)
+
+        threading.Thread(target=run, daemon=True,
+                         name="tpukit-device-lane").start()
+        return fut
+
+
+_DEVICE_LANE = _DaemonLane()
+
+
+def device_lane() -> _DaemonLane:
     return _DEVICE_LANE
 
 
