@@ -192,8 +192,9 @@ def main():
     t0 = time.perf_counter()
     ok = wait_transfer_channel(
         timeout=float(os.environ.get("TPUKIT_BENCH_WARM_S", 1800)))
+    transfer_warmup_s = time.perf_counter() - t0
     log(f"transfer channel {'ready' if ok else 'NOT ready'} "
-        f"in {time.perf_counter()-t0:.1f}s (untimed)")
+        f"in {transfer_warmup_s:.1f}s (untimed)")
     if not ok and jax.default_backend() != "cpu":
         _fallback_to_cpu("transfer-channel warmup never completed")
 
@@ -325,6 +326,13 @@ def main():
             "lossless": 1,
             "bitstream_equals_libaec": bool(ae.available()),
             "warm_sum_s": round(warm_sum, 2),
+            # attachment-health telemetry at measurement time: the
+            # untimed channel settle is a pure tunnel property that
+            # grows with host uptime (measured 30 s fresh to 1300 s
+            # degraded) — iteration-0 executable-ship costs scale with
+            # the same degradation, so record the evidence alongside
+            # the numbers it inflates
+            "transfer_warmup_s": round(transfer_warmup_s, 1),
         },
     }))
     # loud gate AFTER the measurement line (see warm_sum comment above)
