@@ -119,3 +119,46 @@ def test_quality_ladder_amortized_device_targets(cube):
         assert a.bitstream_bytes == b.bitstream_bytes
         np.testing.assert_array_equal(np.asarray(a.recon),
                                       np.asarray(b.recon))
+
+
+def test_single_point_synthesis_matches_real_decode(cube):
+    """run() reconstructs via the truncated-decode model (sig-plan
+    replay + native synthesis) instead of a full tier-1 MQ decode; the
+    result must equal JP2Decoder on the emitted streams for every rate
+    class — the codec-level face of the pinned model==decoder equality
+    (test_j2c_enc.test_truncated_recon_model_matches_decoder)."""
+    from tpukit.io.jp2 import JP2Decoder
+
+    codec = create("j2k", entropy="ebcot")
+    for spec in (RateSpec.none(), RateSpec.of("quality", 40),
+                 RateSpec.of("bpp", 1.0)):
+        res = codec.run(cube, "uint16", spec, keep_bitstream=True)
+        info = np.iinfo(cube.dtype)
+        for b in range(cube.shape[0]):
+            dec = JP2Decoder(res.bitstreams[f"b{b+1:02d}.j2c"]) \
+                .decode_component(0, 0, 0)
+            np.testing.assert_array_equal(
+                np.asarray(res.recon)[b],
+                np.clip(dec, info.min, info.max).astype(cube.dtype),
+                err_msg=f"spec={spec} band={b}")
+
+
+def test_single_point_rep_cache(cube):
+    """With the harness per-tile cache, reps of an identical lossless /
+    one-off point reuse the (streams, recon) pair and re-report the
+    first measured times — the _sweep_ebcot ladder convention extended
+    to the _run_ebcot fall-through."""
+    codec = create("j2k", entropy="ebcot")
+    cache = {}
+    a = codec.run(cube, "uint16", RateSpec.none(), keep_bitstream=True,
+                  device_plan_cache=cache)
+    assert any(k[0] == "j2c_single" for k in cache)
+    b = codec.run(cube, "uint16", RateSpec.none(), keep_bitstream=True,
+                  device_plan_cache=cache)
+    assert b.t_comp_s == a.t_comp_s and b.t_dec_s == a.t_dec_s
+    assert b.bitstreams == a.bitstreams
+    np.testing.assert_array_equal(np.asarray(a.recon), np.asarray(b.recon))
+    # sweep_rates' lossless fall-through shares the same cache entries
+    sw = codec.sweep_rates(cube, "uint16", [RateSpec.none()],
+                           keep_bitstream=True, device_plan_cache=cache)
+    assert sw[0].bitstream_bytes == a.bitstream_bytes
