@@ -235,7 +235,11 @@ def main():
     n = cubeB.size
     flat = np.ascontiguousarray(
         np.moveaxis(cubeB.view(np.uint16), 0, -1)).ravel()
-    CHUNK = 1 << 23
+    # same chunking as the canonical sweep's device plan (CCSDS121Codec
+    # plan_chunk): the anchor flow then reuses the chunk-stats programs the
+    # sweep already compiled and shipped, instead of compiling a second
+    # pair of shapes in the same process
+    CHUNK = 1 << 22
     xj = jnp.asarray(flat)
     cj = jnp.asarray(cubeB.view(np.uint16))
     vj = jnp.ones((size, size), bool)

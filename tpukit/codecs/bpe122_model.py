@@ -28,7 +28,13 @@ import jax.numpy as jnp
 GAGGLE = 16
 HDR_BYTES = 20                    # Part 1A + 1B + 2 + 3 + 4 (single seg)
 HDR_BITS = 8 * HDR_BYTES
-_INF = jnp.int32(1 << 30)
+# module constants stay NUMPY: creating device arrays at import time
+# dispatches tiny convert programs to the DEFAULT backend — on a tunneled
+# TPU attachment every first-use program pays a round trip that degrades
+# with host uptime, and this module is imported by the codec registry even
+# for sweeps that never touch CCSDS-122. Inside jit the numpy constants
+# embed at trace time for free (jnp.asarray at the indexed use sites).
+_INF = np.int32(1 << 30)
 
 # ---------------------------------------------------------------------------
 # VLC tables — mirror native/src/bpe122.cpp exactly
@@ -57,7 +63,7 @@ def _sym_tables():
             full[L, v] = s
             if s >= 1:
                 restr[L, v] = s - 1
-    return jnp.asarray(full), jnp.asarray(restr)
+    return full, restr
 
 
 def _len_tables():
@@ -67,13 +73,13 @@ def _len_tables():
     for L, opts in _OPT_LENS.items():
         for o, lens in enumerate(opts):
             t[L, o, :len(lens)] = lens
-    return jnp.asarray(t, jnp.int32)
+    return t.astype(np.int32)
 
 
 _SYM_FULL, _SYM_RESTR = _sym_tables()
 _LEN_TAB = _len_tables()
-_NOPT = jnp.asarray([0, 0, 1, 2, 3], jnp.int32)       # coded options / class
-_IDB = jnp.asarray([0, 0, 1, 2, 2], jnp.int32)        # ID field bits / class
+_NOPT = np.asarray([0, 0, 1, 2, 3], np.int32)         # coded options / class
+_IDB = np.asarray([0, 0, 1, 2, 2], np.int32)          # ID field bits / class
 
 
 def _msb(mag):
@@ -346,8 +352,8 @@ def bpe_stream_layout(blocks: jax.Array):
         nsign = jnp.where(active, nsign, 0)
 
         # ---- option selection per (gaggle, class) ----
-        sym = jnp.where(restr, _SYM_RESTR[wlen, wval],
-                        _SYM_FULL[wlen, wval])
+        sym = jnp.where(restr, jnp.asarray(_SYM_RESTR)[wlen, wval],
+                        jnp.asarray(_SYM_FULL)[wlen, wval])
         coded = active & (wlen >= 2)
         code_len = jnp.where(rawbit & active, 1, 0)    # raw 1-bit words
         id_extra = jnp.zeros((Sp, NSLOT), jnp.int32)
@@ -360,7 +366,7 @@ def bpe_stream_layout(blocks: jax.Array):
             best_is = jnp.full((G,), 3, jnp.int32)     # 3 = uncoded
             nopt = int(np.array([0, 0, 1, 2, 3])[L])
             for o in range(nopt - 1, -1, -1):          # reverse: ties ->
-                lo = _LEN_TAB[L, o, sym]               # lowest index wins
+                lo = jnp.asarray(_LEN_TAB)[L, o, sym]  # lowest index wins
                 co = jnp.where(mk, lo, 0).reshape(G, GAGGLE, NSLOT) \
                     .sum(axis=(1, 2)).astype(jnp.int32)
                 pick = co <= best                      # <=: earlier wins
@@ -372,7 +378,8 @@ def bpe_stream_layout(blocks: jax.Array):
             sel = best_is[gidx]                        # (Sp,)
             len_sel = jnp.where(
                 sel[:, None] >= nopt, L,
-                _LEN_TAB[L, jnp.clip(sel, 0, 2)[:, None], sym])
+                jnp.asarray(_LEN_TAB)[L, jnp.clip(sel, 0, 2)[:, None],
+                                      sym])
             code_len = jnp.where(mk, len_sel, code_len)
             # ID field on the first coded word of the class per gaggle
             okey = jnp.where(mk, ordkey, _INF)

@@ -541,6 +541,28 @@ def chunk_stats(x: jax.Array, bits: int = 16, J: int = 8, rsi: int = 2,
     return a["total_bits"], a["k_lo_out"], a["k_hi_out"]
 
 
+@partial(jax.jit, static_argnames=("size", "bits", "J", "rsi",
+                                   "preprocess"))
+def _chunk_stats_slice(x, start, size: int, bits: int = 16, J: int = 8,
+                       rsi: int = 2, preprocess: bool = True):
+    """chunk_stats of ``x[start:start+size]`` with the slice INSIDE the
+    program: an eager ``x[sl]`` on a device array compiles a separate
+    dynamic_slice program per chunk shape — one more per-process
+    first-use round trip on tunneled attachments. ``start`` is traced, so
+    one program per (stream shape, chunk size) covers every chunk."""
+    xs = jax.lax.dynamic_slice(x, (start,), (size,))
+    a = analyze(xs, bits=bits, J=J, rsi=rsi, preprocess=preprocess)
+    return a["total_bits"], a["k_lo_out"], a["k_hi_out"]
+
+
+@jax.jit
+def _stack_tables(ts, los, his):
+    """Batch the per-chunk scalars into three arrays for ONE device_get —
+    as a single compiled program (the eager jnp.stack pair compiled
+    broadcast_in_dim + concatenate, two first-use round trips)."""
+    return jnp.stack(ts), jnp.stack(los), jnp.stack(his)
+
+
 def encode_plan(x, bits: int = 16, J: int = 8, rsi: int = 2,
                 chunk: int = 1 << 22, preprocess: bool = True,
                 devices=None):
@@ -586,24 +608,31 @@ def encode_plan(x, bits: int = 16, J: int = 8, rsi: int = 2,
     # vmapped associative_scan compiles pathologically on TPU); dispatch is
     # async, so the serial launches overlap, and the tables come down in
     # one device_get below
-    def _piece(i, sl):
-        xs = x[sl]
+    def _piece(i, sl, sz):
         if devices is not None:
-            xs = jax.device_put(xs, devices[i % len(devices)])
-        return chunk_stats(xs, bits=bits, J=J, rsi=rsi,
-                           preprocess=preprocess)
+            xs = jax.device_put(x[sl], devices[i % len(devices)])
+            return chunk_stats(xs, bits=bits, J=J, rsi=rsi,
+                               preprocess=preprocess)
+        if isinstance(x, np.ndarray):
+            # host stream: the slice is a free view; the jit uploads it
+            return chunk_stats(x[sl], bits=bits, J=J, rsi=rsi,
+                               preprocess=preprocess)
+        # device-resident stream: slice INSIDE the program (one compiled
+        # program per chunk size instead of dynamic_slice + chunk_stats)
+        return _chunk_stats_slice(x, sl.start or 0, sz, bits=bits, J=J,
+                                  rsi=rsi, preprocess=preprocess)
 
-    results = [_piece(i, slice(i * chunk, (i + 1) * chunk))
+    results = [_piece(i, slice(i * chunk, (i + 1) * chunk), chunk)
                for i in range(n // chunk)]
     sizes = [chunk] * (n // chunk)
     if rem:
-        results.append(_piece(n // chunk, slice(main, None)))
+        results.append(_piece(n // chunk, slice(main, main + rem), rem))
         sizes.append(rem)
     if devices is None:
         totals, los, his = jax.device_get(
-            (jnp.stack([t for t, _, _ in results]),
-             jnp.stack([lo for _, lo, _ in results]),
-             jnp.stack([hi for _, _, hi in results])))
+            _stack_tables(tuple(t for t, _, _ in results),
+                          tuple(lo for _, lo, _ in results),
+                          tuple(hi for _, _, hi in results)))
     else:
         # results live on different devices — stacking would force a
         # cross-device colocation; fetch the 3 scalars per chunk directly

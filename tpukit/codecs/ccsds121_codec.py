@@ -32,6 +32,39 @@ from tpukit.kernels.diff1 import diff1_forward_np, diff1_inverse_np
 from tpukit.native import ccsds121_host
 from tpukit.sweep.proc import mem_phase
 
+_FLAT_JIT = None
+
+
+def _flat_stream_jit():
+    """ONE jitted program for tile slice + diff1 + bitcast + interleave
+    (module-level so every call shares the compile cache): the eager
+    composition compiled 3-4 tiny programs on the default backend, each
+    paying a per-process first-use round trip on tunneled attachments."""
+    global _FLAT_JIT
+    if _FLAT_JIT is None:
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+        from tpukit.kernels.diff1 import diff1_forward
+
+        @partial(jax.jit,
+                 static_argnames=("y0", "x0", "th", "tw", "preproc",
+                                  "interleave"))
+        def _flat(cube, y0, x0, th, tw, preproc, interleave):
+            c = cube[:, y0:y0 + th, x0:x0 + tw]
+            if preproc == "diff1":
+                c = diff1_forward(c)
+            if c.dtype == jnp.int16:
+                c = jax.lax.bitcast_convert_type(c, jnp.uint16)
+            if interleave == "bip":
+                return jnp.moveaxis(c, 0, -1).reshape(-1)
+            if interleave == "bil":
+                return jnp.moveaxis(c, 0, 1).reshape(-1)
+            return c.reshape(-1)
+
+        _FLAT_JIT = _flat
+    return _FLAT_JIT
+
 
 class CCSDS121Codec(Codec):
     name = "ccsds121"
@@ -215,22 +248,10 @@ class CCSDS121Codec(Codec):
         chain, and exact bit offsets (tpukit/codecs/ccsds121.py). Returns
         None when the tile is too small to chunk (callers fall back to the
         monolithic host coder)."""
-        import jax
-        import jax.numpy as jnp
         from tpukit.codecs import ccsds121 as dev
-        from tpukit.kernels.diff1 import diff1_forward
 
-        c = device_cube[:, y0:y0 + th, x0:x0 + tw]
-        if self.preproc == "diff1":
-            c = diff1_forward(c)
-        if c.dtype == jnp.int16:
-            c = jax.lax.bitcast_convert_type(c, jnp.uint16)
-        if self.interleave == "bip":
-            flat = jnp.moveaxis(c, 0, -1).reshape(-1)
-        elif self.interleave == "bil":
-            flat = jnp.moveaxis(c, 0, 1).reshape(-1)
-        else:
-            flat = c.reshape(-1)
+        flat = _flat_stream_jit()(device_cube, y0, x0, th, tw,
+                                  self.preproc, self.interleave)
         return dev.encode_plan(flat, bits=self.nbit, J=self.block_size,
                                rsi=self.rsi, chunk=self.plan_chunk)
 

@@ -250,6 +250,19 @@ def _ql_ladder_fn():
     return ql_ladder
 
 
+_STACK_LANES = None
+
+
+def _stack_lanes_jit(jax, jnp):
+    """Lazily-jitted lane stacker (one compiled program per lane count)."""
+    global _STACK_LANES
+    if _STACK_LANES is None:
+        def stack_lanes(*xs):
+            return jnp.stack(xs)
+        _STACK_LANES = jax.jit(stack_lanes)
+    return _STACK_LANES
+
+
 def _device_pass_dispatch(jax, jnp, ref_dev, vm_dev, sam_vm_dev, lanes,
                           chunk, nod_val, has_nodata, is_caseb,
                           quality_stats_ladder, spectral_stats_ladder,
@@ -263,7 +276,11 @@ def _device_pass_dispatch(jax, jnp, ref_dev, vm_dev, sam_vm_dev, lanes,
     transfers with the next tile's codec phase (the reference computes
     each pair serially on host and re-reads files per rep,
     run_codec.py:472-529)."""
-    nod = jnp.asarray(nod_val)
+    # nod_val is a numpy scalar; the jitted ladders device_put it at call
+    # time. An eager jnp.asarray here would compile a tiny
+    # convert_element_type program on the default backend — one more
+    # first-use round trip per process on tunneled attachments.
+    nod = nod_val
     want_ql = bool(ql_caps) and bool(lanes) and not jnp.issubdtype(
         lanes[0].dtype, jnp.floating)
     if want_ql:
@@ -281,12 +298,27 @@ def _device_pass_dispatch(jax, jnp, ref_dev, vm_dev, sam_vm_dev, lanes,
                 and x.shape == ref_host.shape and x.dtype == ref_host.dtype
                 and np.array_equal(x, ref_host)):
             return ref_dev
-        return jnp.asarray(x)
+        return x
 
     chunks = []
     for c0 in range(0, len(lanes), chunk):
         batch = lanes[c0:c0 + chunk]
-        stack = jnp.stack([lane_dev(x) for x in batch])
+        staged = [lane_dev(x) for x in batch]
+        if all(isinstance(x, np.ndarray) for x in staged):
+            # all-host lanes (e.g. the canonical J2K ebcot sweep): stage
+            # the stack on host and ship it as ONE upload. An eager
+            # jnp.stack here compiles broadcast_in_dim + concatenate
+            # programs on the default backend — two more per-process
+            # first-use round trips on tunneled attachments — and
+            # uploads lane by lane.
+            stack = jnp.asarray(np.stack(staged))
+        else:
+            # device-resident lanes (ref reuse / device recons) must not
+            # round-trip through the host; one jitted program instead of
+            # eager stack's broadcast_in_dim + concatenate pair
+            stack = _stack_lanes_jit(jax, jnp)(
+                *[x if not isinstance(x, np.ndarray) else jnp.asarray(x)
+                  for x in staged])
         qs = quality_stats_ladder(ref_dev, stack, vm_dev, nod, has_nodata)
         payload = {"qs": qs}
         if want_ql:
