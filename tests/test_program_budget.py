@@ -23,9 +23,7 @@ import sys
 import textwrap
 from pathlib import Path
 
-# named programs the canonical paths are ALLOWED to compile; the warm
-# transfer-channel probe (sweep.runner._warm) is the one sanctioned
-# mini-op source (untimed settle, not part of a timed iteration)
+# named programs the canonical paths are ALLOWED to compile
 _ALLOWED = {
     # case A (j2k ebcot): ladders + local-CPU pricing chain
     "quality_stats_ladder", "ql_ladder", "dwt2", "idwt2",
@@ -33,9 +31,14 @@ _ALLOWED = {
     # case B (ccsds121): ladders + device encode plan
     "spectral_stats_ladder", "chunk_stats", "_chunk_stats_slice",
     "_stack_tables", "_flat", "stack_lanes",
-    # warm-fetch probe (jnp.zeros + np.asarray)
-    "convert_element_type", "broadcast_in_dim",
 }
+
+# the warm transfer-channel probe (sweep.runner._warm: jnp.zeros +
+# np.asarray) is the one sanctioned mini-op source — untimed settle, not
+# part of a timed iteration. Bounded to exactly its own pair so a new
+# eager convert/broadcast leaking anywhere in the sweep path FAILS
+# instead of hiding behind the probe's names.
+_BOUNDED = {"convert_element_type": 1, "broadcast_in_dim": 1}
 
 
 def _run_and_collect(body: str) -> dict:
@@ -62,10 +65,21 @@ def _run_and_collect(body: str) -> dict:
                        capture_output=True, text=True, timeout=560)
     assert r.returncode == 0, r.stderr[-2000:]
     counts: dict = {}
-    for m in re.finditer(r"Compiling jit\(([A-Za-z0-9_<>]+)\)", r.stderr):
+    for m in re.finditer(r"Compiling jit\(([^)]+)\)", r.stderr):
         counts[m.group(1)] = counts.get(m.group(1), 0) + 1
     assert counts, "no compile logs captured — log plumbing broke"
     return counts
+
+
+def _check_budget(counts: dict):
+    stray = {k: v for k, v in counts.items()
+             if k not in _ALLOWED and k not in _BOUNDED}
+    assert not stray, f"unbudgeted eager programs compiled: {stray}"
+    over = {k: v for k, v in counts.items()
+            if k in _BOUNDED and v > _BOUNDED[k]}
+    assert not over, (
+        f"mini-op programs beyond the warm-probe budget {_BOUNDED}: "
+        f"{over} — an eager convert/broadcast leaked into the sweep path")
 
 
 def test_casea_j2k_program_budget():
@@ -83,33 +97,36 @@ def test_casea_j2k_program_budget():
                         "--reps", "2", "--outdir", str(work / "r"),
                         "--keep-bitstream"])
     """)
-    stray = {k: v for k, v in counts.items() if k not in _ALLOWED}
-    assert not stray, f"unbudgeted eager programs compiled: {stray}"
+    _check_budget(counts)
 
 
 def test_caseb_ccsds121_program_budget():
     counts = _run_and_collect("""
         from tpukit.codecs.registry import create
         from tpukit.sweep.runner import SweepConfig, run_sweep
-        base = rng.integers(200, 1800, (32, 32)).astype(np.int32)
-        cube = (base[None] + rng.integers(-9, 9, (12, 32, 32))) \\
+        base = rng.integers(200, 1800, (64, 64)).astype(np.int32)
+        cube = (base[None] + rng.integers(-9, 9, (12, 64, 64))) \\
             .astype(np.int16)
         cube = ((cube.view(np.uint16) >> 2) << 2).view(np.int16)
         p = work / "t.tif"
         tiff.write_geotiff(p, cube)
         idx = work / "i.json"
-        write_manifest(idx, "caseB", "tile_32",
+        write_manifest(idx, "caseB", "tile_64",
                        [{"tile_id": "T", "path": p}])
-        # plan_chunk shrunk so the 12k-sample stream exercises the
-        # device-plan path (_flat + _chunk_stats_slice + _stack_tables)
+        # plan_chunk shrunk so every 12k-sample tile stream exercises the
+        # device-plan path (_flat + _chunk_stats_slice + _stack_tables);
+        # tile=32 over a 64x64 cube gives FOUR tile positions, pinning
+        # that the fused flat-stream program traces its offsets (one
+        # program per tile SHAPE, not per position)
         codec = create("ccsds121", tile=32, interleave="bip",
                        preproc="none", nbit=16, plan_chunk=4096)
         run_sweep(SweepConfig(indices=idx, codec=codec,
                               codec_label="ccsds121", outdir=work / "r",
                               rate_key="none", reps=2))
     """)
-    stray = {k: v for k, v in counts.items() if k not in _ALLOWED}
-    assert not stray, f"unbudgeted eager programs compiled: {stray}"
+    _check_budget(counts)
     # the device-plan path actually engaged (chunked program + batched
     # table fetch), so the budget covers the canonical program set
     assert "_flat" in counts and "_stack_tables" in counts
+    # four tile positions share ONE fused flat-stream program
+    assert counts["_flat"] == 1, counts

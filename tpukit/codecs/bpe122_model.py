@@ -364,7 +364,7 @@ def bpe_stream_layout(blocks: jax.Array):
                 .sum(axis=(1, 2)).astype(jnp.int32)
             best = unc
             best_is = jnp.full((G,), 3, jnp.int32)     # 3 = uncoded
-            nopt = int(np.array([0, 0, 1, 2, 3])[L])
+            nopt = int(_NOPT[L])
             for o in range(nopt - 1, -1, -1):          # reverse: ties ->
                 lo = jnp.asarray(_LEN_TAB)[L, o, sym]  # lowest index wins
                 co = jnp.where(mk, lo, 0).reshape(G, GAGGLE, NSLOT) \

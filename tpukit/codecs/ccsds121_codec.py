@@ -48,10 +48,14 @@ def _flat_stream_jit():
         from tpukit.kernels.diff1 import diff1_forward
 
         @partial(jax.jit,
-                 static_argnames=("y0", "x0", "th", "tw", "preproc",
-                                  "interleave"))
+                 static_argnames=("th", "tw", "preproc", "interleave"))
         def _flat(cube, y0, x0, th, tw, preproc, interleave):
-            c = cube[:, y0:y0 + th, x0:x0 + tw]
+            # y0/x0 stay TRACED (dynamic_slice): a tiled scene has many
+            # tile positions but few tile shapes — static offsets would
+            # compile one program per position, re-creating the
+            # first-use-cost class this helper exists to avoid
+            c = jax.lax.dynamic_slice(
+                cube, (0, y0, x0), (cube.shape[0], th, tw))
             if preproc == "diff1":
                 c = diff1_forward(c)
             if c.dtype == jnp.int16:

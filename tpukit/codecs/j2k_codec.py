@@ -993,10 +993,16 @@ class J2KCodec(Codec):
                                        info.max).astype(cube.dtype)
             t_dec = time.perf_counter() - t0
             hit = (streams, recon, t_comp, t_dec, q_used)
-            if cache is not None and \
-                    recon.nbytes + sum(len(s) for s in streams) \
-                    <= _PCACHE_BYTES:
-                cache[pkey] = hit
+            if cache is not None:
+                # bounded like the ladder pcache: admit against the bytes
+                # already held by single-point entries, not per-entry
+                held = sum(
+                    v[1].nbytes + sum(len(s) for s in v[0])
+                    for k, v in cache.items()
+                    if isinstance(k, tuple) and k and k[0] == "j2c_single")
+                if held + recon.nbytes + sum(len(s) for s in streams) \
+                        <= _PCACHE_BYTES:
+                    cache[pkey] = hit
         streams, recon, t_comp, t_dec, q_used = hit
 
         extras = {"quality_used": (int(q_used) if q_used is not None

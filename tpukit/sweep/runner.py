@@ -315,10 +315,9 @@ def _device_pass_dispatch(jax, jnp, ref_dev, vm_dev, sam_vm_dev, lanes,
         else:
             # device-resident lanes (ref reuse / device recons) must not
             # round-trip through the host; one jitted program instead of
-            # eager stack's broadcast_in_dim + concatenate pair
-            stack = _stack_lanes_jit(jax, jnp)(
-                *[x if not isinstance(x, np.ndarray) else jnp.asarray(x)
-                  for x in staged])
+            # eager stack's broadcast_in_dim + concatenate pair (numpy
+            # lanes are device_put by the jit itself)
+            stack = _stack_lanes_jit(jax, jnp)(*staged)
         qs = quality_stats_ladder(ref_dev, stack, vm_dev, nod, has_nodata)
         payload = {"qs": qs}
         if want_ql:
