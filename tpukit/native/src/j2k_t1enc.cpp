@@ -93,6 +93,22 @@ struct MQEnc {
         }
     }
 
+    // RENORME with the shift count batched via CLZ: `a` is nonzero and
+    // below 0x8000 here, so the per-bit loop shifts exactly
+    // clz32(a)-16 times, with a byteout each time the shift counter
+    // crosses ct. Splitting the batch at the byteout boundaries performs
+    // the identical shift/byteout sequence (c stays within the same
+    // 32-bit envelope as the per-bit loop: at most ct<=8 shifts happen
+    // between byteouts either way), so the emitted bytes are unchanged.
+    void renorm() {
+        int n = __builtin_clz(a) - 16;
+        while (n >= ct) {
+            a <<= ct; c <<= ct; n -= ct;
+            ct = 0; byteout();
+        }
+        if (n > 0) { a <<= n; c <<= n; ct -= n; }
+    }
+
     void encode(int d, int cx) {
         const MQState& s = kMQ[idx[cx]];
         if (d == mps[cx]) {  // CODEMPS
@@ -100,8 +116,7 @@ struct MQEnc {
             if ((a & 0x8000) == 0) {
                 if (a < s.qe) a = s.qe; else c += s.qe;
                 idx[cx] = s.nmps;
-                do { a <<= 1; c <<= 1; if (--ct == 0) byteout(); }
-                while ((a & 0x8000) == 0);
+                renorm();
             } else {
                 c += s.qe;
             }
@@ -110,8 +125,7 @@ struct MQEnc {
             if (a < s.qe) c += s.qe; else a = s.qe;
             if (s.sw) mps[cx] ^= 1;
             idx[cx] = s.nlps;
-            do { a <<= 1; c <<= 1; if (--ct == 0) byteout(); }
-            while ((a & 0x8000) == 0);
+            renorm();
         }
     }
 
