@@ -878,7 +878,10 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
                                     if want_ql else None),
                         }
                     lane_np = np.asarray(lane)
-                    rec = jax.device_put(lane_np, d)[None]   # (1,B,H,W)
+                    # lead axis added on HOST: [None] on a device array
+                    # compiles an eager broadcast_in_dim program (one
+                    # more per-process first-use round trip)
+                    rec = jax.device_put(lane_np[None], d)   # (1,B,H,W)
                     qs = quality_stats_ladder(ctx_d["ref"], rec,
                                               ctx_d["vm"], ctx_d["nod"],
                                               has_nodata)
