@@ -41,7 +41,7 @@ _ALLOWED = {
 _BOUNDED = {"convert_element_type": 1, "broadcast_in_dim": 1}
 
 
-def _run_and_collect(body: str) -> dict:
+def _run_and_collect(body: str, extra_env: dict = None) -> dict:
     """Run a sweep snippet in a subprocess with jax_log_compiles and
     return {program_name: count}."""
     script = textwrap.dedent("""
@@ -61,6 +61,7 @@ def _run_and_collect(body: str) -> dict:
     """ % str(Path(__file__).resolve().parent.parent)) + textwrap.dedent(body)
     env = dict(__import__("os").environ)
     env["TPUKIT_JAX_CACHE"] = "0"
+    env.update(extra_env or {})
     r = subprocess.run([sys.executable, "-c", script], env=env,
                        capture_output=True, text=True, timeout=560)
     assert r.returncode == 0, r.stderr[-2000:]
@@ -130,3 +131,25 @@ def test_caseb_ccsds121_program_budget():
     assert "_flat" in counts and "_stack_tables" in counts
     # four tile positions share ONE fused flat-stream program
     assert counts["_flat"] == 1, counts
+
+
+def test_mesh_program_budget():
+    """The mesh metric path (round-robin single-lane dispatch) must
+    compile the same named-program set as the single-device path — its
+    per-device context building and lane staging go through device_put,
+    never eager ops."""
+    counts = _run_and_collect("""
+        gy, gx = np.mgrid[0:64, 0:64]
+        t = (((40 + 3 * gy + 2 * gx) % 4096).astype(np.uint16) << 4)
+        p = work / "t.tif"
+        tiff.write_geotiff(p, np.stack([t, t >> 1]), blockxsize=32,
+                           blockysize=32)
+        idx = work / "i.json"
+        write_manifest(idx, "caseA", "tile_64",
+                       [{"tile_id": "T", "path": p}])
+        run_codec_main(["--indices", str(idx), "--codec", "j2k",
+                        "--rate-key", "quality", "--rates", "10", "40",
+                        "--reps", "1", "--outdir", str(work / "r"),
+                        "--keep-bitstream", "--mesh", "2"])
+    """, extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=4"})
+    _check_budget(counts)
