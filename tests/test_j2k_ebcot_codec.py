@@ -144,21 +144,42 @@ def test_single_point_synthesis_matches_real_decode(cube):
 
 
 def test_single_point_rep_cache(cube):
-    """With the harness per-tile cache, reps of an identical lossless /
-    one-off point reuse the (streams, recon) pair and re-report the
-    first measured times — the _sweep_ebcot ladder convention extended
-    to the _run_ebcot fall-through."""
+    """Rep semantics of the _run_ebcot fall-through: point-level reuse
+    (streams + recon + re-reported timings) happens only under the
+    opt-in dedupe_reps; honest reps (default) reuse the tier-1 ANALYSIS
+    but re-execute selection/assembly/synthesis per call, byte-equal."""
     codec = create("j2k", entropy="ebcot")
     cache = {}
     a = codec.run(cube, "uint16", RateSpec.none(), keep_bitstream=True,
-                  device_plan_cache=cache)
+                  device_plan_cache=cache, dedupe_reps=True)
     assert any(k[0] == "j2c_single" for k in cache)
     b = codec.run(cube, "uint16", RateSpec.none(), keep_bitstream=True,
-                  device_plan_cache=cache)
+                  device_plan_cache=cache, dedupe_reps=True)
     assert b.t_comp_s == a.t_comp_s and b.t_dec_s == a.t_dec_s
     assert b.bitstreams == a.bitstreams
     np.testing.assert_array_equal(np.asarray(a.recon), np.asarray(b.recon))
     # sweep_rates' lossless fall-through shares the same cache entries
     sw = codec.sweep_rates(cube, "uint16", [RateSpec.none()],
-                           keep_bitstream=True, device_plan_cache=cache)
+                           keep_bitstream=True, device_plan_cache=cache,
+                           dedupe_reps=True)
     assert sw[0].bitstream_bytes == a.bitstream_bytes
+
+
+def test_single_point_honest_reps_reexecute(cube):
+    """Honest (default) reps: the cached analysis is reused but each call
+    re-runs selection/assembly/synthesis — no finished-point cache entry,
+    fresh t_dec measurement, identical bytes and recon."""
+    codec = create("j2k", entropy="ebcot")
+    cache = {}
+    a = codec.run(cube, "uint16", RateSpec.none(), keep_bitstream=True,
+                  device_plan_cache=cache)
+    assert not any(k[0] == "j2c_single" for k in cache)
+    assert any(k[0] == "j2c_single_plans" for k in cache)
+    b = codec.run(cube, "uint16", RateSpec.none(), keep_bitstream=True,
+                  device_plan_cache=cache)
+    assert b.bitstreams == a.bitstreams
+    np.testing.assert_array_equal(np.asarray(a.recon), np.asarray(b.recon))
+    # the re-reported analysis time is shared; the synthesis span is a
+    # fresh measurement (can't assert inequality on wall times robustly,
+    # but the cache must hold no finished point)
+    assert not any(k[0] == "j2c_single" for k in cache)

@@ -161,6 +161,69 @@ def test_sweep_rep_artifacts_are_shared_replicas(tmp_path, caseb_setup):
         np.testing.assert_array_equal(ds.read(), tiles["LC"])
 
 
+def _casea_like_setup(tmp_path, rng):
+    gy, gx = np.mgrid[0:64, 0:64]
+    base = ((80 + 3 * gy + 2 * gx).astype(np.int32)) % 4096
+    cube = np.clip(base[None] + rng.integers(-200, 200, (4, 64, 64)),
+                   0, 4095).astype(np.uint16) << 4
+    p = tmp_path / "caseA_tile.tif"
+    tiff.write_geotiff(p, cube)
+    idx = tmp_path / "index_caseA.json"
+    write_manifest(idx, "caseA", "tile_64",
+                   [{"tile_id": "T1", "path": p}])
+    return idx, cube
+
+
+def test_honest_reps_reexecute_per_rep(tmp_path, rng):
+    """Default rep semantics (reference run_codec.py:472-475): every rep
+    re-executes the codec points, so per-rep t_dec_s values are fresh
+    wall measurements (never the bit-identical re-reported floats the
+    dedupe path produces), metrics agree across reps, and the artifact
+    files are still byte-identical hardlink replicas."""
+    idx, cube = _casea_like_setup(tmp_path, rng)
+
+    def run_mode(outdir, dedupe):
+        cfg = SweepConfig(
+            indices=idx, codec=create("j2k", entropy="ebcot"),
+            codec_label="j2k_gdal", outdir=outdir,
+            rate_key="quality", rates=[10, 40], reps=3,
+            keep_bitstream=True, dedupe_reps=dedupe)
+        return run_sweep(cfg)["rows"]
+
+    rows = run_mode(tmp_path / "honest", False)
+    by_rate = {}
+    for r in rows:
+        by_rate.setdefault(r["rate_value"], []).append(r)
+    for rate, rr in by_rate.items():
+        assert len(rr) == 3
+        tdec = [r["t_dec_s"] for r in rr]
+        # three independent perf_counter spans never collide exactly
+        assert len(set(tdec)) > 1, f"rate {rate}: re-reported times {tdec}"
+        # deterministic content: metrics and sizes identical across reps
+        assert len({r["bitstream_bytes"] for r in rr}) == 1
+        assert len({r["psnr_global"] for r in rr}) == 1
+        assert len({r["ssim_global"] for r in rr}) == 1
+    # artifact replicas still share content
+    d1 = tmp_path / "honest" / "T1" / "quality_10" / "rep_01"
+    d3 = tmp_path / "honest" / "T1" / "quality_10" / "rep_03"
+    for rel in sorted(p.relative_to(d1) for p in d1.rglob("*")
+                      if p.is_file()):
+        assert (d1 / rel).read_bytes() == (d3 / rel).read_bytes()
+
+    # opt-in dedupe: reps re-report the first measured times exactly
+    rows_d = run_mode(tmp_path / "dedupe", True)
+    by_rate_d = {}
+    for r in rows_d:
+        by_rate_d.setdefault(r["rate_value"], []).append(r)
+    for rate, rr in by_rate_d.items():
+        assert len({r["t_dec_s"] for r in rr}) == 1
+        assert len({r["t_comp_s"] for r in rr}) == 1
+    # both modes agree on every deterministic output
+    for rh, rd in zip(rows, rows_d):
+        assert rh["bitstream_bytes"] == rd["bitstream_bytes"]
+        assert rh["psnr_global"] == rd["psnr_global"]
+
+
 def test_failed_item_keeps_finished_tiles_artifacts(tmp_path, rng):
     """Fail-fast on a broken item (reference run_codec.py:494-495), but a
     tile whose codec work already completed keeps its artifacts: the

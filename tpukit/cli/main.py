@@ -123,6 +123,15 @@ def run_codec_main(argv=None):
                          "strips with bounded host memory (strip-exact "
                          "codecs only; aligned up to the codec tile grid). "
                          "Items over 1 GiB stream automatically.")
+    ap.add_argument("--dedupe-reps", action="store_true",
+                    help="opt-in rep deduplication: reps of an identical "
+                         "(tile, rate) point reuse the first rep's "
+                         "streams/recon/timings and share one metric lane "
+                         "(deterministic codecs; faster, but per-rep time "
+                         "IQRs become structurally zero). Default is the "
+                         "reference's semantics: every rep re-executes the "
+                         "codec points and its own metrics "
+                         "(run_codec.py:472-475).")
     args, _extra = ap.parse_known_args(argv)
 
     from tpukit.codecs.registry import create
@@ -169,7 +178,8 @@ def run_codec_main(argv=None):
         ql_err_zoom=args.ql_err_zoom, case=args.case, asset=args.asset,
         link_mbps=link_mbps, link_eff=link_eff, csv_decimal=args.csv_decimal,
         single_csv=(Path(args.single_csv) if args.single_csv else None),
-        mesh=args.mesh, stream_rows=args.stream_rows)
+        mesh=args.mesh, stream_rows=args.stream_rows,
+        dedupe_reps=args.dedupe_reps)
     if args.profile:
         import jax
         with jax.profiler.trace(str(args.profile)):

@@ -793,7 +793,8 @@ class J2KCodec(Codec):
                                    keep_bitstream)
         if self.entropy == "ebcot":
             return self._run_ebcot(cube, dtype_name, rate, keep_bitstream,
-                                   cache=opts.get("device_plan_cache"))
+                                   cache=opts.get("device_plan_cache"),
+                                   dedupe=bool(opts.get("dedupe_reps")))
         q_used = self.quality_for(rate)
         lossless = q_used is None
 
@@ -932,7 +933,8 @@ class J2KCodec(Codec):
         return int((W * H * B * 2.0) / max(rate.value, 1e-6))
 
     def _run_ebcot(self, cube: np.ndarray, dtype_name: str, rate: RateSpec,
-                   keep_bitstream: bool, cache=None) -> CodecResult:
+                   keep_bitstream: bool, cache=None,
+                   dedupe: bool = False) -> CodecResult:
         """One rate point through the standard-codestream backend: per-band
         .j2c that OpenJPEG et al. decode (tests/test_j2k_ebcot_codec.py),
         rate-targeted by global PCRD truncation instead of the reference's
@@ -944,10 +946,13 @@ class J2KCodec(Codec):
         in tests/test_j2c_enc.py — instead of a full host tier-1 MQ
         decode, the same convention as the amortized _sweep_ebcot ladder.
         With a harness ``cache`` (the runner's per-tile plan cache), reps
-        of an identical point reuse the (streams, recon) pair and
-        re-report the first measured times — the convention _sweep_ebcot
-        already applies to ladder points, extended here to the lossless /
-        one-off fall-through points."""
+        of an identical point reuse the tier-1 ANALYSIS (the plan set is
+        a pure function of the input — the sweep-wide amortization
+        convention) and, only when the harness opts into
+        ``dedupe_reps``, also the finished (streams, recon, timings)
+        point — honest reps (the default) re-execute
+        selection/assembly/synthesis per call so each rep's timings are
+        real measurements."""
         from tpukit.io.j2c_enc import J2CPlan, at_size_multi
         B, H, W = cube.shape
         info = np.iinfo(cube.dtype)
@@ -958,33 +963,44 @@ class J2KCodec(Codec):
         pkey = ("j2c_single", B, H, W, cube.dtype.name, rate.key,
                 None if rate.value is None else float(rate.value),
                 bool(rate.lossless))
-        hit = cache.get(pkey) if cache is not None else None
+        hit = (cache.get(pkey) if (cache is not None and dedupe)
+               else None)
         if hit is None:
-            t0 = time.perf_counter()
+            if lossless:
+                wavelet, base = "53", 1.0
+            elif rate.key in ("bpp", "cr"):
+                wavelet, base = "97", 1.0
+            else:
+                peak = float(np.abs(cube.astype(np.float64)).max()) or 1.0
+                wavelet, base = "97", base_step_for_quality(q_used, peak)
+            plankey = ("j2c_single_plans", B, H, W, cube.dtype.name,
+                       wavelet, float(base))
+            cached_plans = (cache.get(plankey) if cache is not None
+                            else None)
             with mem_phase("comp"):
-                if lossless:
-                    plans = [J2CPlan(cube[b], depth, signed, levels=LEVELS)
+                t0 = time.perf_counter()
+                if cached_plans is None:
+                    plans = [J2CPlan(cube[b], depth, signed, levels=LEVELS,
+                                     wavelet=wavelet, base_step=base)
                              for b in range(B)]
+                    t_plan = time.perf_counter() - t0
+                    if cache is not None:
+                        cache[plankey] = (plans, t_plan)
+                else:
+                    plans, t_plan = cached_plans
+                t0 = time.perf_counter()
+                if lossless or rate.key not in ("bpp", "cr"):
                     sels = [p._select_all() for p in plans]
                     streams = [p.lossless() for p in plans]
-                elif rate.key in ("bpp", "cr"):
-                    plans = [J2CPlan(cube[b], depth, signed, levels=LEVELS,
-                                     wavelet="97") for b in range(B)]
+                else:
                     streams, sels = at_size_multi(
                         plans, self._ebcot_target(rate, B, H, W),
                         return_sel=True)
                     q_used = None
-                else:
-                    peak = float(np.abs(cube.astype(np.float64)).max()) \
-                        or 1.0
-                    base = base_step_for_quality(q_used, peak)
-                    plans = [J2CPlan(cube[b], depth, signed, levels=LEVELS,
-                                     wavelet="97", base_step=base)
-                             for b in range(B)]
-                    sels = [p._select_all() for p in plans]
-                    streams = [p.lossless() for p in plans]
-            t_comp = time.perf_counter() - t0
-
+            # t_plan is the analysis' first MEASURED wall, re-reported by
+            # later calls that reuse the cached analysis; the
+            # selection/assembly span is fresh per call
+            t_comp = t_plan + (time.perf_counter() - t0)
             t0 = time.perf_counter()
             with mem_phase("dec"):
                 recon = np.empty_like(cube)
@@ -993,7 +1009,7 @@ class J2KCodec(Codec):
                                        info.max).astype(cube.dtype)
             t_dec = time.perf_counter() - t0
             hit = (streams, recon, t_comp, t_dec, q_used)
-            if cache is not None:
+            if cache is not None and dedupe:
                 # bounded like the ladder pcache: admit against the bytes
                 # already held by single-point entries, not per-entry
                 held = sum(
@@ -1041,13 +1057,16 @@ class J2KCodec(Codec):
         still accelerates the same canonical command: the runner shards
         the metric/quicklook ladder over the mesh regardless of codec.
 
-        Everything deterministic is reusable across reps via the harness
-        ``cache``: the plan set, the device-priced targets, and each rate
-        point's (streams, recon) pair — a rep re-running an identical
-        point re-reports the point's first measured t_comp/t_dec instead
-        of redoing identical work, the same amortization convention as
-        the cached tier-1 analysis and the reference's own recon-reuse
-        resume path (run_codec.py:489-492)."""
+        Rep semantics: the plan set and the device-priced targets are
+        pure functions of the input and reuse across reps via the
+        harness ``cache`` (analysis-level amortization). Point-level
+        reuse — a rep re-running an identical rate point reusing the
+        (streams, recon) pair and re-reporting the first measured
+        t_comp/t_dec — happens ONLY when the harness opts into
+        ``dedupe_reps``; honest reps (the default, the reference's
+        workload definition, run_codec.py:472-475) re-execute every
+        point's truncation + synthesis per rep so the reported timings
+        are per-rep measurements."""
         from tpukit.io.j2c_enc import J2CPlan, at_size_multi
         B, H, W = cube.shape
         info = np.iinfo(cube.dtype)
@@ -1057,6 +1076,7 @@ class J2KCodec(Codec):
         ladder = [i for i, s in enumerate(specs)
                   if not s.lossless and s.key in ("bpp", "cr", "quality")]
         cache = opts.get("device_plan_cache")
+        dedupe = bool(opts.get("dedupe_reps"))
         if ladder:
             qual_ix = [i for i in ladder if specs[i].key == "quality"]
             targets: Dict[int, int] = {}
@@ -1153,8 +1173,12 @@ class J2KCodec(Codec):
                 if cache is not None:
                     cache[tkey] = ({i: targets[i] for i in qual_ix},
                                    base, t_extra)
+            # point-level (streams, recon, timings) reuse across reps is
+            # an opt-in (--dedupe-reps); honest reps get a call-local
+            # dict, so identical targets WITHIN one ladder still share
+            # but nothing persists to the next rep
             pcache = (cache.setdefault(("j2c_points",) + ckey[1:], {})
-                      if cache is not None else {})
+                      if (cache is not None and dedupe) else {})
             for i in ladder:
                 hit = pcache.get(targets[i])
                 if hit is None:
@@ -1202,7 +1226,8 @@ class J2KCodec(Codec):
         for i, s in enumerate(specs):
             if out[i] is None:
                 out[i] = self._run_ebcot(cube, dtype_name, s,
-                                         keep_bitstream, cache=cache)
+                                         keep_bitstream, cache=cache,
+                                         dedupe=dedupe)
         return out
 
     def _sweep_qualities_mesh(self, mesh, cube, qualities, bases,

@@ -92,6 +92,16 @@ class SweepConfig:
     # see sweep/streaming.py
     stream_rows: Optional[int] = None
     stream_auto_bytes: int = 1 << 30
+    # rep semantics. False (default, the reference's workload definition,
+    # run_codec.py:472-475): every rep re-executes the codec rate points
+    # and its own metric lane, so per-rep timings are independent and the
+    # *_iqr aggregates are meaningful. True: deterministic-output
+    # deduplication — reps of an identical point reuse the first rep's
+    # (streams, recon, timings) and all fresh reps of a rate share one
+    # metric lane (faster; *_iqr structurally zero). Either way artifact
+    # FILES are identical, and rep replicas are written as hardlinks
+    # (content is a pure function of (cube, recon) for every codec here).
+    dedupe_reps: bool = False
 
 
 def _build_mesh(spec: str):
@@ -210,6 +220,7 @@ class _Job:
     recon: object = None        # np.ndarray (host) or jax.Array (device)
     bitstreams: Optional[Dict[str, bytes]] = None
     met_index: int = -1         # lane in the tile's metric stack
+    art_index: int = -1         # artifact-content group (hardlink sharing)
 
 
 def _metric_chunk(B: int, H: int, W: int) -> int:
@@ -492,10 +503,13 @@ def _write_artifacts_phase(cfg: "SweepConfig", jobs: Dict[tuple, "_Job"],
             art.update({"e8": np.stack(e8s), "ql_valid": v, "rec_ok": rec_ok})
         return art
 
-    # group jobs by lane: one render + N-1 hardlink replicas
+    # group jobs by artifact CONTENT (per-rate for fresh jobs, per-array
+    # for resumed ones): one render + N-1 hardlink replicas. Distinct
+    # from the metric-lane grouping — honest reps run one metric lane
+    # per (rate, rep) but their artifact bytes are still identical.
     by_lane: Dict[int, List[_Job]] = {}
     for (_ri, _rep), job in sorted(jobs.items()):
-        by_lane.setdefault(job.met_index, []).append(job)
+        by_lane.setdefault(job.art_index, []).append(job)
 
     def render(job: "_Job"):
         art = lane_host(job.met_index)
@@ -766,6 +780,10 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
                     ctx = dict(cfg.codec_opts)
                     ctx.setdefault("nodata", nodata)
                     ctx.setdefault("dataset_mask", src_mask)
+                    # rep semantics for codecs with point-level reuse
+                    # (j2k's ladder/point caches honor this; plan-LEVEL
+                    # analysis reuse stays on either way)
+                    ctx.setdefault("dedupe_reps", cfg.dedupe_reps)
                     if mesh_obj is None:
                         # HBM-resident cube: codecs with device fast paths
                         # (ccsds121's parallel plan) reuse the metric upload
@@ -805,20 +823,28 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
                         job.bitstreams = res.bitstreams
 
             # ---- lane plan ---------------------------------------------------
-            # Deterministic codecs produce identical recons across reps, so
-            # fresh reps share one lane per rate (metrics AND artifacts); each
-            # resumed recon (arbitrary on-disk content) gets its own lane.
+            # Honest reps (default): every fresh (rate, rep) job runs its
+            # own metric lane — the reference computes metrics per rep
+            # (run_codec.py:522-529) and the aggregate IQRs are over real
+            # executions. --dedupe-reps: deterministic codecs produce
+            # identical recons across reps, so fresh reps share one lane
+            # per rate. Either way resumed recons (arbitrary on-disk
+            # content) key on array identity, and ARTIFACT content groups
+            # stay per-rate (identical bytes, hardlinked replicas).
             lane_of: Dict[tuple, int] = {}
+            art_of: Dict[tuple, int] = {}
             lanes: List[object] = []
             for (ri, rep), job in sorted(jobs.items()):
-                # reused lanes key on the recon ARRAY identity: hardlinked
-                # rep replicas resolved to one cube share one metric lane
-                key = (("reused", id(job.recon)) if job.reused
-                       else ("fresh", ri))
+                content_key = (("reused", id(job.recon)) if job.reused
+                               else ("fresh", ri))
+                key = (content_key if (cfg.dedupe_reps or job.reused)
+                       else ("fresh", ri, rep))
                 if key not in lane_of:
                     lane_of[key] = len(lanes)
                     lanes.append(job.recon)
                 job.met_index = lane_of[key]
+                job.art_index = art_of.setdefault(content_key,
+                                                  len(art_of))
 
             _t2 = _time.perf_counter()
             # ---- phase 2: device ladder — metrics + quicklook error maps +

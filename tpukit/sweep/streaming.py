@@ -402,8 +402,14 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
         strips.append((y0, min(rows_blk, H - y0)))
         y0 += rows_blk
 
-    # lane plan: fresh lanes shared across reps (deterministic codecs);
-    # resumed (ri, rep) recons get their own lanes, read windowed from disk
+    # lane plan. Honest reps (default): each fresh (rate, rep) gets its
+    # own metric lane, accumulated during its own rep's pass (reference
+    # run_codec.py:522-529 computes metrics per rep). --dedupe-reps:
+    # fresh lanes shared across reps (deterministic codecs). Resumed
+    # (ri, rep) recons always get their own lanes, read windowed from
+    # disk. Quicklook artifacts stay grouped by CONTENT (per rate) in
+    # both modes — identical bytes, replica writes.
+    dedupe = bool(cfg.dedupe_reps)
     jobs: Dict[tuple, dict] = {}
     lanes: Dict[object, dict] = {}
     for rep in range(cfg.reps):
@@ -413,10 +419,12 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
             # shared validated probe (runner.resume_recon): an interrupted
             # writer's leftover must re-encode, not wedge every retry
             reused, _, bs = resume_recon(run_dir, cfg.write_artifacts, log)
-            key = ("reused", ri, rep) if reused else ("fresh", ri)
+            ckey = ("reused", ri, rep) if reused else ("fresh", ri)
+            key = (ckey if (reused or dedupe)
+                   else ("fresh", ri, rep))
             job = {"ri": ri, "rep": rep, "run_dir": run_dir,
                    "reused": reused, "meta": {}, "t_wrap": 0.0,
-                   "bs_bytes": bs, "lane": key}
+                   "bs_bytes": bs, "lane": key, "ckey": ckey}
             if key not in lanes:
                 lanes[key] = {"acc": _LaneAcc(),
                               "src": (recon_path if reused else None)}
@@ -441,7 +449,8 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
             sql = _StreamQuicklooks(
                 H, W, caps, want_rgb,
                 _pick_rgb_order(ds, str(case_name).lower()),
-                signed=(dtype_name == "int16"), n_lanes=len(lanes))
+                signed=(dtype_name == "int16"),
+                n_lanes=len({j["ckey"] for j in jobs.values()}))
 
     fresh_ri = sorted({job["ri"] for job in jobs.values()
                        if not job["reused"]})
@@ -478,9 +487,11 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
             continue
         is_metric_rep = rep == metric_rep
         # strips/masks go to the device when the resumed lanes accumulate
-        # (metric_rep) or any fresh rate's metric lane fills in this rep
+        # (metric_rep), any fresh rate's shared metric lane fills in this
+        # rep (--dedupe-reps), or — honest reps — any fresh job runs
         needs_metrics = is_metric_rep or any(
-            metric_rep_ri[ri] == rep for ri in rep_ri)
+            metric_rep_ri[ri] == rep for ri in rep_ri) or \
+            (not dedupe and bool(rep_ri))
         writers: Dict[int, tiff.StripWriter] = {}
         # a fresh (re-)encode owns its bit/ dir: clear strip files left
         # by an interrupted earlier run (possibly on a different strip
@@ -570,16 +581,21 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
                         bit_dir.mkdir(parents=True, exist_ok=True)
                         for name, data in res.bitstreams.items():
                             (bit_dir / f"s{y0:06d}_{name}").write_bytes(data)
-                    if metric_rep_ri[ri] == rep:
-                        dev = lane_dev.get(("fresh", ri))
+                    lane_key = jobs[(ri, rep)]["lane"]
+                    if (not dedupe) or metric_rep_ri[ri] == rep:
+                        # honest reps: THIS rep's own lane accumulates;
+                        # dedupe: only the rate's designated rep feeds
+                        # the shared lane
+                        dev = lane_dev.get(lane_key)
                         _acc_lane_strip(
                             jnp, quality_stats_dual, spectral_stats_strip,
-                            lanes[("fresh", ri)]["acc"], block_on(dev),
+                            lanes[lane_key]["acc"], block_on(dev),
                             block, recon, vm_base, sam_vm, nodata,
                             has_nodata, is_caseb, dev)
-                        if sql is not None:
-                            sql.lane_strip(("fresh", ri), y0, block, recon,
-                                           src_mask_w, nodata, has_nodata)
+                    if sql is not None and metric_rep_ri[ri] == rep:
+                        # quicklook CONTENT is per rate in both modes
+                        sql.lane_strip(("fresh", ri), y0, block, recon,
+                                       src_mask_w, nodata, has_nodata)
                 # resumed lanes: metric-only windowed read of their recons
                 if is_metric_rep:
                     for key, lane in lanes.items():
@@ -634,14 +650,19 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
     if sql is not None:
         # quicklook artifact write-out (warn-and-continue, §5.3 policy —
         # reference run_codec.py:519-520)
+        # quicklook files group by CONTENT key — per rate for fresh jobs
+        # (replicas hardlinked across reps), per (ri, rep) for resumed
         lane_dirs: Dict[object, List[Path]] = {}
         for (ri, rep) in sorted(jobs):
             job = jobs[(ri, rep)]
-            lane_dirs.setdefault(job["lane"], []).append(job["run_dir"])
-        lane_src = {key: (lane["src"] if lane["src"] is not None
-                          else (lane_dirs[key][0] / "recon.tif"
-                                if cfg.write_artifacts else None))
-                    for key, lane in lanes.items()}
+            lane_dirs.setdefault(job["ckey"], []).append(job["run_dir"])
+        lane_src = {}
+        for key, dirs in lane_dirs.items():
+            src = lanes[key]["src"] if key in lanes else None
+            if src is None:
+                src = (dirs[0] / "recon.tif" if cfg.write_artifacts
+                       else None)
+            lane_src[key] = src
         try:
             sql.finalize(ds, lane_dirs, lane_src, geo, rows_blk)
         except Exception as e:
