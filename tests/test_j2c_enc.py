@@ -323,3 +323,52 @@ def test_native_synthesis_matches_numpy(rng):
         gotf = _sr2d_native(*fs, u1, v1, rev=False)
         wantf = sr2d_97(*fs, 0, 0, u1, v1)
         np.testing.assert_array_equal(gotf, wantf, err_msg=f"97 t={t}")
+
+
+def test_native_forward_dwt_matches_numpy(rng):
+    """Native j2k_fd2d_97/53 (and the _fdwt2d_native pyramid wrapper) are
+    bit-exact to the numpy fd2d_97/fd2d_53 lifting over fuzzed
+    geometries, parities, and level counts — including the vertical
+    row-wise restructure and the n==1 scaling-only edges."""
+    import ctypes as ct
+    from tpukit import native
+    from tpukit.io.j2c_enc import (_fdwt2d_native, fd2d_53, fd2d_97,
+                                   fdwt2d_53, fdwt2d_97)
+
+    lib = native.load()
+    for t in range(40):
+        h = int(rng.integers(1, 70))
+        w = int(rng.integers(1, 70))
+        u0 = int(rng.integers(0, 4))
+        v0 = int(rng.integers(0, 4))
+        ev_u, ev_v = (-u0) % 2, (-v0) % 2
+        od_u, od_v = 1 - ev_u, 1 - ev_v
+        af = rng.normal(0, 500, (h, w)).astype(np.float64)
+        ll, hl, lh, hh = fd2d_97(af.copy(), u0, v0, u0 + w, v0 + h)
+        b = af.copy()
+        assert lib.j2k_fd2d_97(
+            b.ctypes.data_as(ct.POINTER(ct.c_double)), h, w, u0, v0) == 0
+        np.testing.assert_array_equal(ll, b[ev_v::2, ev_u::2])
+        np.testing.assert_array_equal(hl, b[ev_v::2, od_u::2])
+        np.testing.assert_array_equal(lh, b[od_v::2, ev_u::2])
+        np.testing.assert_array_equal(hh, b[od_v::2, od_u::2])
+        ai = rng.integers(-5000, 5000, (h, w)).astype(np.int64)
+        ll, hl, lh, hh = fd2d_53(ai.copy(), u0, v0, u0 + w, v0 + h)
+        c = ai.copy()
+        assert lib.j2k_fd2d_53(
+            c.ctypes.data_as(ct.POINTER(ct.c_int64)), h, w, u0, v0) == 0
+        np.testing.assert_array_equal(ll, c[ev_v::2, ev_u::2])
+        np.testing.assert_array_equal(hh, c[od_v::2, od_u::2])
+    # full-pyramid wrapper vs the numpy pyramids
+    for levels in (1, 3, 5):
+        a = rng.integers(-2000, 2000, (83, 61)).astype(np.int64)
+        want = fdwt2d_53(a, 0, 0, 61, 83, levels)
+        got = _fdwt2d_native(a, 0, 0, 61, 83, levels, "53")
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k], err_msg=str(k))
+        wantf = fdwt2d_97(a.astype(np.float64), 0, 0, 61, 83, levels)
+        gotf = _fdwt2d_native(a, 0, 0, 61, 83, levels, "97")
+        for k in wantf:
+            np.testing.assert_array_equal(gotf[k], wantf[k],
+                                          err_msg=str(k))

@@ -158,6 +158,41 @@ def _sr2d_native(ll: np.ndarray, hl: np.ndarray, lh: np.ndarray,
     return a
 
 
+def _fdwt2d_native(tc: np.ndarray, tx0: int, ty0: int, tx1: int, ty1: int,
+                   levels: int, wavelet: str):
+    """Full forward DWT through the native lifting (j2k_fd2d_97/53 —
+    bit-exact to fd2d_97/fd2d_53, fuzz-pinned in tests/test_j2c_enc.py);
+    returns the same {(r, orient): array} dict as fdwt2d_97/fdwt2d_53.
+    Returns None when the native library is unavailable (callers fall
+    back to the numpy reference)."""
+    try:
+        lib = native.load()
+        fn = (lib.j2k_fd2d_53 if wavelet == "53" else lib.j2k_fd2d_97)
+    except Exception:
+        return None
+    rev = wavelet == "53"
+    bands: Dict[Tuple[int, int], np.ndarray] = {}
+    ll = np.ascontiguousarray(tc, np.int64 if rev else np.float64)
+    assert ll.shape == (ty1 - ty0, tx1 - tx0)
+    ptr_t = ct.POINTER(ct.c_int64 if rev else ct.c_double)
+    for r in range(levels, 0, -1):
+        d = 1 << (levels - r)
+        u0, v0 = _ceil_div(tx0, d), _ceil_div(ty0, d)
+        u1, v1 = _ceil_div(tx1, d), _ceil_div(ty1, d)
+        h, w = v1 - v0, u1 - u0
+        rc = fn(ll.ctypes.data_as(ptr_t), h, w, u0, v0)
+        if rc < 0:
+            raise ValueError(f"native analysis failed: {rc}")
+        ev_u, ev_v = (-u0) % 2, (-v0) % 2
+        od_u, od_v = 1 - ev_u, 1 - ev_v
+        bands[(r, 1)] = ll[ev_v::2, od_u::2]
+        bands[(r, 2)] = ll[od_v::2, ev_u::2]
+        bands[(r, 3)] = ll[od_v::2, od_u::2]
+        ll = np.ascontiguousarray(ll[ev_v::2, ev_u::2])
+    bands[(0, 0)] = ll
+    return bands
+
+
 # ===========================================================================
 # Forward reversible 5/3 DWT — the exact inverse of jp2.py's synthesis
 # (_sr1d_53 / sr2d_53), including the absolute-coordinate parity and
@@ -611,10 +646,13 @@ class J2CPlan:
         tc = img.astype(np.int64)
         if not self.signed:
             tc = tc - (1 << (depth - 1))   # DC level shift (G.1.2)
-        if wavelet == "53":
-            coeffs = fdwt2d_53(tc, 0, 0, w, h, levels)
-        else:
-            coeffs = fdwt2d_97(tc.astype(np.float64), 0, 0, w, h, levels)
+        coeffs = _fdwt2d_native(tc, 0, 0, w, h, levels, wavelet)
+        if coeffs is None:                 # numpy reference fallback
+            if wavelet == "53":
+                coeffs = fdwt2d_53(tc, 0, 0, w, h, levels)
+            else:
+                coeffs = fdwt2d_97(tc.astype(np.float64), 0, 0, w, h,
+                                   levels)
 
         ppx = ppy = 15   # maximal precincts (Scod precinct flag unset)
         self.res: List[_EncRes] = []

@@ -378,6 +378,36 @@ def sr2d_97(ll, hl, lh, hh, u0: int, v0: int, u1: int, v1: int) -> np.ndarray:
     return np.swapaxes(a, -1, -2)
 
 
+def _sr2d_fast(rev: bool, ll, hl, lh, hh, u0: int, v0: int,
+               u1: int, v1: int) -> np.ndarray:
+    """One 2D synthesis level through the native lifting when available
+    (j2k_sr2d_53/97 — bit-exact to sr2d_53/sr2d_97, fuzz-pinned in
+    tests/test_j2c_enc.py), numpy reference otherwise. Same contract as
+    sr2d_53/sr2d_97."""
+    try:
+        from tpukit import native
+        lib = native.load()
+        fn = lib.j2k_sr2d_53 if rev else lib.j2k_sr2d_97
+    except Exception:
+        return (sr2d_53 if rev else sr2d_97)(ll, hl, lh, hh,
+                                             u0, v0, u1, v1)
+    import ctypes as ct
+    h, w = v1 - v0, u1 - u0
+    a = np.zeros((h, w), np.int64 if rev else np.float64)
+    ev_u = ((-u0) % 2)
+    od_u = 1 - ev_u
+    ev_v = ((-v0) % 2)
+    od_v = 1 - ev_v
+    a[ev_v::2, ev_u::2] = ll
+    a[ev_v::2, od_u::2] = hl
+    a[od_v::2, ev_u::2] = lh
+    a[od_v::2, od_u::2] = hh
+    ptr = ct.POINTER(ct.c_int64 if rev else ct.c_double)
+    if fn(a.ctypes.data_as(ptr), h, w, u0, v0) < 0:
+        raise ValueError("native synthesis failed")
+    return a
+
+
 def band_rect(tcx0, tcy0, tcx1, tcy1, nb, xob, yob):
     """Subband rectangle (B-15). nb==0 is the NL=0 LL band (the whole
     tile-component): xob==yob==0 there, so the half-step term vanishes."""
@@ -1054,7 +1084,6 @@ class JP2Decoder:
         nl = st.levels
         rev = st.transform == 1
         get = band_array if rev else band_array_f
-        sr2d = sr2d_53 if rev else sr2d_97
         ll = get(res[0], res[0]["bands"][0])
         for r in range(1, nl + 1):
             rinfo = res[r]
@@ -1064,7 +1093,7 @@ class JP2Decoder:
             d = 1 << (nl - r)
             u0, v0 = ceil_div(tx0, d), ceil_div(ty0, d)
             u1, v1 = ceil_div(tx1, d), ceil_div(ty1, d)
-            ll = sr2d(ll, hl, lh, hh, u0, v0, u1, v1)
+            ll = _sr2d_fast(rev, ll, hl, lh, hh, u0, v0, u1, v1)
 
         # raw transform-domain output: int64 (reversible) or float64
         # (irreversible); inverse MCT + DC level shift + rounding/clipping

@@ -114,6 +114,8 @@ def _declare(lib: ctypes.CDLL) -> None:
         ("j2k_pkt1_hdr_size", i64, [i32, i32p, i32p, i32p, i64p, i64p]),
         ("j2k_sr2d_97", i64, [f64p, i64, i64, i32, i32]),
         ("j2k_sr2d_53", i64, [i64p, i64, i64, i32, i32]),
+        ("j2k_fd2d_97", i64, [f64p, i64, i64, i32, i32]),
+        ("j2k_fd2d_53", i64, [i64p, i64, i64, i32, i32]),
         ("ck123std_encode", i64, [u16p, i32, i32, i32, i32, i32, i32,
                                   i32, i32, i32, i32, u8p, i64]),
         ("ck123std_info", i64, [u8p, i64, i32p]),
