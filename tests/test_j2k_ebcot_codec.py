@@ -183,3 +183,58 @@ def test_single_point_honest_reps_reexecute(cube):
     # fresh measurement (can't assert inequality on wall times robustly,
     # but the cache must hold no finished point)
     assert not any(k[0] == "j2c_single" for k in cache)
+
+
+def test_ladder_t_dec_is_real_decode_and_model_matches(cube):
+    """Directive: canonical t_dec_s comes from ONE real stream decode per
+    (tile, rate) (reference j2k_wrap.py:102-105); re-executions
+    reconstruct via the truncated-decode model. Pin that (a) the first
+    execution's recon IS the decoded stream, (b) a re-execution's
+    model recon equals it bit-for-bit, and (c) the re-execution
+    re-reports the real-decode wall with its model wall in extras."""
+    from tpukit.io.jp2 import JP2Decoder
+
+    codec = create("j2k", entropy="ebcot")
+    cache = {}
+    specs = [RateSpec.of("quality", 10), RateSpec.of("quality", 40)]
+    first = codec.sweep_rates(cube, "uint16", specs, keep_bitstream=True,
+                              device_plan_cache=cache)
+    again = codec.sweep_rates(cube, "uint16", specs, keep_bitstream=True,
+                              device_plan_cache=cache)
+    info = np.iinfo(cube.dtype)
+    for a, b in zip(first, again):
+        # (a) first recon == decode of the emitted streams
+        for bi in range(cube.shape[0]):
+            dec = JP2Decoder(a.bitstreams[f"b{bi+1:02d}.j2c"]) \
+                .decode_component(0, 0, 0)
+            np.testing.assert_array_equal(
+                np.asarray(a.recon)[bi],
+                np.clip(dec, info.min, info.max).astype(cube.dtype))
+        # (b) model recon (second execution) == decoded recon
+        np.testing.assert_array_equal(np.asarray(a.recon),
+                                      np.asarray(b.recon))
+        # (c) decode-wall re-reported; model wall carried alongside
+        assert b.t_dec_s == a.t_dec_s
+        assert "t_dec_model_s" not in a.extras
+        assert b.extras.get("t_dec_model_s", 0) > 0
+        assert a.bitstreams == b.bitstreams
+
+
+def test_plan_cache_rejects_different_cube_content(cube, rng):
+    """The plan-cache keys carry a content token: reusing one
+    device_plan_cache dict across different same-shape cubes must not
+    serve the first cube's streams (advisor r4)."""
+    codec = create("j2k", entropy="ebcot")
+    cache = {}
+    a = codec.run(cube, "uint16", RateSpec.of("quality", 40),
+                  keep_bitstream=True, device_plan_cache=cache)
+    other = np.ascontiguousarray(cube[:, ::-1, ::-1])
+    b = codec.run(other, "uint16", RateSpec.of("quality", 40),
+                  keep_bitstream=True, device_plan_cache=cache)
+    assert a.bitstreams != b.bitstreams
+    from tpukit.io.jp2 import JP2Decoder
+    info = np.iinfo(other.dtype)
+    dec = JP2Decoder(b.bitstreams["b01.j2c"]).decode_component(0, 0, 0)
+    np.testing.assert_array_equal(
+        np.asarray(b.recon)[0],
+        np.clip(dec, info.min, info.max).astype(other.dtype))

@@ -196,9 +196,13 @@ def test_honest_reps_reexecute_per_rep(tmp_path, rng):
         by_rate.setdefault(r["rate_value"], []).append(r)
     for rate, rr in by_rate.items():
         assert len(rr) == 3
-        tdec = [r["t_dec_s"] for r in rr]
-        # three independent perf_counter spans never collide exactly
-        assert len(set(tdec)) > 1, f"rate {rate}: re-reported times {tdec}"
+        tcomp = [r["t_comp_s"] for r in rr]
+        # three independent truncation spans never collide exactly
+        assert len(set(tcomp)) > 1, f"rate {rate}: re-reported {tcomp}"
+        # t_dec_s is the point's ONE real stream decode (reference
+        # j2k_wrap.py:102-105 semantics, measured once per (tile, rate))
+        # — identical across reps by design
+        assert len({r["t_dec_s"] for r in rr}) == 1
         # deterministic content: metrics and sizes identical across reps
         assert len({r["bitstream_bytes"] for r in rr}) == 1
         assert len({r["psnr_global"] for r in rr}) == 1
@@ -218,6 +222,7 @@ def test_honest_reps_reexecute_per_rep(tmp_path, rng):
     for rate, rr in by_rate_d.items():
         assert len({r["t_dec_s"] for r in rr}) == 1
         assert len({r["t_comp_s"] for r in rr}) == 1
+        assert len({r["bitstream_bytes"] for r in rr}) == 1
     # both modes agree on every deterministic output
     for rh, rd in zip(rows, rows_d):
         assert rh["bitstream_bytes"] == rd["bitstream_bytes"]

@@ -138,6 +138,7 @@ class CCSDS121Codec(Codec):
                         plan_cache[fkey] = flat
 
                 t0 = time.perf_counter()
+                ck = None
                 with mem_phase("comp"):
                     plan = None
                     # the device model supports 8 < bits <= 16; other
@@ -206,6 +207,19 @@ class CCSDS121Codec(Codec):
                 if keep_bitstream:
                     streams[f"t_x{x0:05d}_y{y0:05d}.aec"] = bs
 
+                if plan is None and plan_cache is not None and ck is not None:
+                    # the background plan may have landed while the serial
+                    # encoder ran (cold-channel fallback): the bytes are
+                    # identical either way, so the decoder can still take
+                    # the parallel path — halves the first-rep penalty of
+                    # a degraded first program load
+                    fut = plan_cache.get(("ck121_planfut", ck))
+                    if fut is not None and fut.done():
+                        try:
+                            plan = fut.result(timeout=0)
+                            plan_cache[ck] = plan
+                        except Exception:
+                            plan = None
                 t0 = time.perf_counter()
                 with mem_phase("dec"):
                     if plan is not None:

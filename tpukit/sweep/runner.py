@@ -988,6 +988,24 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
                 if _timing:
                     log(f"[TIMING] {tile_id}: codec {_t2-_t1:.2f}s device "
                         f"{_t3-_t2:.2f}s artifacts {_t4-_t3:.2f}s")
+                # phase-breakdown hook (bench/SCALING): append one JSON
+                # line per tile. codec_s = host codec phase (C++ coding,
+                # truncation, stream decode); device_s = device metric/
+                # quicklook ladders INCLUDING the un-overlapped part of
+                # their transfers; artifacts_s = host artifact IO.
+                pj = os.environ.get("TPUKIT_PHASE_JSON")
+                if pj:
+                    import json as _json
+                    try:
+                        with open(pj, "a") as f:
+                            f.write(_json.dumps(
+                                {"tile": tile_id,
+                                 "codec_s": round(_t2 - _t1, 3),
+                                 "device_s": round(_t3 - _t2, 3),
+                                 "artifacts_s": round(_t4 - _t3, 3)})
+                                + "\n")
+                    except OSError:
+                        pass
                 # rows in canonical (rate outer, rep inner) order
                 item_rows: List[dict] = []
                 for ri, r in enumerate(rates):
