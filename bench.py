@@ -14,11 +14,22 @@ TPU chip):
     --reps 3 --preproc none --nbit 16 --interleave bip --tile 512` on a
     512²×180-band 14-in-16 tile (reference README.md:114-129)
 
+REP SEMANTICS: the headline measures HONEST reps — the runner's default,
+matching the reference's workload definition (run_codec.py:472-475):
+every rep re-executes its codec rate points and its own metric lanes, so
+per-rep timings are independent measurements (J2K's tier-1 analysis and
+priced targets amortize across reps, the sweep-wide convention; t_dec_s
+is one real stream decode per (tile, rate), j2k_wrap.py:102-105). The
+opt-in `--dedupe-reps` wall is measured once afterwards and reported
+separately, clearly labeled, in the detail.
+
 Both run in-process through the same `run_codec_main` entry the CLI uses.
 Three iterations per command into fresh outdirs; min is reported (the
 first iteration absorbs XLA compiles — persisted in .jax_cache across
 runs — and the per-process transfer-channel stall; the min over the two
 warm iterations resists noise from the shared single-core bench host).
+A per-tile codec/device/artifacts phase breakdown of the best warm
+iteration rides in the detail (TPUKIT_PHASE_JSON hook).
 
 `vs_baseline` keeps round-1's definition for continuity: the Case B anchor
 flow (encode + decode + verify + full metrics) against the
@@ -198,7 +209,59 @@ def main():
     if not ok and jax.default_backend() != "cpu":
         _fallback_to_cpu("transfer-channel warmup never completed")
 
+    # UNTIMED program warmup: load/ship the first-use device executables
+    # the canonical sweeps will run — environment setup (compile-cache
+    # load + executable ship over the tunnel), not sweep work, exactly
+    # like the transfer-channel settle above. Covers (a) the ccsds121
+    # device encode-plan programs on the real chunk shapes, so iteration
+    # 0's first rep takes the parallel path instead of the serial
+    # cold-channel fallback, and (b) the metric/quicklook ladder
+    # programs at the honest-rep lane-chunk shapes.
+    t0 = time.perf_counter()
+    try:
+        flat_w = np.ascontiguousarray(
+            np.moveaxis(cubeB.view(np.uint16), 0, -1)).ravel()
+        ck_dev.encode_plan(jnp.asarray(flat_w), chunk=1 << 22)
+        from tpukit.metrics.quality import quality_stats_ladder
+        from tpukit.metrics.spectral import spectral_stats_ladder
+        from tpukit.sweep.runner import _metric_chunk, _ql_ladder_fn
+        from tpukit.viz.quicklooks import err8_lut
+        lutd = jnp.asarray(np.stack([err8_lut(255)]))
+        ql_fn = _ql_ladder_fn()
+        warm_out = []
+        # case A honest ladder: 14 rates x 3 reps = 42 lanes in chunks
+        refA = jnp.zeros((4, 1024, 1024), jnp.uint16)
+        vmA = jnp.ones((1024, 1024), bool)
+        chunk = _metric_chunk(4, 1024, 1024)
+        lanes = 42
+        for k in sorted({min(chunk, lanes - c0)
+                         for c0 in range(0, lanes, chunk)}):
+            st = jnp.zeros((k, 4, 1024, 1024), jnp.uint16)
+            warm_out.append(quality_stats_ladder(
+                refA, st, vmA, np.float32(0.0), False))
+            warm_out.append(ql_fn(refA, st, vmA, np.float32(0.0), lutd,
+                                  False))
+        # case B: chunked at 1 lane; quality + spectral + quicklook.
+        # The lossless lanes resolve to the uploaded ref and ride the
+        # runner's jitted lane stacker — warm that same program.
+        from tpukit.sweep.runner import _stack_lanes_jit
+        refB = jnp.asarray(cubeB)
+        vmB = jnp.ones((size, size), bool)
+        stB = _stack_lanes_jit(jax, jnp)(refB)
+        warm_out.append(quality_stats_ladder(refB, stB, vmB,
+                                             np.float32(0.0), False))
+        warm_out.append(spectral_stats_ladder(refB, stB, vmB))
+        warm_out.append(ql_fn(refB, stB, vmB, np.float32(0.0), lutd,
+                              False))
+        jax.block_until_ready(warm_out)
+        del warm_out, refA, refB, stB
+    except Exception as e:
+        log(f"[WARN] program warmup failed (continuing): {e}")
+    program_warmup_s = time.perf_counter() - t0
+    log(f"program warmup: {program_warmup_s:.1f}s (untimed)")
+
     tA, tB = [], []
+    phases = {"caseA": [], "caseB": []}
     # iteration 0 absorbs the XLA compile-cache loads; two further warm
     # iterations resist host-side noise (the bench box is a shared
     # single-core machine) via the min
@@ -206,21 +269,58 @@ def main():
         for name, fn, acc in (("caseA", run_caseA, tA),
                               ("caseB", run_caseB, tB)):
             outdir = work / f"runs_{name}_{it}"
+            pj = work / f"phase_{name}_{it}.jsonl"
+            os.environ["TPUKIT_PHASE_JSON"] = str(pj)
             t0 = time.perf_counter()
             fn(outdir)
             dt = time.perf_counter() - t0
+            os.environ.pop("TPUKIT_PHASE_JSON", None)
             acc.append(dt)
-            log(f"[{name} iter {it}] {dt:.1f}s")
+            ph = {"codec_s": 0.0, "device_s": 0.0, "artifacts_s": 0.0}
+            try:
+                for line in pj.read_text().splitlines():
+                    row = json.loads(line)
+                    for k in ph:
+                        ph[k] += row.get(k, 0.0)
+                ph = {k: round(v, 2) for k, v in ph.items()}
+            except OSError:
+                ph = None
+            phases[name].append(ph)
+            log(f"[{name} iter {it}] {dt:.1f}s  phases {ph}")
             if it < 2:
                 shutil.rmtree(outdir, ignore_errors=True)
     t_caseA, t_caseB = min(tA), min(tB)
     med = lambda v: float(np.median(v))
     t_total = t_caseA + t_caseB
     t_total_median = med(tA) + med(tB)
-    log(f"canonical wall: caseA {t_caseA:.1f}s + caseB {t_caseB:.1f}s "
-        f"= {t_total:.1f}s min / {t_total_median:.1f}s median "
-        f"(north-star < 60s; iters A={['%.1f' % t for t in tA]} "
+    log(f"canonical wall (honest reps): caseA {t_caseA:.1f}s + caseB "
+        f"{t_caseB:.1f}s = {t_total:.1f}s min / {t_total_median:.1f}s "
+        f"median (north-star < 60s; iters A={['%.1f' % t for t in tA]} "
         f"B={['%.1f' % t for t in tB]})")
+    # phase breakdown of the best warm iteration per case (for SCALING)
+    phase_best = {name: phases[name][1 + int(np.argmin(vals[1:]))]
+                  for name, vals in (("caseA", tA), ("caseB", tB))}
+
+    # the opt-in deduped-reps wall, measured warm and clearly labeled —
+    # NOT the headline (it executes ~1 rep of codec+metric work)
+    tded = {}
+    for name, base_args in (("caseA", [
+            "--indices", str(idxA), "--codec", "j2k",
+            "--rate-key", "quality", "--rates", *rates,
+            "--reps", "3", "--keep-bitstream"]), ("caseB", [
+            "--indices", str(idxB), "--codec", "ccsds121",
+            "--rate-key", "none", "--reps", "3",
+            "--preproc", "none", "--nbit", "16", "--interleave", "bip",
+            "--tile", "512"])):
+        outdir = work / f"runs_{name}_dedupe"
+        t0 = time.perf_counter()
+        run_codec_main(base_args + ["--outdir", str(outdir),
+                                    "--dedupe-reps"])
+        tded[name] = time.perf_counter() - t0
+        shutil.rmtree(outdir, ignore_errors=True)
+    t_dedupe = tded["caseA"] + tded["caseB"]
+    log(f"deduped-reps wall (opt-in, ~1 rep of codec+metric work): "
+        f"{t_dedupe:.1f}s")
     # regression gate: the warm sum must beat the north-star LOUDLY (min
     # over the two warm iterations — iteration 0 additionally absorbs the
     # per-process executable loads). Asserted at the very END of main so
@@ -307,13 +407,20 @@ def main():
     print(json.dumps({
         "metric": "canonical_sweeps_wall_s",
         "value": round(t_total, 2),
-        "unit": "s (caseA j2k 14pt x2 tiles x3 reps + caseB ccsds121 "
-                "anchor x3 reps, canonical run-codec CLI, artifacts on)",
+        "unit": "s (caseA j2k 14pt x2 tiles x3 HONEST reps + caseB "
+                "ccsds121 anchor x3 HONEST reps, canonical run-codec "
+                "CLI, artifacts on)",
         "vs_baseline": round(speedup, 2) if speedup else None,
         "detail": {
             "backend": jax.default_backend(),
             "north_star_s": 60,
             "north_star_met": bool(t_total < 60),
+            "rep_semantics": "honest (every rep re-executes codec "
+                             "points + its own metric lanes; reference "
+                             "run_codec.py:472-475 workload)",
+            "t_dedupe_reps_wall_s": round(t_dedupe, 2),
+            "phase_breakdown_warm": phase_best,
+            "program_warmup_s": round(program_warmup_s, 1),
             "t_caseA_canonical_s": round(t_caseA, 2),
             "t_caseB_canonical_s": round(t_caseB, 2),
             "t_total_median_s": round(t_total_median, 2),

@@ -41,9 +41,9 @@ _ALLOWED = {
 _BOUNDED = {"convert_element_type": 1, "broadcast_in_dim": 1}
 
 
-def _run_and_collect(body: str, extra_env: dict = None) -> dict:
+def _run_and_collect(body: str, extra_env: dict = None):
     """Run a sweep snippet in a subprocess with jax_log_compiles and
-    return {program_name: count}."""
+    return ({program_name: count}, warm_probe_ran)."""
     script = textwrap.dedent("""
         import os, sys, tempfile
         from pathlib import Path
@@ -61,6 +61,7 @@ def _run_and_collect(body: str, extra_env: dict = None) -> dict:
     """ % str(Path(__file__).resolve().parent.parent)) + textwrap.dedent(body)
     env = dict(__import__("os").environ)
     env["TPUKIT_JAX_CACHE"] = "0"
+    env["TPUKIT_TRACE_WARM"] = "1"
     env.update(extra_env or {})
     r = subprocess.run([sys.executable, "-c", script], env=env,
                        capture_output=True, text=True, timeout=560)
@@ -69,22 +70,27 @@ def _run_and_collect(body: str, extra_env: dict = None) -> dict:
     for m in re.finditer(r"Compiling jit\(([^)]+)\)", r.stderr):
         counts[m.group(1)] = counts.get(m.group(1), 0) + 1
     assert counts, "no compile logs captured — log plumbing broke"
-    return counts
+    return counts, "[tpukit] warm-probe-done" in r.stderr
 
 
-def _check_budget(counts: dict):
+def _check_budget(counts: dict, probe_ran: bool = True):
     stray = {k: v for k, v in counts.items()
              if k not in _ALLOWED and k not in _BOUNDED}
     assert not stray, f"unbudgeted eager programs compiled: {stray}"
+    # the mini-op allowance exists ONLY for the warm probe: when the
+    # probe did not run (or its marker is gone), any convert/broadcast
+    # is a leak in the sweep path, not the probe (advisor r4)
+    bounded = _BOUNDED if probe_ran else {k: 0 for k in _BOUNDED}
     over = {k: v for k, v in counts.items()
-            if k in _BOUNDED and v > _BOUNDED[k]}
+            if k in bounded and v > bounded[k]}
     assert not over, (
-        f"mini-op programs beyond the warm-probe budget {_BOUNDED}: "
-        f"{over} — an eager convert/broadcast leaked into the sweep path")
+        f"mini-op programs beyond the warm-probe budget {bounded} "
+        f"(probe_ran={probe_ran}): {over} — an eager convert/broadcast "
+        f"leaked into the sweep path")
 
 
 def test_casea_j2k_program_budget():
-    counts = _run_and_collect("""
+    counts, probe_ran = _run_and_collect("""
         gy, gx = np.mgrid[0:64, 0:64]
         t = (((40 + 3 * gy + 2 * gx) % 4096).astype(np.uint16) << 4)
         p = work / "t.tif"
@@ -98,11 +104,11 @@ def test_casea_j2k_program_budget():
                         "--reps", "2", "--outdir", str(work / "r"),
                         "--keep-bitstream"])
     """)
-    _check_budget(counts)
+    _check_budget(counts, probe_ran)
 
 
 def test_caseb_ccsds121_program_budget():
-    counts = _run_and_collect("""
+    counts, probe_ran = _run_and_collect("""
         from tpukit.codecs.registry import create
         from tpukit.sweep.runner import SweepConfig, run_sweep
         base = rng.integers(200, 1800, (64, 64)).astype(np.int32)
@@ -125,7 +131,7 @@ def test_caseb_ccsds121_program_budget():
                               codec_label="ccsds121", outdir=work / "r",
                               rate_key="none", reps=2))
     """)
-    _check_budget(counts)
+    _check_budget(counts, probe_ran)
     # the device-plan path actually engaged (chunked program + batched
     # table fetch), so the budget covers the canonical program set
     assert "_flat" in counts and "_stack_tables" in counts
@@ -138,7 +144,7 @@ def test_mesh_program_budget():
     compile the same named-program set as the single-device path — its
     per-device context building and lane staging go through device_put,
     never eager ops."""
-    counts = _run_and_collect("""
+    counts, probe_ran = _run_and_collect("""
         gy, gx = np.mgrid[0:64, 0:64]
         t = (((40 + 3 * gy + 2 * gx) % 4096).astype(np.uint16) << 4)
         p = work / "t.tif"
@@ -152,4 +158,4 @@ def test_mesh_program_budget():
                         "--reps", "1", "--outdir", str(work / "r"),
                         "--keep-bitstream", "--mesh", "2"])
     """, extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=4"})
-    _check_budget(counts)
+    _check_budget(counts, probe_ran)

@@ -328,3 +328,33 @@ def test_single_csv_override(tmp_path, caseb_setup):
     assert target.exists()
     assert (target.parent / "metrics_mean.csv").exists()
     assert not (tmp_path / "runs_sc" / "metrics.csv").exists()
+
+
+def test_hbm_columns_present(tmp_path, caseb_setup, monkeypatch):
+    """Device-memory observability: hbm_peak_mb/bytes columns ride at the
+    end of metrics.csv (empty when the backend exposes no stats, filled
+    from device.memory_stats() when it does — here stubbed, since the
+    test suite pins the CPU backend)."""
+    from tpukit.sweep import runner as runner_mod
+
+    monkeypatch.setattr(runner_mod, "hbm_peak_bytes",
+                        lambda: 123 * (1 << 20))
+    idx, tiles = caseb_setup
+    cfg = SweepConfig(
+        indices=idx,
+        codec=create("ccsds121", tile=32, interleave="bip", preproc="none"),
+        codec_label="ccsds121_ext", outdir=tmp_path / "hbm",
+        rate_key="none", reps=1, quicklooks=False)
+    res = run_sweep(cfg)
+    with res["metrics_csv"].open() as f:
+        r = csv.reader(f, delimiter=";")
+        header = next(r)
+        first = next(r)
+    # last base columns, before the per-band expansion
+    assert header[len(csvio.BASE_COLS) - 2:len(csvio.BASE_COLS)] == \
+        ["hbm_peak_mb", "hbm_peak_bytes"]
+    row = dict(zip(header, first))
+    assert row["hbm_peak_mb"] == "123"
+    assert row["hbm_peak_bytes"] == str(123 * (1 << 20))
+    for v in res["rows"]:
+        assert v["hbm_peak_bytes"] == 123 * (1 << 20)

@@ -97,9 +97,14 @@ struct MQEnc {
     // below 0x8000 here, so the per-bit loop shifts exactly
     // clz32(a)-16 times, with a byteout each time the shift counter
     // crosses ct. Splitting the batch at the byteout boundaries performs
-    // the identical shift/byteout sequence (c stays within the same
-    // 32-bit envelope as the per-bit loop: at most ct<=8 shifts happen
-    // between byteouts either way), so the emitted bytes are unchanged.
+    // the identical shift/byteout sequence, so the emitted bytes are
+    // unchanged. 32-bit envelope: between byteouts at most ct shifts
+    // happen in either formulation — ct <= 8 after any byteout, and up
+    // to 12 in the initial window after INITENC (ct starts at 12
+    // there). Both windows keep C < 2^28 before its byteout, exactly as
+    // the per-bit loop does: the batched form shifts by the same total
+    // with byteouts at the same points, so it inherits the per-bit
+    // loop's C-register bound rather than needing a separate one.
     void renorm() {
         int n = __builtin_clz(a) - 16;
         while (n >= ct) {

@@ -33,6 +33,11 @@ BASE_COLS = [
     "t_comp_s", "t_dec_s", "t_wrap_s", "mem_comp_peak_mb", "mem_dec_peak_mb",
     "link_mbps", "link_eff", "t_link_tile_s", "t_e2e_tile_s",
     "mem_comp_peak_bytes", "mem_dec_peak_bytes",
+    # device-memory observability (TPU-native analog of the reference's
+    # peak-RAM axis, proc_metrics.py:93-106): accelerator HBM peak at
+    # the end of the tile's device pass, from device.memory_stats().
+    # Empty on backends that expose no stats (e.g. CPU).
+    "hbm_peak_mb", "hbm_peak_bytes",
 ]
 
 MAX_BAND_COLS = 64  # per-band columns emitted up to 63 bands (ref :581)

@@ -690,17 +690,23 @@ def sweep_item_streaming(cfg, ds: tiff.Dataset, item: dict, rates: List,
                         "lmse": float("nan")})
         lane_met[key] = met
 
+    from tpukit.sweep.runner import hbm_peak_bytes
+    hbm = hbm_peak_bytes()
     rows_out: List[dict] = []
     for ri, r in enumerate(rates):
         for rep in range(cfg.reps):
             job = jobs[(ri, rep)]
-            rows_out.append(build_csv_row(
+            row = build_csv_row(
                 case_name=case_name, asset_name=asset_name,
                 codec_label=cfg.codec_label, rk=rk, r=r, tile_id=tile_id,
                 W=W, H=H, B=B, container_bytes=container_bytes,
                 raw16_bytes=raw16_bytes, link=link, t_wrap=job["t_wrap"],
                 meta=job["meta"], bs_bytes=job["bs_bytes"],
-                met=lane_met[job["lane"]]))
+                met=lane_met[job["lane"]])
+            if hbm:
+                row["hbm_peak_bytes"] = hbm
+                row["hbm_peak_mb"] = round(hbm / (1 << 20), 2)
+            rows_out.append(row)
     return rows_out
 
 
