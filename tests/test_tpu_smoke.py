@@ -144,3 +144,119 @@ def test_smoke_metric_pass(dev, cube16):
               "ssim_band_avg"):
         assert m_tpu[k] == pytest.approx(m_cpu[k], rel=1e-4), k
     assert m_tpu["max_abs_err"] == m_cpu["max_abs_err"]
+
+
+def test_smoke_j2k_ebcot_pricing(dev, cube16):
+    """The ebcot quality->byte-target pricing program (light size model:
+    device DWT + ladder sizes) runs on the real chip and agrees with the
+    CPU platform within f32-quantizer tolerance. (The canonical sweep
+    deliberately prices on the LOCAL CPU for topology-invariant budgets;
+    this pins that the program itself is healthy on the accelerator.)"""
+    import jax.numpy as jnp
+    from tpukit.codecs import j2k_codec as jc
+    from tpukit.kernels import dwt as dwtk
+    from tpukit.codecs import wavelet_common as wc
+
+    B, H, W = cube16.shape
+    m = 1 << jc.LEVELS
+    Hp, Wp = H + (-H) % m, W + (-W) % m
+    order = wc.scan_order(Hp, Wp, jc.LEVELS)
+    segb = wc.subband_seg_bounds(Hp, Wp, jc.LEVELS)
+    peak = float(np.abs(cube16.astype(np.float64)).max())
+    scale_host = jc._subband_steps(Hp, Wp, 1.0)
+    inv_perm = (np.float32(1.0) / scale_host).ravel()[np.asarray(order)]
+    bases = np.array([jc.base_step_for_quality(q, peak)
+                      for q in (10, 40, 80)], np.float32)
+
+    def price(device):
+        with jax.default_device(device):
+            wf = jax.device_put(
+                np.pad(cube16.astype(np.float32),
+                       ((0, 0), (0, Hp - H), (0, Wp - W)), mode="edge"),
+                device)
+            coefs = dwtk.dwt2(wf, "97", jc.LEVELS)
+            return np.asarray(jc._device_ladder_sizes(
+                coefs, jnp.asarray(order), jnp.asarray(inv_perm),
+                jnp.asarray(np.float32(1.0) / bases), segbounds=segb,
+                light=True))
+
+    s_cpu = price(jax.devices("cpu")[0])
+    s_tpu = price(dev)
+    assert s_cpu.shape == s_tpu.shape
+    np.testing.assert_allclose(s_tpu.sum(axis=-1), s_cpu.sum(axis=-1),
+                               rtol=5e-3)
+
+
+def test_smoke_jpegls_band(dev, cube16):
+    """One JPEG-LS run under the accelerator default device: the coder is
+    host C++ (CharLS byte-compatible), so streams and recon must be
+    EXACTLY equal to the CPU-platform run — pins that an
+    accelerator-attached process drives the jpegls path unperturbed."""
+    specs = [RateSpec.none()]
+    r_cpu = _run(create("jpegls"), cube16[:1], specs,
+                 jax.devices("cpu")[0], keep_bitstream=True)[0]
+    r_tpu = _run(create("jpegls"), cube16[:1], specs, dev,
+                 keep_bitstream=True)[0]
+    assert r_cpu.bitstream_bytes == r_tpu.bitstream_bytes
+    for k in r_cpu.bitstreams:
+        assert r_cpu.bitstreams[k] == r_tpu.bitstreams[k], k
+    np.testing.assert_array_equal(np.asarray(r_cpu.recon),
+                                  np.asarray(r_tpu.recon))
+
+
+def test_smoke_ccsds123_tile(dev):
+    """CCSDS-123 on a small hyperspectral tile, both predictors: the ls
+    predictor's device programs (band scan + residual coding) must be
+    byte-identical across platforms (integer); the standard predictor is
+    host C++ and must be unperturbed."""
+    rng = np.random.default_rng(5)
+    base = rng.integers(300, 1500, (40, 40)).astype(np.int32)
+    cube = (base[None] + rng.integers(-20, 20, (20, 40, 40))) \
+        .astype(np.int16)
+    cube = ((cube.view(np.uint16) >> 2) << 2).view(np.int16)
+    for pred in ("ls", "standard"):
+        codec_args = {"predictor": pred}
+        r_cpu = None
+        for device, acc in ((jax.devices("cpu")[0], "cpu"), (dev, "tpu")):
+            with jax.default_device(device):
+                r = create("ccsds123", **codec_args).run(
+                    cube, "int16", RateSpec.none(), keep_bitstream=True)
+            if r_cpu is None:
+                r_cpu = r
+                continue
+            assert r.bitstream_bytes == r_cpu.bitstream_bytes, pred
+            for k in r_cpu.bitstreams:
+                assert r.bitstreams[k] == r_cpu.bitstreams[k], (pred, k)
+            np.testing.assert_array_equal(np.asarray(r.recon),
+                                          np.asarray(r_cpu.recon),
+                                          err_msg=pred)
+
+
+def test_smoke_mesh_metric_ladder(dev, cube16, tmp_path):
+    """One canonical run-codec sweep with --mesh 1 on the real chip: the
+    mesh metric-ladder dispatch must produce the same metric rows as the
+    CPU run (integer codec; f32 metrics within tolerance)."""
+    from tpukit.cli.main import run_codec_main
+    from tpukit.io import tiff, write_manifest
+    from tpukit.sweep import csvio
+
+    p = tmp_path / "t.tif"
+    tiff.write_geotiff(p, cube16, blockxsize=128, blockysize=128)
+    idx = tmp_path / "i.json"
+    write_manifest(idx, "caseA", "tile_256",
+                   [{"tile_id": "T", "path": p}])
+
+    outs = {}
+    for tag, device in (("cpu", jax.devices("cpu")[0]), ("tpu", dev)):
+        with jax.default_device(device):
+            run_codec_main([
+                "--indices", str(idx), "--codec", "ccsds121",
+                "--rate-key", "none", "--reps", "1", "--preproc", "none",
+                "--nbit", "16", "--mesh", "1",
+                "--outdir", str(tmp_path / f"o_{tag}")])
+        outs[tag] = csvio.read_csv_smart(tmp_path / f"o_{tag}"
+                                         / "metrics.csv")
+    a, b = outs["cpu"], outs["tpu"]
+    assert int(a["bitstream_bytes"][0]) == int(b["bitstream_bytes"][0])
+    assert int(a["lossless"][0]) == int(b["lossless"][0]) == 1
+    assert float(a["max_abs_err"][0]) == float(b["max_abs_err"][0]) == 0

@@ -1071,8 +1071,8 @@ class J2CPlan:
             return cache
         shape = (band.y1 - band.y0, band.x1 - band.x0)
         sig = np.full(shape, -1, np.int32)
-        mag = np.zeros(shape, np.int64)
-        sgn = np.zeros(shape, np.int64)
+        mag = np.zeros(shape, np.int32)     # |coef| of int32 tier-1 input
+        sgn = np.zeros(shape, np.int8)
         regions = []
         xcb, ycb = rinfo.xcb, rinfo.ycb
         for n in range(len(band.blocks)):
@@ -1091,13 +1091,13 @@ class J2CPlan:
             if s is None:
                 s = band.sigplans[n] = t1_sig_plan(coefs)
             sig[sl] = s
-            c64 = coefs.astype(np.int64)
-            mag[sl] = np.abs(c64)
-            sgn[sl] = np.sign(c64)
+            mag[sl] = np.abs(coefs)
+            sgn[sl] = np.sign(coefs).astype(np.int8)
         # MSB plane per coefficient (exact: frexp exponent)
-        p0 = np.zeros(shape, np.int64)
+        p0 = np.zeros(shape, np.int8)
         nz = mag > 0
-        p0[nz] = np.frexp(mag[nz].astype(np.float64))[1] - 1
+        p0[nz] = (np.frexp(mag[nz].astype(np.float64))[1] - 1) \
+            .astype(np.int8)
         band._rc = (sig, mag, sgn, p0, regions)
         return band._rc
 
@@ -1109,8 +1109,8 @@ class J2CPlan:
             return arr
         sig, mag, sgn, p0, regions = self._band_recon_cache(rinfo, band)
         # per-block truncation scalars broadcast to full-band maps
-        Km = np.zeros(shape, np.int64)
-        ql = np.zeros(shape, np.int64)
+        Km = np.zeros(shape, np.int32)
+        ql = np.zeros(shape, np.int32)
         any_inc = False
         for n, pick in enumerate(picks):
             blk = band.blocks[n]
@@ -1124,17 +1124,39 @@ class J2CPlan:
             ql[regions[n]] = max(blk.numbps - 2 - ((K - 3) // 3), 0)
         if not any_inc:
             return arr
+        # fused native pass (j2k_band_recon) — same closed forms as the
+        # numpy expressions below, which stay as the oracle fallback
+        try:
+            lib = native.load()
+        except Exception:
+            lib = None
+        if lib is not None:
+            r = lib.j2k_band_recon(
+                sig.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                mag.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                sgn.ctypes.data_as(ct.POINTER(ct.c_int8)),
+                p0.ctypes.data_as(ct.POINTER(ct.c_int8)),
+                Km.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                ql.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                arr.size, float(band.step), 1 if rev else 0,
+                arr.ctypes.data_as(ct.c_void_p))
+            if r == 0:
+                return arr
         alive = (sig >= 0) & (sig < Km)
-        lastp = np.minimum(p0, ql)
-        mag_dec = np.where(alive, mag & ~((np.int64(1) << lastp) - 1), 0)
+        lastp = np.minimum(p0, ql).astype(np.int64)
+        mag_dec = np.where(alive,
+                           mag.astype(np.int64)
+                           & ~((np.int64(1) << lastp) - 1), 0)
         if rev:
             half = np.where(lastp >= 1,
                             (np.int64(1) << np.maximum(lastp, 1)) >> 1,
                             0)
-            return np.where(mag_dec > 0, sgn * (mag_dec + half), 0)
+            return np.where(mag_dec > 0,
+                            sgn.astype(np.int64) * (mag_dec + half), 0)
         half = 0.5 * np.exp2(lastp.astype(np.float64))
         return np.where(mag_dec > 0,
-                        sgn * (mag_dec + half) * band.step, 0.0)
+                        sgn.astype(np.float64) * (mag_dec + half)
+                        * band.step, 0.0)
 
     def truncated_recon(self, sel: List[List[Optional[int]]]) -> np.ndarray:
         """Reconstruct EXACTLY what tpukit's JP2 decoder returns for

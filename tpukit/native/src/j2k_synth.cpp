@@ -293,3 +293,59 @@ extern "C" int64_t j2k_fd2d_53(int64_t* a, int64_t h, int64_t w,
     }
     return 0;
 }
+
+// Truncated-decode model band reconstruction (J2CPlan._band_recon hot
+// path): one fused pass over the band instead of ~10 numpy temporaries.
+// Per coefficient (same closed forms as the numpy reference, which the
+// parity tests keep as oracle):
+//   alive   = 0 <= sig < K          (became significant before the cut)
+//   lastp   = min(p0, ql)           (last decoded magnitude plane)
+//   mag_dec = alive ? mag & ~((1<<lastp)-1) : 0
+//   rev:   out = sgn * (mag_dec + (lastp>=1 ? 1<<(lastp-1) : 0))
+//   irrev: out = sgn * (mag_dec + 0.5*2^lastp) * step   (float64)
+// K and ql ride as per-coefficient int32 maps (the caller broadcasts its
+// per-block picks); out is int64 (rev) or float64.
+extern "C" int64_t j2k_band_recon(const int32_t* sig, const int32_t* mag,
+                                  const int8_t* sgn, const int8_t* p0,
+                                  const int32_t* km, const int32_t* ql,
+                                  int64_t n, double step, int32_t rev,
+                                  void* out) {
+    if (n < 0) return -1;
+    if (rev) {
+        int64_t* o = static_cast<int64_t*>(out);
+        for (int64_t i = 0; i < n; ++i) {
+            const int32_t K = km[i];
+            const bool alive = sig[i] >= 0 && sig[i] < K;
+            int64_t v = 0;
+            if (alive) {
+                const int lp = p0[i] < ql[i] ? p0[i] : ql[i];
+                const int64_t md =
+                    (int64_t)mag[i] & ~(((int64_t)1 << lp) - 1);
+                if (md > 0) {
+                    const int64_t half =
+                        lp >= 1 ? ((int64_t)1 << (lp - 1)) : 0;
+                    v = (int64_t)sgn[i] * (md + half);
+                }
+            }
+            o[i] = v;
+        }
+    } else {
+        double* o = static_cast<double*>(out);
+        for (int64_t i = 0; i < n; ++i) {
+            const int32_t K = km[i];
+            const bool alive = sig[i] >= 0 && sig[i] < K;
+            double v = 0.0;
+            if (alive) {
+                const int lp = p0[i] < ql[i] ? p0[i] : ql[i];
+                const int64_t md =
+                    (int64_t)mag[i] & ~(((int64_t)1 << lp) - 1);
+                if (md > 0) {
+                    const double half = 0.5 * (double)((int64_t)1 << lp);
+                    v = (double)sgn[i] * ((double)md + half) * step;
+                }
+            }
+            o[i] = v;
+        }
+    }
+    return 0;
+}

@@ -211,6 +211,28 @@ struct T1 {
         if (causal && y >= strip_y0 + 4) return 0;
         return flags[(size_t)(y + 1) * stride + (x + 1)];
     }
+
+    // OR of the flag words over rows [y0-1, y0+rows] x cols [x-1, x+1]:
+    // a superset of every 8-neighbourhood (and of every centre flag) of
+    // the column strip, used for conservative whole-strip skips — a
+    // strip whose window carries no F_SIG cannot contain an SPP-coded
+    // coefficient, and one with no centre F_SIG has nothing to refine.
+    // Conservative under vertically-causal mode too: the window only
+    // ADDS the hidden row, so it can suppress a skip, never allow a
+    // wrong one.
+    uint32_t window_or(int y0, int x, int rows) const {
+        uint32_t acc = 0;
+        const uint32_t* p = &flags[(size_t)y0 * stride + x];  // (y0-1,x-1)
+        for (int r = 0; r < rows + 2; ++r, p += stride)
+            acc |= p[0] | p[1] | p[2];
+        return acc;
+    }
+    uint32_t center_or(int y0, int x, int rows) const {
+        uint32_t acc = 0;
+        const uint32_t* p = &flags[(size_t)(y0 + 1) * stride + (x + 1)];
+        for (int r = 0; r < rows; ++r, p += stride) acc |= p[0];
+        return acc;
+    }
 };
 
 }  // namespace
@@ -293,8 +315,16 @@ extern "C" int64_t j2k_t1_decode_full(const uint8_t* data, int64_t nbytes,
         if (pass_kind == 0) {
             // significance propagation
             for (int y0 = 0; y0 < h; y0 += 4) {
+                int rows = y0 + 4 < h ? 4 : h - y0;
                 for (int x = 0; x < w; ++x) {
-                    int ymax = y0 + 4 < h ? y0 + 4 : h;
+                    // strip skip: no F_SIG anywhere in the 3-column
+                    // window => no coefficient here has a significant
+                    // neighbour, so SPP codes nothing in this strip
+                    // (bits set DURING the strip require a prior coded
+                    // coefficient, which requires a window F_SIG)
+                    if (!(t1.window_or(y0, x, rows) & F_SIG))
+                        continue;
+                    int ymax = y0 + rows;
                     for (int y = y0; y < ymax; ++y) {
                         uint32_t& f = t1.F(y, x);
                         if (f & F_SIG) continue;
@@ -328,8 +358,13 @@ extern "C" int64_t j2k_t1_decode_full(const uint8_t* data, int64_t nbytes,
         } else if (pass_kind == 1) {
             // magnitude refinement
             for (int y0 = 0; y0 < h; y0 += 4) {
+                int rows = y0 + 4 < h ? 4 : h - y0;
                 for (int x = 0; x < w; ++x) {
-                    int ymax = y0 + 4 < h ? y0 + 4 : h;
+                    // strip skip: nothing significant in the column =>
+                    // nothing to refine
+                    if (!(t1.center_or(y0, x, rows) & F_SIG))
+                        continue;
+                    int ymax = y0 + rows;
                     for (int y = y0; y < ymax; ++y) {
                         uint32_t& f = t1.F(y, x);
                         if (!(f & F_SIG) || (f & F_VISIT)) continue;
@@ -362,26 +397,38 @@ extern "C" int64_t j2k_t1_decode_full(const uint8_t* data, int64_t nbytes,
         } else {
             // cleanup (always MQ)
             for (int y0 = 0; y0 < h; y0 += 4) {
+                int rows = y0 + 4 < h ? 4 : h - y0;
                 for (int x = 0; x < w; ++x) {
                     int y = y0;
-                    int ymax = y0 + 4 < h ? y0 + 4 : h;
+                    int ymax = y0 + rows;
                     // run-length mode: full 4-strip, all insignificant,
-                    // no significant neighbors anywhere in the strip
-                    bool runable = (ymax - y0 == 4);
+                    // no significant neighbors anywhere in the strip.
+                    // Fast path: an all-clear window answers both
+                    // conditions with one OR sweep (the common case in
+                    // early planes); otherwise fall back to the exact
+                    // per-coefficient probe.
+                    bool runable = (rows == 4);
                     if (runable) {
-                        for (int yy = y0; yy < ymax && runable; ++yy) {
-                            uint32_t f = t1.F(yy, x);
-                            if (f & (F_SIG | F_VISIT)) { runable = false; break; }
-                            uint32_t fN = t1.F(yy - 1, x);
-                            uint32_t fS = t1.nbr(yy + 1, x, causal, y0);
-                            uint32_t fW = t1.F(yy, x - 1);
-                            uint32_t fE = t1.F(yy, x + 1);
-                            uint32_t fNW = t1.F(yy - 1, x - 1);
-                            uint32_t fNE = t1.F(yy - 1, x + 1);
-                            uint32_t fSW = t1.nbr(yy + 1, x - 1, causal, y0);
-                            uint32_t fSE = t1.nbr(yy + 1, x + 1, causal, y0);
-                            if ((fN | fS | fW | fE | fNW | fNE | fSW | fSE) & F_SIG)
-                                runable = false;
+                        uint32_t wn = t1.window_or(y0, x, rows);
+                        if (wn & F_SIG ||
+                            (t1.center_or(y0, x, rows) & F_VISIT)) {
+                            runable = false;
+                            for (int yy = y0; yy < ymax; ++yy) {
+                                uint32_t f = t1.F(yy, x);
+                                if (f & (F_SIG | F_VISIT)) break;
+                                uint32_t fN = t1.F(yy - 1, x);
+                                uint32_t fS = t1.nbr(yy + 1, x, causal, y0);
+                                uint32_t fW = t1.F(yy, x - 1);
+                                uint32_t fE = t1.F(yy, x + 1);
+                                uint32_t fNW = t1.F(yy - 1, x - 1);
+                                uint32_t fNE = t1.F(yy - 1, x + 1);
+                                uint32_t fSW = t1.nbr(yy + 1, x - 1, causal, y0);
+                                uint32_t fSE = t1.nbr(yy + 1, x + 1, causal, y0);
+                                if ((fN | fS | fW | fE | fNW | fNE | fSW | fSE)
+                                    & F_SIG)
+                                    break;
+                                if (yy == ymax - 1) runable = true;
+                            }
                         }
                     }
                     if (runable) {

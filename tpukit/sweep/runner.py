@@ -292,7 +292,7 @@ def _device_pass_dispatch(jax, jnp, ref_dev, vm_dev, sam_vm_dev, lanes,
                           chunk, nod_val, has_nodata, is_caseb,
                           quality_stats_ladder, spectral_stats_ladder,
                           src_valid=None, ql_caps=(), want_recon=False,
-                          ref_host=None):
+                          ref_host=None, lane_groups=None):
     """Launch the single-device ladder — metrics (+ quicklook error maps +
     recon stacks when artifacts are requested) as one vmapped launch set
     per chunk — and START the device->host copies (copy_to_host_async).
@@ -300,7 +300,15 @@ def _device_pass_dispatch(jax, jnp, ref_dev, vm_dev, sam_vm_dev, lanes,
     consumed by :func:`_device_pass_finalize`, so a caller can overlap the
     transfers with the next tile's codec phase (the reference computes
     each pair serially on host and re-reads files per rep,
-    run_codec.py:472-529)."""
+    run_codec.py:472-529).
+
+    ``lane_groups`` (optional, parallel to ``lanes``): lanes sharing a
+    group id carry byte-identical content (the same invariant the
+    hardlinked artifact replicas rely on — honest reps of a
+    deterministic codec). Each group's bytes are UPLOADED once and the
+    stack is assembled on device; the metric/quicklook programs still
+    execute once per lane, so rep metrics remain independent executions
+    — only the redundant host->device transfer is elided."""
     # nod_val is a numpy scalar; the jitted ladders device_put it at call
     # time. An eager jnp.asarray here would compile a tiny
     # convert_element_type program on the default backend — one more
@@ -325,23 +333,42 @@ def _device_pass_dispatch(jax, jnp, ref_dev, vm_dev, sam_vm_dev, lanes,
             return ref_dev
         return x
 
+    group_buf: Dict[int, object] = {}
+
+    def staged_lane(i: int):
+        x = lanes[i]
+        if lane_groups is None:
+            return lane_dev(x)
+        g = lane_groups[i]
+        buf = group_buf.get(g)
+        if buf is None:
+            buf = lane_dev(x)
+            if isinstance(buf, np.ndarray):
+                # one explicit transfer per content group; repeated
+                # lanes then reference the same device buffer
+                buf = jax.device_put(buf)
+            group_buf[g] = buf
+        return buf
+
     chunks = []
     for c0 in range(0, len(lanes), chunk):
         batch = lanes[c0:c0 + chunk]
-        staged = [lane_dev(x) for x in batch]
-        if all(isinstance(x, np.ndarray) for x in staged):
-            # all-host lanes (e.g. the canonical J2K ebcot sweep): stage
-            # the stack on host and ship it as ONE upload. An eager
-            # jnp.stack here compiles broadcast_in_dim + concatenate
-            # programs on the default backend — two more per-process
-            # first-use round trips on tunneled attachments — and
-            # uploads lane by lane.
+        staged = [staged_lane(c0 + i) for i in range(len(batch))]
+        uniq = len({id(s) for s in staged})
+        if all(isinstance(x, np.ndarray) for x in staged) \
+                and uniq == len(staged):
+            # all-host distinct lanes: stage the stack on host and ship
+            # it as ONE upload. An eager jnp.stack here compiles
+            # broadcast_in_dim + concatenate programs on the default
+            # backend — two more per-process first-use round trips on
+            # tunneled attachments — and uploads lane by lane.
             stack = jnp.asarray(np.stack(staged))
         else:
-            # device-resident lanes (ref reuse / device recons) must not
-            # round-trip through the host; one jitted program instead of
-            # eager stack's broadcast_in_dim + concatenate pair (numpy
-            # lanes are device_put by the jit itself)
+            # device-resident and/or group-shared lanes: upload each
+            # distinct buffer once (device_put inside the jit) and
+            # assemble the stack on device — duplicate-content lanes
+            # cost no extra transfer (one jitted program instead of
+            # eager stack's broadcast_in_dim + concatenate pair)
             stack = _stack_lanes_jit(jax, jnp)(*staged)
         qs = quality_stats_ladder(ref_dev, stack, vm_dev, nod, has_nodata)
         payload = {"qs": qs}
@@ -855,17 +882,26 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
             lane_of: Dict[tuple, int] = {}
             art_of: Dict[tuple, int] = {}
             lanes: List[object] = []
+            lane_groups: List[int] = []   # content group per lane
             for (ri, rep), job in sorted(jobs.items()):
                 content_key = (("reused", id(job.recon)) if job.reused
                                else ("fresh", ri))
                 key = (content_key if (cfg.dedupe_reps or job.reused)
                        else ("fresh", ri, rep))
+                job.art_index = art_of.setdefault(content_key,
+                                                  len(art_of))
                 if key not in lane_of:
                     lane_of[key] = len(lanes)
                     lanes.append(job.recon)
+                    lane_groups.append(job.art_index)
                 job.met_index = lane_of[key]
-                job.art_index = art_of.setdefault(content_key,
-                                                  len(art_of))
+            # honest reps of a deterministic codec: lanes within a
+            # content group are byte-identical (the hardlinked-artifact
+            # invariant) — the device pass uploads each group's bytes
+            # once while still executing every lane's metric programs
+            share_groups = (lane_groups
+                            if len(set(lane_groups)) < len(lanes)
+                            else None)
 
             _t2 = _time.perf_counter()
             # ---- phase 2: device ladder — metrics + quicklook error maps +
@@ -908,6 +944,7 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
                 if cfg.write_artifacts:
                     lane_art = []
                 per_dev: Dict[object, dict] = {}
+                group_rec: Dict[tuple, object] = {}
                 pend = []
                 for i, lane in enumerate(lanes):
                     d = devs[i % len(devs)]
@@ -927,8 +964,16 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
                     lane_np = np.asarray(lane)
                     # lead axis added on HOST: [None] on a device array
                     # compiles an eager broadcast_in_dim program (one
-                    # more per-process first-use round trip)
-                    rec = jax.device_put(lane_np[None], d)   # (1,B,H,W)
+                    # more per-process first-use round trip). Honest-rep
+                    # lanes of one content group (byte-identical by the
+                    # hardlink invariant) share one upload per device;
+                    # their metric programs still run per lane.
+                    gkey = (share_groups[i] if share_groups is not None
+                            else i, id(d))
+                    rec = group_rec.get(gkey)
+                    if rec is None:
+                        rec = jax.device_put(lane_np[None], d)  # (1,B,H,W)
+                        group_rec[gkey] = rec
                     qs = quality_stats_ladder(ctx_d["ref"], rec,
                                               ctx_d["vm"], ctx_d["nod"],
                                               has_nodata)
@@ -971,7 +1016,8 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, object]:
                     nod_val, has_nodata, is_caseb,
                     quality_stats_ladder, spectral_stats_ladder,
                     src_valid=src_valid, ql_caps=tuple(ql_caps),
-                    want_recon=cfg.write_artifacts, ref_host=cube)
+                    want_recon=cfg.write_artifacts, ref_host=cube,
+                    lane_groups=share_groups)
 
             descriptions = ds.descriptions
             ds.close()
