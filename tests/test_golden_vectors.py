@@ -173,3 +173,66 @@ def test_ccsds123_stream_bytes_pinned(expected):
             f"rerun tests/vectors/generate.py and review the diff.")
         assert np.array_equal(std.decode(stream).view(np.int16), cube)
         assert std.stream_info(stream) == expected[fn]["header"]
+
+
+def test_ccsds122_stage_word_trace(expected):
+    """Field-level parse of EVERY entropy-coded stage-1..3 word in the
+    committed vectors (native decode trace): [plane, stage, gaggle,
+    word_len, restricted, option, value] per word. Pins the exact word
+    inventory so a future Blue-Book Tables 4-9..4-17 transcription has a
+    ready differential surface: re-run the trace, diff options/values
+    against the normative tables word by word."""
+    from tpukit.codecs import bpe122
+
+    # class option counts as coded in the stream (bpe122.cpp CLASSES):
+    # len 2 -> 1 coded option (+1 uncoded), len 3 -> 2, len 4 -> 3
+    n_coded = {2: 1, 3: 2, 4: 3}
+    pinned = {
+        # (total words, stage-1, stage-2, stage-3, planes touched)
+        "ccsds122_bpp1.bpe": (947, 163, 510, 274, (7, 11)),
+        "ccsds122_bpp8.bpe": (4804, 270, 955, 3579, (1, 11)),
+    }
+    for fn, (total, s1, s2, s3, (pmin, pmax)) in pinned.items():
+        stream = _load(fn)
+        hdr = parse_bpe122_header(stream)
+        blocks, tr = bpe122.bpe_decode_trace(stream, 64)
+        # trace-enabled decode is the plain decode
+        np.testing.assert_array_equal(blocks,
+                                      bpe122.bpe_decode_blocks(stream, 64))
+        assert len(tr) == total, (fn, len(tr))
+        st = tr[:, 1]
+        assert [(st == k).sum() for k in (1, 2, 3)] == [s1, s2, s3], fn
+        # field invariants, every word
+        plane, stage, gag, wlen, restr, opt, val = tr.T
+        assert plane.min() == pmin and plane.max() == pmax
+        assert (plane < hdr["bitdepth_ac"]).all()
+        assert set(np.unique(stage)) <= {1, 2, 3}
+        ngag = (hdr["S"] + 15) // 16
+        assert (gag >= 0).all() and (gag < ngag).all()
+        assert set(np.unique(wlen)) <= {1, 2, 3, 4}
+        assert set(np.unique(restr)) <= {0, 1}
+        for L in (2, 3, 4):
+            m = wlen == L
+            if not m.any():
+                continue
+            # option in [0, n_coded] (n_coded = the uncoded fallback)
+            assert opt[m].min() >= 0 and opt[m].max() <= n_coded[L], fn
+            # word values fit the length; restricted words are nonzero
+            assert (val[m] >= 0).all() and (val[m] < (1 << L)).all()
+            mr = m & (restr == 1)
+            if mr.any():
+                assert (val[mr] > 0).all(), fn
+        # single-bit words carry no option machinery
+        m1 = wlen == 1
+        if m1.any():
+            assert set(np.unique(opt[m1])) == {-1}
+            assert set(np.unique(val[m1])) <= {0, 1}
+        # stage-1 words are parent-transition words: never single-bit
+        assert (wlen[st == 1] >= 1).all()
+        # per (plane, gaggle, class) the option is constant (selected
+        # once per plane via the ID field — OptACSelect machinery)
+        for L in (2, 3, 4):
+            m = wlen == L
+            key = plane[m].astype(np.int64) * 1000 + gag[m]
+            for k in np.unique(key):
+                assert len(np.unique(opt[m][key == k])) == 1, (fn, L, k)

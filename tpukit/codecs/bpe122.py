@@ -148,6 +148,32 @@ def bpe_decode_blocks(stream: bytes, nblocks: int) -> np.ndarray:
     return blocks
 
 
+def bpe_decode_trace(stream: bytes, nblocks: int):
+    """Decode with the stage-1..3 word trace: returns (blocks, trace)
+    where trace is an (n_words, 7) int32 array of
+    [plane, stage, gaggle, word_len, restricted, option, value] records
+    — the field-level inventory of every entropy-coded word in the
+    stream (option == the class's n_coded_options means the uncoded
+    fallback; -1 means a single-bit word with no option machinery).
+    Used by the golden-vector harness so a future Blue-Book table
+    transcription has a ready differential surface."""
+    lib = load_native()
+    buf = np.frombuffer(stream, np.uint8)
+    blocks = np.zeros((nblocks, 64), np.int32)
+    cap = max(64, len(stream) * 16 * 7)
+    trace = np.empty(cap, np.int32)
+    got = lib.tpukit_bpe122_decode_trace(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+        nblocks,
+        blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        trace.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
+    if got == -2:
+        raise RuntimeError("bpe122 trace buffer overflow")
+    if got < 0:
+        raise RuntimeError("bpe122 decode failed (corrupt header)")
+    return blocks, trace[:got].reshape(-1, 7).copy()
+
+
 def encode_plane(coefs: np.ndarray, seg_byte_limit: int = 0,
                  img_width: int = 0, pad_rows: int = 0,
                  pixel_bitdepth: int = 16, signed_pixels: int = 0,

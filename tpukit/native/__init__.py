@@ -110,6 +110,8 @@ def _declare(lib: ctypes.CDLL) -> None:
         ("tpukit_bpe122_encode", i64, [i32p, i64, i64, i64, i32, i32,
                                        i32, i32, u8p, i64]),
         ("tpukit_bpe122_decode", i64, [u8p, i64, i64, i32p]),
+        ("tpukit_bpe122_decode_trace", i64, [u8p, i64, i64, i32p, i32p,
+                                             i64]),
         ("j2k_t1_sig_plan", i64, [i32p, i32, i32, i32p]),
         ("j2k_pkt1_hdr_size", i64, [i32, i32p, i32p, i32p, i64p, i64p]),
         ("j2k_sr2d_97", i64, [f64p, i64, i64, i32, i32]),

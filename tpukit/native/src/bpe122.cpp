@@ -724,6 +724,24 @@ struct DecBlock {
     }
 };
 
+// Optional decode trace (tpukit_bpe122_decode_trace): one record of 7
+// int32 per stage-1..3 word — [plane, stage, gaggle, word_len,
+// restricted, option ((n_coded_options) = uncoded, -1 = single-bit),
+// value] — the field-level inventory a future Blue-Book table
+// transcription diffs against (tests/test_golden_vectors.py).
+struct TraceSink {
+    int32_t* buf = nullptr;
+    int64_t cap = 0, n = 0;
+    int plane = 0, stage = 0;
+    void rec(int g, int len, int restr, int opt, int val) {
+        if (!buf) return;
+        if (n + 7 > cap) { buf = nullptr; n = -1; return; }
+        buf[n++] = plane; buf[n++] = stage; buf[n++] = g;
+        buf[n++] = len; buf[n++] = restr; buf[n++] = opt; buf[n++] = val;
+    }
+};
+static TraceSink g_trace;
+
 struct WordReader {
     BitReader& br;
     std::vector<int8_t> sel;     // per (gaggle, class): option or -1
@@ -732,7 +750,9 @@ struct WordReader {
     int read(int g, int len, bool restricted) {
         if (len == 1) {
             int v = (int)br.get_bits(1);
-            return br.error ? -1 : v;
+            if (br.error) return -1;
+            g_trace.rec(g, len, restricted ? 1 : 0, -1, v);
+            return v;
         }
         const ClassSpec& cs = CLASSES[len];
         int8_t& o = sel[(size_t)(g * 3 + (len - 2))];
@@ -744,13 +764,17 @@ struct WordReader {
         }
         if (o >= cs.n_coded_options) {
             int v = (int)br.get_bits(len);
-            return br.error ? -1 : v;
+            if (br.error) return -1;
+            g_trace.rec(g, len, restricted ? 1 : 0, (int)o, v);
+            return v;
         }
         int sym = vlc_decode(br, cs.opts[o]);
         if (sym < 0) return -1;
         int navail = restricted ? (1 << len) - 1 : (1 << len);
         if (sym >= navail) { br.error = true; return -1; }
-        return restricted ? VAL_RESTR[len][sym] : VAL_FULL[len][sym];
+        int v = restricted ? VAL_RESTR[len][sym] : VAL_FULL[len][sym];
+        g_trace.rec(g, len, restricted ? 1 : 0, (int)o, v);
+        return v;
     }
 };
 
@@ -841,6 +865,8 @@ extern "C" int64_t tpukit_bpe122_decode(
                         dec[(size_t)m].dc_known = b;
                     }
                 wr.new_plane();
+                g_trace.plane = b;
+                g_trace.stage = 1;
                 // ---- stage 1 ----
                 for (int64_t m = 0; m < S; ++m) {
                     DecBlock& D = dec[(size_t)m];
@@ -868,6 +894,7 @@ extern "C" int64_t tpukit_bpe122_decode(
                         }
                 }
                 // ---- stage 2 ----
+                g_trace.stage = 2;
                 for (int64_t m = 0; m < S; ++m) {
                     DecBlock& D = dec[(size_t)m];
                     if (D.dmax <= b) continue;
@@ -930,6 +957,7 @@ extern "C" int64_t tpukit_bpe122_decode(
                     }
                 }
                 // ---- stage 3 ----
+                g_trace.stage = 3;
                 for (int64_t m = 0; m < S; ++m) {
                     DecBlock& D = dec[(size_t)m];
                     if (D.dmax <= b || !D.b_sig) continue;
@@ -1077,4 +1105,21 @@ extern "C" int64_t tpukit_bpe122_decode(
                                  std::max<int64_t>(consumed, 1));
     }
     return done_blocks;
+}
+
+// Decode with the stage-1..3 word trace enabled (see TraceSink). Returns
+// the number of int32 slots written to `trace` (a multiple of 7), or -2
+// if the trace buffer overflowed, or the decoder's negative error.
+extern "C" int64_t tpukit_bpe122_decode_trace(
+        const uint8_t* in, int64_t nbytes, int64_t nblocks,
+        int32_t* blocks_out, int32_t* trace, int64_t trace_cap) {
+    g_trace.buf = trace;
+    g_trace.cap = trace_cap;
+    g_trace.n = 0;
+    int64_t r = tpukit_bpe122_decode(in, nbytes, nblocks, blocks_out);
+    int64_t n = g_trace.n;
+    g_trace.buf = nullptr;
+    g_trace.cap = g_trace.n = 0;
+    if (r < 0) return r;
+    return n < 0 ? -2 : n;
 }
