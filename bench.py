@@ -402,6 +402,70 @@ def main():
     else:
         t_reference = float("nan")
 
+    # ---- scene-scale configuration (reference runs/scene/index_caseA.json
+    # geometry: the 2000x10000 x4-band 12-in-16 Case A scene; synthetic
+    # content, like everything here). ccsds121 streams in 512-row strips
+    # with bounded host memory (the reference wrapper windows scenes into
+    # 512^2 tiles, ccsds121_wrap.py:170-219); j2k runs the whole-scene
+    # device fast path (transfer-free DWT ladder; the ebcot tier-1 path
+    # is per-tile host work and is benched by the canonical tiles).
+    from tpukit.sweep.proc import MemorySampler, psutil
+    scene = {}
+    sc_h, sc_w, sc_b = 2000, 10000, 4
+    gy, gx = np.mgrid[0:sc_h, 0:sc_w]
+    sbase = ((700 + 1.1 * gy + 0.7 * gx).astype(np.int32)) % 4096
+    scube = np.clip(sbase[None] + rng.integers(-300, 300,
+                                               (sc_b, sc_h, sc_w)),
+                    0, 4095).astype(np.uint16) << 4
+    ps = work / "caseA_scene_12in16.tif"
+    tiff.write_geotiff(ps, scube, blockxsize=512, blockysize=512)
+    n_scene = scube.size
+    scene_mb = scube.nbytes / (1 << 20)
+    idxS = work / "index_scene.json"
+    write_manifest(idxS, "caseA", "scene",
+                   [{"tile_id": "sceneA", "path": ps}])
+    del scube, sbase, gy, gx
+
+    proc = psutil.Process(os.getpid()) if psutil else None
+    for name, args in (
+            ("ccsds121_stream512", [
+                "--indices", str(idxS), "--codec", "ccsds121",
+                "--rate-key", "none", "--reps", "1", "--preproc", "none",
+                "--nbit", "16", "--interleave", "bip", "--tile", "512",
+                "--stream-rows", "512"]),
+            # scene J2K is TILED (the reference's own scene JP2s use
+            # TILEXSIZE/TILEYSIZE, j2k_wrap.py:81): every 1024² tile
+            # rides the same compiled device program. A whole-scene
+            # single-tile device ladder is rejected by the compiler at
+            # this size (the exact size-model program unrolls per
+            # subband segment — measured 80 MB of MLIR at 2000x10000).
+            ("j2k_device_tiled1024", [
+                "--indices", str(idxS), "--codec", "j2k",
+                "--entropy", "device", "--rate-key", "quality",
+                "--rates", "10", "40", "--reps", "1",
+                "--tilex", "1024", "--tiley", "1024",
+                "--no-artifacts"])):
+        outdir = work / f"runs_scene_{name}"
+        rss0 = proc.memory_info().rss if proc else 0
+        t0 = time.perf_counter()
+        with MemorySampler() as ms:
+            run_codec_main(args + ["--outdir", str(outdir)])
+        dt = time.perf_counter() - t0
+        delta_mb = (max(ms.peak_bytes or 0, rss0) - rss0) / (1 << 20)
+        scene[name] = {
+            "wall_s": round(dt, 2),
+            "Msamples_per_s": round(n_scene / dt / 1e6, 1),
+            "rss_delta_mb": round(delta_mb, 1),
+            "scene_mb": round(scene_mb, 1),
+        }
+        log(f"[scene {name}] {dt:.1f}s "
+            f"{n_scene / dt / 1e6:.1f} Ms/s rss_delta {delta_mb:.0f} MB")
+        shutil.rmtree(outdir, ignore_errors=True)
+    # bounded-memory assertion for the streamed run: the strip pipeline
+    # must hold strips, not the scene (cube 160 MB + recon + f32 metric
+    # temps would need >600 MB unstreamed; generous tunnel-buffer slack)
+    assert scene["ccsds121_stream512"]["rss_delta_mb"] < 500, scene
+
     shutil.rmtree(work, ignore_errors=True)
     speedup = (t_reference / t_anchor) if np.isfinite(t_reference) else None
     print(json.dumps({
@@ -437,6 +501,7 @@ def main():
             "lossless": 1,
             "bitstream_equals_libaec": bool(ae.available()),
             "warm_sum_s": round(warm_sum, 2),
+            "scene": scene,
             # attachment-health telemetry at measurement time: the
             # untimed channel settle is a pure tunnel property that
             # grows with host uptime (measured 30 s fresh to 1300 s

@@ -238,6 +238,27 @@ struct T1E {
     uint32_t& F(int y, int x) {
         return flags[(size_t)(y + 1) * stride + (x + 1)];
     }
+
+    // conservative strip-skip probes (same construction as the
+    // decoder's, j2k_t1.cpp): OR of the flag words over rows
+    // [y0-1, y0+rows] x cols [x-1, x+1] — a superset of every
+    // 8-neighbourhood (and every centre flag) in the column strip.
+    // No F_SIG in the window => SPP codes nothing here (in-strip
+    // propagation needs a previously-coded significant coefficient);
+    // no centre F_SIG => nothing to refine.
+    uint32_t window_or(int y0, int x, int rows) const {
+        uint32_t acc = 0;
+        const uint32_t* p = &flags[(size_t)y0 * stride + x];
+        for (int r = 0; r < rows + 2; ++r, p += stride)
+            acc |= p[0] | p[1] | p[2];
+        return acc;
+    }
+    uint32_t center_or(int y0, int x, int rows) const {
+        uint32_t acc = 0;
+        const uint32_t* p = &flags[(size_t)(y0 + 1) * stride + (x + 1)];
+        for (int r = 0; r < rows; ++r, p += stride) acc |= p[0];
+        return acc;
+    }
 };
 
 }  // namespace
@@ -320,8 +341,11 @@ extern "C" int64_t j2k_t1_encode(const int32_t* coefs, int w, int h,
         if (pass_kind == 0) {
             // significance propagation
             for (int y0 = 0; y0 < h; y0 += 4) {
+                int rows = y0 + 4 < h ? 4 : h - y0;
                 for (int x = 0; x < w; ++x) {
-                    int ymax = y0 + 4 < h ? y0 + 4 : h;
+                    if (!(t1.window_or(y0, x, rows) & F_SIG))
+                        continue;          // strip not in SPP (see probe)
+                    int ymax = y0 + rows;
                     for (int y = y0; y < ymax; ++y) {
                         uint32_t& f = t1.F(y, x);
                         if (f & F_SIG) continue;
@@ -359,8 +383,11 @@ extern "C" int64_t j2k_t1_encode(const int32_t* coefs, int w, int h,
         } else if (pass_kind == 1) {
             // magnitude refinement
             for (int y0 = 0; y0 < h; y0 += 4) {
+                int rows = y0 + 4 < h ? 4 : h - y0;
                 for (int x = 0; x < w; ++x) {
-                    int ymax = y0 + 4 < h ? y0 + 4 : h;
+                    if (!(t1.center_or(y0, x, rows) & F_SIG))
+                        continue;          // nothing significant: no MRP
+                    int ymax = y0 + rows;
                     for (int y = y0; y < ymax; ++y) {
                         uint32_t& f = t1.F(y, x);
                         if (!(f & F_SIG) || (f & F_VISIT)) continue;
@@ -394,21 +421,28 @@ extern "C" int64_t j2k_t1_encode(const int32_t* coefs, int w, int h,
         } else {
             // cleanup (always MQ)
             for (int y0 = 0; y0 < h; y0 += 4) {
+                int rows = y0 + 4 < h ? 4 : h - y0;
                 for (int x = 0; x < w; ++x) {
                     int y = y0;
-                    int ymax = y0 + 4 < h ? y0 + 4 : h;
-                    bool runable = (ymax - y0 == 4);
+                    int ymax = y0 + rows;
+                    bool runable = (rows == 4);
                     if (runable) {
-                        for (int yy = y0; yy < ymax && runable; ++yy) {
-                            uint32_t f = t1.F(yy, x);
-                            if (f & (F_SIG | F_VISIT)) { runable = false; break; }
-                            uint32_t nb = t1.F(yy - 1, x) | t1.F(yy + 1, x) |
-                                          t1.F(yy, x - 1) | t1.F(yy, x + 1) |
-                                          t1.F(yy - 1, x - 1) |
-                                          t1.F(yy - 1, x + 1) |
-                                          t1.F(yy + 1, x - 1) |
-                                          t1.F(yy + 1, x + 1);
-                            if (nb & F_SIG) runable = false;
+                        // fast path: an all-clear window answers both
+                        // run-mode conditions with one OR sweep
+                        uint32_t wn = t1.window_or(y0, x, rows);
+                        if ((wn & F_SIG) ||
+                            (t1.center_or(y0, x, rows) & F_VISIT)) {
+                            for (int yy = y0; yy < ymax && runable; ++yy) {
+                                uint32_t f = t1.F(yy, x);
+                                if (f & (F_SIG | F_VISIT)) { runable = false; break; }
+                                uint32_t nb = t1.F(yy - 1, x) | t1.F(yy + 1, x) |
+                                              t1.F(yy, x - 1) | t1.F(yy, x + 1) |
+                                              t1.F(yy - 1, x - 1) |
+                                              t1.F(yy - 1, x + 1) |
+                                              t1.F(yy + 1, x - 1) |
+                                              t1.F(yy + 1, x + 1);
+                                if (nb & F_SIG) runable = false;
+                            }
                         }
                     }
                     if (runable) {
