@@ -442,7 +442,7 @@ def main():
             ("j2k_device_tiled1024", [
                 "--indices", str(idxS), "--codec", "j2k",
                 "--entropy", "device", "--rate-key", "quality",
-                "--rates", "10", "40", "--reps", "1",
+                "--rates", "40", "--reps", "1",
                 "--tilex", "1024", "--tiley", "1024",
                 "--no-artifacts"])):
         outdir = work / f"runs_scene_{name}"

@@ -389,3 +389,35 @@ def test_streamed_mesh_equals_single_device(tmp_path, rng):
         for f in sfiles:
             assert (sdir / f).read_bytes() == (mdir / f).read_bytes(), \
                 (other, f)
+
+
+def test_streamed_honest_reps_metric_lanes(tmp_path, rng):
+    """Honest (default) rep semantics in the streaming path: each fresh
+    rep re-runs the codec (fresh per-rep t_comp_s) AND accumulates its
+    own metric lane during its own pass; metric values agree across reps
+    (deterministic codec), and --dedupe-reps reproduces the shared-lane
+    behavior with identical deterministic outputs."""
+    cube, item = _make_scene(tmp_path, rng, "HR", B=2, H=768, W=128,
+                             mask=False)
+    idx = tmp_path / "idx.json"
+    write_manifest(idx, "caseA", "scene", [item])
+
+    cfg_h = _cfg(idx, tmp_path / "honest", create("ccsds121", tile=256),
+                 stream_rows=256, reps=3)
+    rows_h = run_sweep(cfg_h)["rows"]
+    assert len(rows_h) == 3
+    tcomp = [r["t_comp_s"] for r in rows_h]
+    assert len(set(tcomp)) > 1, f"re-reported per-rep walls: {tcomp}"
+    assert len({r["bitstream_bytes"] for r in rows_h}) == 1
+    assert len({r["psnr_global"] for r in rows_h}) == 1
+    assert len({r["max_abs_err"] for r in rows_h}) == 1
+
+    cfg_d = _cfg(idx, tmp_path / "dedupe", create("ccsds121", tile=256),
+                 stream_rows=256, reps=3)
+    cfg_d.dedupe_reps = True
+    rows_d = run_sweep(cfg_d)["rows"]
+    for rh, rd in zip(rows_h, rows_d):
+        assert rh["bitstream_bytes"] == rd["bitstream_bytes"]
+        assert rh["psnr_global"] == rd["psnr_global"]
+        assert rh["sam_deg"] == rd["sam_deg"] or (
+            np.isnan(rh["sam_deg"]) and np.isnan(rd["sam_deg"]))

@@ -386,3 +386,31 @@ def test_ccsds122_bpe_rate_point_stream_parity(smooth_tile):
     info = np.iinfo(smooth_tile.dtype)
     rec = np.clip(rec, info.min, info.max).astype(smooth_tile.dtype)
     np.testing.assert_array_equal(np.asarray(res.recon), rec)
+
+
+def test_j2k_tiled_device_batched_equals_sequential(rng):
+    """The batched tiled device sweep (same-shape tile groups stacked
+    along the band axis, one dispatch set per group) is byte- and
+    recon-identical to the sequential per-tile path — including ragged
+    edge tiles and image-global quantizer steps."""
+    from tpukit.codecs.base import RateSpec
+    from tpukit.codecs.j2k_codec import J2KCodec
+
+    base = rng.integers(200, 3800, (80, 112)).astype(np.int32)
+    cube = np.clip(base[None] + rng.integers(-300, 300, (3, 80, 112)),
+                   0, 4095).astype(np.uint16)
+    specs = [RateSpec.of("quality", 15), RateSpec.of("quality", 60),
+             RateSpec.none()]
+    codec = J2KCodec(tilex=48, tiley=48, entropy="device")
+    # sweep path -> batched groups for the quality points
+    sw = codec.sweep_rates(cube, "uint16", specs)
+    # sequential per-tile path
+    sq = [codec.run(cube, "uint16", s) for s in specs]
+    for a, b, s in zip(sw, sq, specs):
+        assert a.bitstream_bytes == b.bitstream_bytes, s
+        np.testing.assert_array_equal(np.asarray(a.recon),
+                                      np.asarray(b.recon),
+                                      err_msg=str(s))
+    assert sw[0].extras["tilex"] == 48
+    # lossless fall-through stays exact
+    np.testing.assert_array_equal(np.asarray(sw[2].recon), cube)

@@ -401,6 +401,30 @@ def _device_ladder_sizes(coefs: jax.Array, order: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("segbounds",))
+def _tiled_ladder_sizes(coefs_nb: jax.Array, order: jax.Array,
+                        inv_scale_perm: jax.Array, inv_bases: jax.Array,
+                        segbounds=None) -> jax.Array:
+    """(n_tiles, Q, B) exact stream byte counts for a batched tile group:
+    the PER-TILE body is identical to _device_ladder_sizes' 4-band point
+    (so the compiled program stays the size of the single-tile one — the
+    exact size model flattened over a 32-plane band axis was measured to
+    defeat the platform AOT compiler), with lax.map supplying the tile
+    and quality loops."""
+    def per_tile(c):
+        B = c.shape[0]
+        perm = jnp.take(c.reshape(B, -1), order, axis=1)
+
+        def one(inv_base):
+            qc = jnp.trunc(perm * (inv_scale_perm * inv_base)[None]) \
+                .astype(jnp.int32)
+            return wenc_size_bytes(qc, segbounds)
+
+        return jax.lax.map(one, inv_bases)
+
+    return jax.lax.map(per_tile, coefs_nb)
+
+
+@partial(jax.jit, static_argnames=("segbounds",))
 def _device_lossless_sizes(coefs: jax.Array, order: jax.Array,
                            segbounds=None) -> jax.Array:
     """Per-band exact byte counts of the full (reversible) streams over
@@ -477,20 +501,26 @@ class J2KCodec(Codec):
                    tx: int, ty: int, keep_bitstream: bool) -> CodecResult:
         """Independent-tile coding (TILEXSIZE/TILEYSIZE, j2k_wrap.py:81):
         each spatial tile goes through the full transform+code path on its
-        own; streams are per (tile, band)."""
+        own; streams are per (tile, band). DEVICE-backend lossy tiles
+        quantize with IMAGE-global steps (one quality -> one quantizer
+        for the whole image; a tile boundary must not change fidelity) —
+        the same convention as the batched _sweep_tiled_device path, so
+        the sequential and batched tiled sweeps are byte-identical."""
         B, H, W = cube.shape
         recon = np.empty_like(cube)
         streams: Dict[str, bytes] = {}
         sum_bytes = 0
         t_comp = t_dec = 0.0
         q_used = None
+        peak = float(np.abs(cube.astype(np.float64)).max()) or 1.0
         for y0 in range(0, H, ty):
             for x0 in range(0, W, tx):
                 th, tw = min(ty, H - y0), min(tx, W - x0)
                 sub = np.ascontiguousarray(cube[:, y0:y0 + th, x0:x0 + tw])
                 res = self.run(sub, dtype_name, rate,
                                keep_bitstream=keep_bitstream,
-                               tilex=None, tiley=None)
+                               tilex=None, tiley=None,
+                               peak_override=peak)
                 recon[:, y0:y0 + th, x0:x0 + tw] = np.asarray(res.recon)
                 sum_bytes += res.bitstream_bytes
                 t_comp += res.t_comp_s
@@ -516,8 +546,25 @@ class J2KCodec(Codec):
         tx = opts.get("tilex") or self.tilex
         ty = opts.get("tiley") or self.tiley
         if (tx and tx < W) or (ty and ty < H):
-            # independent-tile mode: per-point path (tiles are coded
-            # separately; no shared whole-image DWT to amortize)
+            # independent-tile mode. Device-backend quality ladders batch
+            # same-shape tiles into ONE dispatch set per shape group (the
+            # TPU-first form of the scene-tiled sweep: one DWT + one size
+            # ladder + one recon ladder over (n_tiles*B, th, tw) instead
+            # of per-tile round trips); everything else goes through the
+            # per-point path (tiles are coded separately; no shared
+            # whole-image DWT to amortize).
+            if self.entropy == "device" and not keep_bitstream:
+                q_ix = [i for i, s in enumerate(specs)
+                        if not s.lossless and s.key == "quality"]
+                if q_ix:
+                    out = self._sweep_tiled_device(
+                        cube, dtype_name, specs, q_ix,
+                        int(tx or W), int(ty or H))
+                    for i, s in enumerate(specs):
+                        if out[i] is None:
+                            out[i] = self.run(cube, dtype_name, s,
+                                              keep_bitstream=keep_bitstream)
+                    return out
             return [self.run(cube, dtype_name, s,
                              keep_bitstream=keep_bitstream) for s in specs]
         if self.entropy == "ebcot":
@@ -1294,6 +1341,97 @@ class J2KCodec(Codec):
                                          dedupe=dedupe)
         return out
 
+    def _sweep_tiled_device(self, cube: np.ndarray, dtype_name: str,
+                            specs, q_ix, tx: int, ty: int) -> list:
+        """Batched tiled DEVICE sweep: tiles grouped by shape, each group
+        stacked along the band axis as one (n_tiles*B, th, tw) cube —
+        ONE device DWT, ONE exact size ladder, ONE requant-recon ladder
+        per group for the whole quality ladder (the sequential path pays
+        ~4 host<->device round trips per tile per point; at scene scale
+        that is hundreds of tunnel RTTs). Quantizer steps are
+        IMAGE-global (same convention as _run_tiled's device path, so
+        batched == sequential byte-for-byte — pinned in
+        tests/test_wavelet_codecs.py). Returns a list aligned with
+        ``specs``; non-quality entries are None (callers fill them)."""
+        B, H, W = cube.shape
+        info = np.iinfo(cube.dtype)
+        m = 1 << LEVELS
+        peak = float(np.abs(cube.astype(np.float64)).max()) or 1.0
+        qualities = [self.quality_for(specs[i]) for i in q_ix]
+        bases = np.array([base_step_for_quality(q, peak)
+                          for q in qualities], np.float32)
+        inv_bases = np.float32(1.0) / bases
+        Q = len(q_ix)
+
+        # sub-batches capped at 8 tiles: bounds the per-dispatch working
+        # set (~128 MB of f32 work at 1024² tiles) and the compiled
+        # program size — a 72-plane scene-group program was measured to
+        # wedge the remote AOT compiler — while same-size sub-batches
+        # still share one executable
+        CAP = 8
+        groups: Dict[tuple, list] = {}
+        for y0 in range(0, H, ty):
+            for x0 in range(0, W, tx):
+                th, tw = min(ty, H - y0), min(tx, W - x0)
+                groups.setdefault((th, tw), []).append((y0, x0))
+        batches = []
+        for shape, tiles in groups.items():
+            for c0 in range(0, len(tiles), CAP):
+                batches.append((shape, tiles[c0:c0 + CAP]))
+
+        recons = [np.empty_like(cube) for _ in range(Q)]
+        bytes_q = np.zeros(Q, np.int64)
+        t0 = time.perf_counter()
+        pend = []
+        with mem_phase("comp"):
+            for (th, tw), tiles in batches:
+                Hp, Wp = th + (-th) % m, tw + (-tw) % m
+                scale_host = _subband_steps(Hp, Wp, 1.0)
+                inv_scale_host = np.float32(1.0) / scale_host
+                order_dev, _ = wc.device_scan_orders(Hp, Wp, LEVELS)
+                segb = wc.subband_seg_bounds(Hp, Wp, LEVELS)
+                work = np.empty((len(tiles), B, th, tw), np.float32)
+                for n, (y0, x0) in enumerate(tiles):
+                    work[n] = cube[:, y0:y0 + th, x0:x0 + tw]
+                wf = jnp.asarray(work.reshape(len(tiles) * B, th, tw))
+                if (Hp, Wp) != (th, tw):
+                    wf = jnp.pad(wf, ((0, 0), (0, Hp - th), (0, Wp - tw)),
+                                 mode="edge")
+                coefs = dwtk.dwt2(wf, "97", LEVELS)
+                inv_perm = inv_scale_host.ravel()[np.asarray(order_dev)]
+                sizes = _tiled_ladder_sizes(
+                    coefs.reshape(len(tiles), B, Hp, Wp), order_dev,
+                    jnp.asarray(inv_perm), jnp.asarray(inv_bases),
+                    segbounds=segb)
+                recs, _, _ = _device_requant_recon_ladder(
+                    coefs, jnp.asarray(inv_scale_host),
+                    jnp.asarray(scale_host), jnp.asarray(inv_bases),
+                    jnp.asarray(bases), LEVELS, th, tw,
+                    int(info.min), int(info.max), cube.dtype.name)
+                pend.append(((th, tw), tiles, sizes, recs))
+        t_comp = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        with mem_phase("dec"):
+            for (th, tw), tiles, sizes, recs in pend:
+                sz = np.asarray(sizes)            # (n_tiles, Q, B)
+                bytes_q += sz.sum(axis=(0, 2)).astype(np.int64)
+                rh = np.asarray(recs).reshape(Q, len(tiles), B, th, tw)
+                for n, (y0, x0) in enumerate(tiles):
+                    for qi in range(Q):
+                        recons[qi][:, y0:y0 + th, x0:x0 + tw] = rh[qi, n]
+        t_dec = time.perf_counter() - t0
+
+        out: list = [None] * len(specs)
+        for qi, i in enumerate(q_ix):
+            out[i] = CodecResult(
+                codec="j2k_gdal", encoder=self.encoder_desc,
+                bitstream_bytes=int(bytes_q[qi]), recon=recons[qi],
+                t_comp_s=t_comp / Q, t_dec_s=t_dec / Q, bitstreams=None,
+                extras={"quality_used": int(qualities[qi]),
+                        "tilex": int(tx), "tiley": int(ty)})
+        return out
+
     def _sweep_qualities_mesh(self, mesh, cube, qualities, bases,
                               inv_bases, Hp, Wp, H0, W0, info,
                               scale_host, inv_scale_host, order,
@@ -1364,7 +1502,8 @@ class J2KCodec(Codec):
         through the materializing path instead)."""
         B, H, W = cube.shape
         info = np.iinfo(cube.dtype)
-        peak = float(np.abs(cube.astype(np.float64)).max()) or 1.0
+        peak = float(opts.get("peak_override") or 0.0) \
+            or float(np.abs(cube.astype(np.float64)).max()) or 1.0
         fit_mode = self.rate_fit and rate.key in ("bpp", "cr")
         scale_host = _subband_steps(Hp, Wp, 1.0)
         inv_scale_host = np.float32(1.0) / scale_host
