@@ -205,10 +205,13 @@ def test_smoke_jpegls_band(dev, cube16):
 
 
 def test_smoke_ccsds123_tile(dev):
-    """CCSDS-123 on a small hyperspectral tile, both predictors: the ls
-    predictor's device programs (band scan + residual coding) must be
-    byte-identical across platforms (integer); the standard predictor is
-    host C++ and must be unperturbed."""
+    """CCSDS-123 on a small hyperspectral tile, both predictors. The
+    standard predictor is host C++: byte-identical streams under either
+    attached backend. The ls predictor FITS its transmitted 4.12 weights
+    with f32 normal equations on device — a last-ULP platform difference
+    can flip a quantized weight, so cross-platform streams are valid but
+    not byte-pinned; each platform's stream must round-trip losslessly
+    and the sizes must agree within 2%."""
     rng = np.random.default_rng(5)
     base = rng.integers(300, 1500, (40, 40)).astype(np.int32)
     cube = (base[None] + rng.integers(-20, 20, (20, 40, 40))) \
@@ -221,15 +224,19 @@ def test_smoke_ccsds123_tile(dev):
             with jax.default_device(device):
                 r = create("ccsds123", **codec_args).run(
                     cube, "int16", RateSpec.none(), keep_bitstream=True)
+            # lossless round-trip on EVERY platform
+            np.testing.assert_array_equal(np.asarray(r.recon), cube,
+                                          err_msg=f"{pred}/{acc}")
             if r_cpu is None:
                 r_cpu = r
                 continue
-            assert r.bitstream_bytes == r_cpu.bitstream_bytes, pred
-            for k in r_cpu.bitstreams:
-                assert r.bitstreams[k] == r_cpu.bitstreams[k], (pred, k)
-            np.testing.assert_array_equal(np.asarray(r.recon),
-                                          np.asarray(r_cpu.recon),
-                                          err_msg=pred)
+            if pred == "standard":
+                assert r.bitstream_bytes == r_cpu.bitstream_bytes, pred
+                for k in r_cpu.bitstreams:
+                    assert r.bitstreams[k] == r_cpu.bitstreams[k], (pred, k)
+            else:
+                assert r.bitstream_bytes == pytest.approx(
+                    r_cpu.bitstream_bytes, rel=0.02), pred
 
 
 def test_smoke_mesh_metric_ladder(dev, cube16, tmp_path):
