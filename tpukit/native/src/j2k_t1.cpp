@@ -99,10 +99,18 @@ struct MQDec {
             if (a < s.qe) { d = 1 - mps[cx]; if (s.sw) mps[cx] ^= 1; idx[cx] = s.nlps; }
             else { d = mps[cx]; idx[cx] = s.nmps; }
         }
-        do {  // RENORMD
+        // RENORMD with the shift count batched via CLZ (mirror of the
+        // encoder's renorm): `a` is nonzero and below 0x8000 here, so
+        // the per-bit loop shifts exactly clz32(a)-16 times, calling
+        // bytein whenever ct hits 0 BEFORE a shift. Batching the shifts
+        // between bytein boundaries performs the identical
+        // shift/bytein sequence, so the decoded bits are unchanged.
+        int n = __builtin_clz(a) - 16;
+        while (n > 0) {
             if (ct == 0) bytein();
-            a <<= 1; c <<= 1; --ct;
-        } while ((a & 0x8000) == 0);
+            int k = n < ct ? n : ct;
+            a <<= k; c <<= k; ct -= k; n -= k;
+        }
         return d;
     }
 };
