@@ -238,3 +238,25 @@ def test_plan_cache_rejects_different_cube_content(cube, rng):
     np.testing.assert_array_equal(
         np.asarray(b.recon)[0],
         np.clip(dec, info.min, info.max).astype(other.dtype))
+
+
+def test_plan_cache_token_covers_full_content(cube, rng):
+    """The cache token hashes the FULL cube: a single-sample change
+    anywhere (including off any stride grid) must miss the cache
+    (round-5 review reproduced a sparse-stride token serving the first
+    cube's streams for an off-grid edit)."""
+    codec = create("j2k", entropy="ebcot")
+    cache = {}
+    a = codec.run(cube, "uint16", RateSpec.of("quality", 40),
+                  keep_bitstream=True, device_plan_cache=cache,
+                  dedupe_reps=True)
+    other = cube.copy()
+    other[0, 1, 1] += 496        # off every coarse stride grid
+    b = codec.run(other, "uint16", RateSpec.of("quality", 40),
+                  keep_bitstream=True, device_plan_cache=cache,
+                  dedupe_reps=True)
+    fresh = codec.run(other, "uint16", RateSpec.of("quality", 40),
+                      keep_bitstream=True)
+    assert b.bitstreams == fresh.bitstreams
+    np.testing.assert_array_equal(np.asarray(b.recon),
+                                  np.asarray(fresh.recon))

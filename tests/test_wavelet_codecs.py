@@ -414,3 +414,25 @@ def test_j2k_tiled_device_batched_equals_sequential(rng):
     assert sw[0].extras["tilex"] == 48
     # lossless fall-through stays exact
     np.testing.assert_array_equal(np.asarray(sw[2].recon), cube)
+
+
+def test_j2k_tiled_device_keep_bitstream_matches_model(rng):
+    """Tiled device mode with --keep-bitstream must emit streams whose
+    sizes and recon match the modeled (keep_bitstream=False) run — both
+    sides quantize with the image-global peak (round-5 review caught the
+    keep path using per-tile peaks: 10335 vs 9660 bytes and recon
+    drifting 16 LSBs at tile boundaries)."""
+    from tpukit.codecs.base import RateSpec
+    from tpukit.codecs.j2k_codec import J2KCodec
+
+    base = rng.integers(200, 3800, (64, 64)).astype(np.int32)
+    cube = np.clip(base[None] + rng.integers(-300, 300, (3, 64, 64)),
+                   0, 4095).astype(np.uint16)
+    cube[:, :32, :32] >>= 3   # tiles with very different peaks
+    codec = J2KCodec(tilex=32, tiley=32, entropy="device")
+    spec = RateSpec.of("quality", 40)
+    modeled = codec.run(cube, "uint16", spec)
+    kept = codec.run(cube, "uint16", spec, keep_bitstream=True)
+    assert kept.bitstream_bytes == modeled.bitstream_bytes
+    np.testing.assert_array_equal(np.asarray(kept.recon),
+                                  np.asarray(modeled.recon))

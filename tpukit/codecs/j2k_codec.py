@@ -103,15 +103,15 @@ _PCACHE_BYTES = int(2e9)
 
 
 def _cube_token(cube: np.ndarray) -> int:
-    """Cheap content token folded into every plan-cache key: a CRC of a
-    fixed strided sample (~thousands of elements, sub-ms at any size).
-    The runner's per-tile cache never mixes cubes, but the public
-    run(..., device_plan_cache=...) API would otherwise silently serve
-    one cube's streams for a different same-shape cube (advisor r4)."""
+    """Content token folded into every plan-cache key: a CRC of the FULL
+    cube bytes (~1 GB/s; ~8 ms for the canonical 4-band tile — noise
+    next to any plan build). A strided sample is NOT enough: a
+    same-shape cube differing only off the sample grid would silently
+    be served the first cube's streams through a shared
+    run(..., device_plan_cache=...) dict (advisor r4; round-5 review
+    reproduced exactly that with a sparse-stride token)."""
     import zlib
-    B, H, W = cube.shape
-    s = cube[:: max(1, B // 4), :: max(1, H // 37), :: max(1, W // 31)]
-    return zlib.crc32(np.ascontiguousarray(s).tobytes())
+    return zlib.crc32(np.ascontiguousarray(cube).tobytes())
 
 
 @lru_cache(maxsize=None)
@@ -498,7 +498,8 @@ class J2KCodec(Codec):
         return 35  # default (j2k_wrap.py:94)
 
     def _run_tiled(self, cube: np.ndarray, dtype_name: str, rate: RateSpec,
-                   tx: int, ty: int, keep_bitstream: bool) -> CodecResult:
+                   tx: int, ty: int, keep_bitstream: bool,
+                   **opts) -> CodecResult:
         """Independent-tile coding (TILEXSIZE/TILEYSIZE, j2k_wrap.py:81):
         each spatial tile goes through the full transform+code path on its
         own; streams are per (tile, band). DEVICE-backend lossy tiles
@@ -519,8 +520,8 @@ class J2KCodec(Codec):
                 sub = np.ascontiguousarray(cube[:, y0:y0 + th, x0:x0 + tw])
                 res = self.run(sub, dtype_name, rate,
                                keep_bitstream=keep_bitstream,
-                               tilex=None, tiley=None,
-                               peak_override=peak)
+                               **{**opts, "tilex": None, "tiley": None,
+                                  "peak_override": peak})
                 recon[:, y0:y0 + th, x0:x0 + tw] = np.asarray(res.recon)
                 sum_bytes += res.bitstream_bytes
                 t_comp += res.t_comp_s
@@ -553,6 +554,11 @@ class J2KCodec(Codec):
             # of per-tile round trips); everything else goes through the
             # per-point path (tiles are coded separately; no shared
             # whole-image DWT to amortize).
+            # per-point runs keep the harness context (plan cache,
+            # dedupe_reps) — without it --dedupe-reps is silently inert
+            # for tiled codec work (round-5 review)
+            pp = {k: opts[k] for k in ("device_plan_cache", "dedupe_reps")
+                  if k in opts}
             if self.entropy == "device" and not keep_bitstream:
                 q_ix = [i for i, s in enumerate(specs)
                         if not s.lossless and s.key == "quality"]
@@ -563,10 +569,12 @@ class J2KCodec(Codec):
                     for i, s in enumerate(specs):
                         if out[i] is None:
                             out[i] = self.run(cube, dtype_name, s,
-                                              keep_bitstream=keep_bitstream)
+                                              keep_bitstream=keep_bitstream,
+                                              **pp)
                     return out
             return [self.run(cube, dtype_name, s,
-                             keep_bitstream=keep_bitstream) for s in specs]
+                             keep_bitstream=keep_bitstream, **pp)
+                    for s in specs]
         if self.entropy == "ebcot":
             return self._sweep_ebcot(cube, dtype_name, specs,
                                      keep_bitstream, **opts)
@@ -849,11 +857,15 @@ class J2KCodec(Codec):
         if (tx and tx < W) or (ty and ty < H):
             return self._run_tiled(cube, dtype_name, rate,
                                    int(tx or W), int(ty or H),
-                                   keep_bitstream)
+                                   keep_bitstream,
+                                   **{k: v for k, v in opts.items()
+                                      if k in ("device_plan_cache",
+                                               "dedupe_reps")})
         if self.entropy == "ebcot":
             return self._run_ebcot(cube, dtype_name, rate, keep_bitstream,
                                    cache=opts.get("device_plan_cache"),
-                                   dedupe=bool(opts.get("dedupe_reps")))
+                                   dedupe=bool(opts.get("dedupe_reps")),
+                                   peak_override=opts.get("peak_override"))
         q_used = self.quality_for(rate)
         lossless = q_used is None
 
@@ -906,7 +918,10 @@ class J2KCodec(Codec):
                 recon[:] = rec[:, :H0, :W0].astype(cube.dtype)
             t_dec = time.perf_counter() - t0
         else:
-            peak = float(np.abs(cube.astype(np.float64)).max()) or 1.0
+            # honor the tiled path's image-global quantizer peak so
+            # keep-bitstream streams match the modeled sizes/recon
+            peak = float(opts.get("peak_override") or 0.0) \
+                or float(np.abs(cube.astype(np.float64)).max()) or 1.0
             fit_mode = self.rate_fit and rate.key in ("bpp", "cr")
             t0 = time.perf_counter()
             with mem_phase("comp"):
@@ -993,7 +1008,8 @@ class J2KCodec(Codec):
 
     def _run_ebcot(self, cube: np.ndarray, dtype_name: str, rate: RateSpec,
                    keep_bitstream: bool, cache=None,
-                   dedupe: bool = False) -> CodecResult:
+                   dedupe: bool = False,
+                   peak_override=None) -> CodecResult:
         """One rate point through the standard-codestream backend: per-band
         .j2c that OpenJPEG et al. decode (tests/test_j2k_ebcot_codec.py),
         rate-targeted by global PCRD truncation instead of the reference's
@@ -1020,7 +1036,7 @@ class J2KCodec(Codec):
         lossless = q_used is None
 
         pkey = ("j2c_single", B, H, W, cube.dtype.name,
-                _cube_token(cube), rate.key,
+                _cube_token(cube), float(peak_override or 0.0), rate.key,
                 None if rate.value is None else float(rate.value),
                 bool(rate.lossless))
         hit = (cache.get(pkey) if (cache is not None and dedupe)
@@ -1031,7 +1047,8 @@ class J2KCodec(Codec):
             elif rate.key in ("bpp", "cr"):
                 wavelet, base = "97", 1.0
             else:
-                peak = float(np.abs(cube.astype(np.float64)).max()) or 1.0
+                peak = float(peak_override or 0.0) \
+                    or float(np.abs(cube.astype(np.float64)).max()) or 1.0
                 wavelet, base = "97", base_step_for_quality(q_used, peak)
             plankey = ("j2c_single_plans", B, H, W, cube.dtype.name,
                        _cube_token(cube), wavelet, float(base))
@@ -1409,6 +1426,11 @@ class J2KCodec(Codec):
                     jnp.asarray(bases), LEVELS, th, tw,
                     int(info.min), int(info.max), cube.dtype.name)
                 pend.append(((th, tw), tiles, sizes, recs))
+            # bill the encode-side device work (DWT + size ladders) to
+            # t_comp like the sequential path does — the dispatches above
+            # are async, so without this barrier the first blocking fetch
+            # in the dec phase would absorb the whole encode wall
+            jax.block_until_ready([sz for _, _, sz, _ in pend])
         t_comp = time.perf_counter() - t0
 
         t0 = time.perf_counter()

@@ -740,7 +740,11 @@ struct TraceSink {
         buf[n++] = len; buf[n++] = restr; buf[n++] = opt; buf[n++] = val;
     }
 };
-static TraceSink g_trace;
+// thread_local: plain decodes touch the sink's plane/stage fields too,
+// so a shared global would race if bpe decodes ever fan out across
+// threads (the j2k band-pool pattern); each thread gets its own sink
+// and tracing stays scoped to the thread that called decode_trace.
+static thread_local TraceSink g_trace;
 
 struct WordReader {
     BitReader& br;

@@ -76,7 +76,7 @@ void hstep97(double* a, int64_t h, int64_t w, int64_t start, double c) {
         double* r = a + y * w;
         int64_t x = start;
         if (x == 0) {                     // mirror: x-1 -> 1
-            r[0] += c * (r[1] + (w > 1 ? r[1] : r[1]));
+            r[0] += c * (r[1] + r[1]);
             x = 2;
         }
         const int64_t stop = (w - 1);
