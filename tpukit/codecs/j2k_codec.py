@@ -102,6 +102,29 @@ from functools import lru_cache
 _PCACHE_BYTES = int(2e9)
 
 
+def _decode_bands_into(recon: np.ndarray, streams, info, dtype) -> None:
+    """Real per-band codestream decode into recon (clip + cast), band-
+    parallel when the host has more than one core — the native tier-1
+    decode is a GIL-releasing ctypes call, so threads scale it; on the
+    single-core bench host this is the plain loop."""
+    import os
+
+    def one(b):
+        from tpukit.io.jp2 import JP2Decoder
+        dec = JP2Decoder(streams[b]).decode_component(0, 0, 0)
+        recon[b] = np.clip(dec, info.min, info.max).astype(dtype)
+
+    n = len(streams)
+    workers = min(n, os.cpu_count() or 1)
+    if workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(workers) as tp:
+            list(tp.map(one, range(n)))
+    else:
+        for b in range(n):
+            one(b)
+
+
 def _cube_token(cube: np.ndarray) -> int:
     """Content token folded into every plan-cache key: a CRC of the FULL
     cube bytes (~1 GB/s; ~8 ms for the canonical 4-band tile — noise
@@ -1089,11 +1112,7 @@ class J2KCodec(Codec):
             with mem_phase("dec"):
                 recon = np.empty_like(cube)
                 if t_real is None:
-                    from tpukit.io.jp2 import JP2Decoder
-                    for b, s in enumerate(streams):
-                        dec = JP2Decoder(s).decode_component(0, 0, 0)
-                        recon[b] = np.clip(dec, info.min,
-                                           info.max).astype(cube.dtype)
+                    _decode_bands_into(recon, streams, info, cube.dtype)
                     t_real = time.perf_counter() - t0
                     if cache is not None:
                         cache[rdkey] = t_real
@@ -1304,13 +1323,13 @@ class J2KCodec(Codec):
                         if t_real is None:
                             # first execution of this point: REAL decode
                             # of the emitted codestreams, and its output
-                            # IS the reconstruction
-                            from tpukit.io.jp2 import JP2Decoder
-                            for b, s in enumerate(streams):
-                                dec = JP2Decoder(s).decode_component(0, 0, 0)
-                                recon[b] = np.clip(dec, info.min,
-                                                   info.max).astype(
-                                                       cube.dtype)
+                            # IS the reconstruction. Bands decode in
+                            # parallel when the host has cores to spare
+                            # (the native tier-1 call releases the GIL);
+                            # the reported wall is the decode wall either
+                            # way.
+                            _decode_bands_into(recon, streams, info,
+                                               cube.dtype)
                             t_real = time.perf_counter() - t0
                             rdcache[targets[i]] = t_real
                         else:
