@@ -13,8 +13,9 @@ here the whole sweep is restructured around the device:
   * reconstructions from device codecs STAY on device (fetched only when
     recon.tif artifacts are requested), and all (rate × rep) metric
     reductions run as one vmapped device program per tile with a single
-    stacked fetch — deterministic codecs contribute one metric lane per
-    rate, shared across reps;
+    stacked fetch — HONEST reps by default: every rep runs its own
+    metric lane (identical content uploads once per group);
+    ``dedupe_reps`` opts into one shared lane per rate;
   * quicklooks are generated from the in-memory arrays (same file
     contract as the reference's path-based flow, quicklooks.py:76-207).
 
