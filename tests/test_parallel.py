@@ -523,3 +523,46 @@ def test_mesh_ebcot_identical_by_construction(rng):
             assert s.bitstreams[k] == m.bitstreams[k], k
         np.testing.assert_array_equal(np.asarray(s.recon),
                                       np.asarray(m.recon))
+
+
+def test_mesh_honest_vs_dedupe_same_outputs(tmp_path, rng):
+    """Mesh mode, honest (default) vs --dedupe-reps: identical
+    deterministic outputs (sizes + metrics) while honest runs one metric
+    lane per (rate, rep) with content-group upload sharing across the
+    mesh devices."""
+    import csv as csvmod
+    import io
+
+    from tpukit.codecs.registry import create
+    from tpukit.io import tiff, write_manifest
+    from tpukit.sweep.runner import SweepConfig, run_sweep
+
+    base = rng.integers(100, 3000, (48, 48)).astype(np.int32)
+    cube = np.clip(base[None] + rng.integers(-200, 200, (3, 48, 48)),
+                   0, 4095).astype(np.uint16)
+    p = tmp_path / "t.tif"
+    tiff.write_geotiff(p, cube)
+    idx = tmp_path / "index.json"
+    write_manifest(idx, "caseA", "tile", [{"tile_id": "T", "path": p}])
+
+    def stable(path):
+        rows = list(csvmod.reader(io.StringIO(path.read_text()),
+                                  delimiter=";"))
+        hdr = rows[0]
+        drop = {i for i, c in enumerate(hdr)
+                if c.startswith(("t_", "mem_", "hbm_"))}
+        return [[v for i, v in enumerate(r) if i not in drop]
+                for r in rows]
+
+    outs = {}
+    for name, ded in (("honest", False), ("dedupe", True)):
+        cfg = SweepConfig(
+            indices=idx, codec=create("j2k", entropy="device"),
+            codec_label="j2k", outdir=tmp_path / f"runs_{name}",
+            rate_key="quality", rates=[20, 60], reps=3,
+            write_artifacts=False, quicklooks=False, mesh="4",
+            dedupe_reps=ded)
+        run_sweep(cfg)
+        outs[name] = stable(tmp_path / f"runs_{name}" / "metrics.csv")
+    assert outs["honest"] == outs["dedupe"]
+    assert len(outs["honest"]) == 1 + 2 * 3   # header + 2 rates x 3 reps
