@@ -267,3 +267,19 @@ def test_smoke_mesh_metric_ladder(dev, cube16, tmp_path):
     assert int(a["bitstream_bytes"][0]) == int(b["bitstream_bytes"][0])
     assert int(a["lossless"][0]) == int(b["lossless"][0]) == 1
     assert float(a["max_abs_err"][0]) == float(b["max_abs_err"][0]) == 0
+
+
+def test_smoke_pallas_dwt_bit_exact(dev):
+    """The fused Pallas 9/7 DWT is bit-exact vs the jnp transform ON THE
+    REAL CHIP (measured diff 0.0 — both forms express the identical
+    per-element lifting arithmetic and Mosaic does not re-contract it)."""
+    import jax.numpy as jnp
+    from tpukit.kernels import dwt as dwtk
+    from tpukit.kernels.dwt_pallas import dwt2_pallas
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 1000, (2, 256, 256)).astype(np.float32)
+    with jax.default_device(dev):
+        a = np.asarray(dwtk.dwt2(jnp.asarray(x), "97", 3))
+        b = np.asarray(dwt2_pallas(jnp.asarray(x), levels=3))
+    np.testing.assert_array_equal(a, b)
