@@ -490,9 +490,14 @@ def main():
     # violation must land IN the record, not replace it — the JSON line
     # prints before any gate (same policy as the warm-sum gate below).
     sc = scene.get("ccsds121_stream512", {})
-    scene_rss_ok = sc.get("rss_delta_mb", 0.0) < 500
+    # a budget-skip is a deliberate non-measurement; an ERROR or an
+    # unbounded delta is a regression (a row that died of MemoryError
+    # must not read as a pass just because rss_delta_mb is absent)
+    scene_rss_ok = ("skipped" in sc
+                    or ("rss_delta_mb" in sc
+                        and sc["rss_delta_mb"] < 500))
     if not scene_rss_ok:
-        log(f"REGRESSION: streamed scene RSS delta not bounded: {sc}")
+        log(f"REGRESSION: streamed scene row failed or unbounded: {sc}")
 
     shutil.rmtree(work, ignore_errors=True)
     speedup = (t_reference / t_anchor) if np.isfinite(t_reference) else None

@@ -106,7 +106,8 @@ def _decode_bands_into(recon: np.ndarray, streams, info, dtype) -> None:
     """Real per-band codestream decode into recon (clip + cast), band-
     parallel when the host has more than one core — the native tier-1
     decode is a GIL-releasing ctypes call, so threads scale it; on the
-    single-core bench host this is the plain loop."""
+    single-core bench host this is the plain loop. Same worker policy as
+    the sweep_qualities band fan-out (min(8, bands, cores))."""
     import os
 
     def one(b):
@@ -115,7 +116,7 @@ def _decode_bands_into(recon: np.ndarray, streams, info, dtype) -> None:
         recon[b] = np.clip(dec, info.min, info.max).astype(dtype)
 
     n = len(streams)
-    workers = min(n, os.cpu_count() or 1)
+    workers = min(8, n, os.cpu_count() or 1)
     if workers > 1:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(workers) as tp:

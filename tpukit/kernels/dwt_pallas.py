@@ -88,10 +88,18 @@ def _level97(x, rblk: int = 256, cblk: int = 256, interpret: bool = False):
     one XLA deinterleave into the packed [LL|HL; LH|HH] layout — the
     same output as kernels.dwt._dwt2_once(x, "97")."""
     B, h, w = x.shape
-    rblk = min(rblk, h)
-    cblk = min(cblk, w)
-    if h % rblk or w % cblk:
-        raise ValueError("block sizes must tile the plane")
+
+    def fit(n, blk):
+        # largest divisor of n that is <= blk (n itself when n <= blk) —
+        # any even size works, not just multiples of the preferred block
+        if n <= blk:
+            return n
+        for c in range(blk, 0, -1):
+            if n % c == 0:
+                return c
+        return n
+    rblk = fit(h, rblk)
+    cblk = fit(w, cblk)
 
     xh = pl.pallas_call(
         _hkernel,
@@ -133,6 +141,11 @@ def dwt2_pallas(x: jax.Array, levels: int = 3,
     if squeeze:
         x = x[None]
     H, W = x.shape[-2], x.shape[-1]
+    if H % (1 << levels) or W % (1 << levels):
+        raise ValueError(
+            f"H and W must be divisible by 2^levels "
+            f"(got {H}x{W} at levels={levels}) — same even-size contract "
+            f"as kernels.dwt.dwt2 on framework tiles")
     out = x
     for lv in range(levels):
         h, w = H >> lv, W >> lv
