@@ -378,6 +378,33 @@ def sr2d_97(ll, hl, lh, hh, u0: int, v0: int, u1: int, v1: int) -> np.ndarray:
     return np.swapaxes(a, -1, -2)
 
 
+def _dequant_mid(blk: np.ndarray, lastp: np.ndarray,
+                 step: float) -> np.ndarray:
+    """Irreversible dequantization with the per-coefficient midpoint
+    (E.1.1 + block-truncation half): fused native pass when available
+    (j2k_dequant_mid — identical per-element arithmetic), numpy oracle
+    otherwise."""
+    try:
+        from tpukit import native
+        lib = native.load()
+        fn = lib.j2k_dequant_mid
+    except Exception:
+        fn = None
+    if fn is not None:
+        import ctypes as ct
+        b = np.ascontiguousarray(blk, np.int32)
+        lp = np.ascontiguousarray(lastp, np.int32)
+        out = np.empty(b.shape, np.float64)
+        if fn(b.ctypes.data_as(ct.POINTER(ct.c_int32)),
+              lp.ctypes.data_as(ct.POINTER(ct.c_int32)),
+              b.size, float(step),
+              out.ctypes.data_as(ct.POINTER(ct.c_double))) == 0:
+            return out
+    mag = np.abs(blk).astype(np.float64)
+    half = 0.5 * np.exp2(np.maximum(lastp, 0))
+    return np.where(mag > 0, np.sign(blk) * (mag + half) * step, 0.0)
+
+
 def _sr2d_fast(rev: bool, ll, hl, lh, hh, u0: int, v0: int,
                u1: int, v1: int) -> np.ndarray:
     """One 2D synthesis level through the native lifting when available
@@ -1073,10 +1100,7 @@ class JP2Decoder:
                                                  band.orient, st.cblksty,
                                                  w, h, want_lastp=True,
                                                  segs=segs)
-                    mag = np.abs(blk).astype(np.float64)
-                    half = 0.5 * np.exp2(np.maximum(lastp, 0))
-                    val = np.where(mag > 0,
-                                   np.sign(blk) * (mag + half) * step, 0.0)
+                    val = _dequant_mid(blk, lastp, step)
                     arr[gy0 - band.y0:gy1 - band.y0,
                         gx0 - band.x0:gx1 - band.x0] = val
             return arr

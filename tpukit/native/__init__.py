@@ -121,6 +121,7 @@ def _declare(lib: ctypes.CDLL) -> None:
         ("j2k_band_recon", i64, [i32p, i32p, ct.POINTER(ct.c_int8),
                                  ct.POINTER(ct.c_int8), i32p, i32p, i64,
                                  ct.c_double, i32, ct.c_void_p]),
+        ("j2k_dequant_mid", i64, [i32p, i32p, i64, ct.c_double, f64p]),
         ("ck123std_encode", i64, [u16p, i32, i32, i32, i32, i32, i32,
                                   i32, i32, i32, i32, u8p, i64]),
         ("ck123std_info", i64, [u8p, i64, i32p]),

@@ -349,3 +349,24 @@ extern "C" int64_t j2k_band_recon(const int32_t* sig, const int32_t* mag,
     }
     return 0;
 }
+
+// Decoder-side irreversible dequantization with per-coefficient midpoint
+// (jp2.band_array_f's hot inner expression, fused): for each coefficient
+// v with last decoded plane lastp, out = sign(v) * (|v| + 0.5*2^max(lastp,0))
+// * step, and 0 for v == 0 — identical per-element arithmetic and
+// association order to the numpy form (abs/exp2 of small ints are exact
+// in f64), which stays as the oracle.
+extern "C" int64_t j2k_dequant_mid(const int32_t* blk, const int32_t* lastp,
+                                   int64_t n, double step, double* out) {
+    if (n < 0) return -1;
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t v = blk[i];
+        if (v == 0) { out[i] = 0.0; continue; }
+        const double mag = v < 0 ? -(double)v : (double)v;
+        const int lp = lastp[i] > 0 ? lastp[i] : 0;
+        const double half = 0.5 * (double)((int64_t)1 << lp);
+        const double s = v < 0 ? -1.0 : 1.0;
+        out[i] = (s * (mag + half)) * step;
+    }
+    return 0;
+}
