@@ -358,3 +358,42 @@ def test_hbm_columns_present(tmp_path, caseb_setup, monkeypatch):
     assert row["hbm_peak_bytes"] == str(123 * (1 << 20))
     for v in res["rows"]:
         assert v["hbm_peak_bytes"] == 123 * (1 << 20)
+
+
+@pytest.mark.parametrize("codec_name,copts,rk,rates", [
+    ("ccsds121", dict(tile=32, interleave="bip", preproc="none"), "none",
+     None),
+    ("jpegls", dict(), "none", None),
+    ("png", dict(zlevel=1), "none", None),
+    ("j2k", dict(entropy="device"), "quality", [40]),
+    ("ccsds122", dict(), "bpp", [2.0]),
+    ("ccsds123", dict(predictor="ls", tile=32), "none", None),
+])
+def test_honest_reps_all_codecs(tmp_path, rng, codec_name, copts, rk,
+                                rates):
+    """The honest-rep invariant for EVERY codec family: reps re-execute
+    (per-rep t_comp_s are fresh wall measurements, never bit-identical
+    re-reported floats) while deterministic outputs agree exactly across
+    reps. Guards against a point-level rep cache sneaking into any codec
+    (the round-4 finding, fixed in round 5)."""
+    base = rng.integers(200, 1800, (24, 24)).astype(np.int32)
+    cube = (base[None] + rng.integers(-40, 40, (4, 24, 24))) \
+        .astype(np.int16)
+    cube = ((cube.view(np.uint16) >> 2) << 2).view(np.int16)
+    p = tmp_path / "t.tif"
+    tiff.write_geotiff(p, cube)
+    idx = tmp_path / "i.json"
+    write_manifest(idx, "caseB", "tile", [{"tile_id": "T", "path": p}])
+    cfg = SweepConfig(
+        indices=idx, codec=create(codec_name, **copts),
+        codec_label=codec_name, outdir=tmp_path / "o",
+        rate_key=rk, rates=rates, reps=2,
+        quicklooks=False, write_artifacts=False)
+    rows = run_sweep(cfg)["rows"]
+    assert len(rows) == 2
+    a, b = rows
+    assert a["bitstream_bytes"] == b["bitstream_bytes"]
+    assert a["psnr_global"] == b["psnr_global"]
+    assert a["max_abs_err"] == b["max_abs_err"]
+    # fresh per-rep codec walls: two independent perf_counter spans
+    assert a["t_comp_s"] != b["t_comp_s"], (codec_name, a["t_comp_s"])
